@@ -1,0 +1,139 @@
+"""Lookup / enrichment joins.
+
+Beats has no relational join — enrichment is a per-event lookup against
+a cached side table (``add_host_metadata``, ``translate_sid``, ``dns``,
+docker/k8s metadata: SURVEY.md §2.6). The Spark-native shape for every
+one of them is a **broadcast left join** against a small dim DataFrame:
+the dim is shipped once per executor (the analogue of Beats' per-process
+cache), the fact side never shuffles.
+
+All lookup processors share one implementation parameterized by the dim,
+the join key, and the output column prefix. Live I/O in executors
+(IMDS probes, DNS resolution) is out — dims are materialized up front,
+which is also the only defensible design at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.processors.base import DFProc, register
+
+
+class LookupJoin(DFProc):
+    """Broadcast left join; dim columns land prefixed (``prefix.col`` →
+    ``prefix_col``) so repeated enrichments never collide."""
+
+    def __init__(self, dim: DataFrame, on: str, dim_key: str | None = None,
+                 prefix: str = "", fields: list[str] | None = None,
+                 overwrite: bool = True):
+        self.dim = dim
+        self.on = on
+        self.dim_key = dim_key or on
+        self.prefix = prefix
+        self.fields = fields
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dim = self.dim
+        cols = self.fields or [c for c in dim.columns if c != self.dim_key]
+        renames = {c: f"{self.prefix}{c}" if self.prefix else c for c in cols}
+        sel = [F.col(self.dim_key).alias("_lk_key")] + [
+            F.col(c).alias(n) for c, n in renames.items()
+        ]
+        dim_slim = dim.select(*sel).dropDuplicates(["_lk_key"])
+        out = df.join(
+            F.broadcast(dim_slim), df[self.on] == dim_slim["_lk_key"], "left"
+        ).drop("_lk_key")
+        return out
+
+
+@register("add_host_metadata")
+class AddHostMetadata(LookupJoin):
+    """Host info enrichment: ``host_*`` fields joined on ``source``.
+    Ref: add_host_metadata/add_host_metadata.go:83-100 (cache → broadcast)."""
+
+    def __init__(self, dim: DataFrame, on: str = "source", prefix: str = "host_",
+                 fields: list[str] | None = None):
+        super().__init__(dim, on=on, prefix=prefix, fields=fields)
+
+
+@register("add_observer_metadata")
+class AddObserverMetadata(LookupJoin):
+    """Ref: add_observer_metadata/add_observer_metadata.go:83."""
+
+    def __init__(self, dim: DataFrame, on: str = "source", prefix: str = "observer_"):
+        super().__init__(dim, on=on, prefix=prefix)
+
+
+@register("add_cloud_metadata")
+class AddCloudMetadata(DFProc):
+    """The reference probes IMDS once and attaches constant ``cloud.*``
+    fields (add_cloud_metadata/add_cloud_metadata.go:115) → a constant
+    struct literal here."""
+
+    def __init__(self, cloud: dict[str, str]):
+        self.cloud = cloud
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumns({f"cloud_{k}": F.lit(v) for k, v in self.cloud.items()})
+
+
+@register("translate")
+class Translate(LookupJoin):
+    """Generic value→value translation dim join (the translate_sid
+    shape, translate_sid/translatesid.go:75)."""
+
+    def __init__(self, dim: DataFrame, field: str, dim_key: str,
+                 target: str, dim_value: str):
+        super().__init__(dim, on=field, dim_key=dim_key, fields=[dim_value])
+        self.target = target
+        self.dim_value = dim_value
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = super().transform(df)
+        if self.dim_value != self.target:
+            out = out.withColumnRenamed(self.dim_value, self.target)
+        return out
+
+
+@register("dns")
+class Dns(DFProc):
+    """Reverse-DNS enrichment against a pre-resolved dim (no live I/O in
+    executors). ``action: append|replace``, ``tag_on_failure`` appends a
+    tag when no mapping exists. Ref: dns/dns.go:81, config.go:32-43."""
+
+    def __init__(self, dim: DataFrame, field: str, target: str,
+                 action: str = "append", tag_on_failure: list[str] | None = None,
+                 dim_key: str = "ip", dim_value: str = "hostname"):
+        self.dim = dim
+        self.field = field
+        self.target = target
+        self.action = action
+        self.tags = tag_on_failure or []
+        self.dim_key = dim_key
+        self.dim_value = dim_value
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dim = self.dim.select(
+            F.col(self.dim_key).alias("_dns_key"), F.col(self.dim_value).alias("_dns_val")
+        ).dropDuplicates(["_dns_key"])
+        out = df.join(F.broadcast(dim), df[self.field] == dim["_dns_key"], "left")
+        if self.action == "replace":
+            out = out.withColumn(
+                self.target, F.coalesce(F.col("_dns_val"), F.col(self.field))
+            )
+        else:
+            out = out.withColumn(self.target, F.col("_dns_val"))
+        if self.tags:
+            existing = (
+                F.coalesce(F.col("tags"), F.array()) if "tags" in df.columns else F.array()
+            )
+            out = out.withColumn(
+                "tags",
+                F.when(
+                    F.col("_dns_val").isNull(),
+                    F.array_union(existing, F.array(*[F.lit(t) for t in self.tags])),
+                ).otherwise(existing),
+            )
+        return out.drop("_dns_key", "_dns_val")

@@ -1,0 +1,225 @@
+"""Sources & reader chain: file discovery → line decode → structured parse.
+
+Re-expresses the reference's harvester reader chain
+(``filebeat/input/log/harvester.go:644-697``: line → encode →
+docker-json → json → strip_newline → multiline → limit) as composed
+``DataFrame → DataFrame`` stages. File discovery (glob paths,
+``exclude_files``) maps to ``spark.read.text(paths)`` +
+``input_file_name()``; per-file offsets (``harvester.go:330-359``)
+become deterministic per-line positions computed from line lengths
+with a window — no driver-side iteration, no zipWithIndex.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_log_lines(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    exclude_files: str | None = None,
+    line_terminator_bytes: int = 1,
+) -> DataFrame:
+    """Scan text files into (source, offset, message) rows.
+
+    ``offset`` is the byte offset of each line within its file (the
+    harvester's ``state.Offset`` analogue, advanced by line bytes +
+    terminator — ``filebeat/input/log/harvester.go:443``): a running
+    sum over a per-file window. ``line_no`` is the 1-based line number.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    df = (
+        spark.read.text(list(paths))
+        .withColumn("source", F.input_file_name())
+        .withColumnRenamed("value", "message")
+    )
+    if exclude_files:
+        df = df.filter(~F.col("source").rlike(exclude_files))
+    # spark.read.text preserves in-file line order within each file
+    # split; a per-file monotonic id gives a stable order key.
+    df = df.withColumn("_mono", F.monotonically_increasing_id())
+    w = Window.partitionBy("source").orderBy("_mono")
+    line_bytes = F.octet_length("message") + F.lit(line_terminator_bytes)
+    df = (
+        df.withColumn("line_no", F.row_number().over(w))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum(line_bytes).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .drop("_mono")
+    )
+    return df
+
+
+def strip_newline(df: DataFrame, line_col: str = "message") -> DataFrame:
+    """Trim trailing line terminators (``libbeat/reader/readfile/strip_newline.go``)."""
+    return df.withColumn(line_col, F.regexp_replace(F.col(line_col), r"[\r\n]+$", ""))
+
+
+def limit_bytes(df: DataFrame, max_bytes: int, line_col: str = "message") -> DataFrame:
+    """Truncate messages to ``max_bytes`` (``libbeat/reader/readfile/limit.go``)."""
+    return df.withColumn(line_col, F.substring(F.col(line_col), 1, max_bytes))
+
+
+def include_exclude_lines(
+    df: DataFrame,
+    include_lines: Sequence[str] | None = None,
+    exclude_lines: Sequence[str] | None = None,
+    line_col: str = "message",
+) -> DataFrame:
+    """Regex keep/drop; include evaluated before exclude
+    (``filebeat/input/log/harvester.go:488-507``)."""
+    col = F.col(line_col)
+    if include_lines:
+        keep = col.rlike(include_lines[0])
+        for p in include_lines[1:]:
+            keep = keep | col.rlike(p)
+        df = df.filter(keep)
+    if exclude_lines:
+        drop = col.rlike(exclude_lines[0])
+        for p in exclude_lines[1:]:
+            drop = drop | col.rlike(p)
+        df = df.filter(~drop)
+    return df
+
+
+def json_reader(
+    df: DataFrame,
+    schema: T.StructType | str,
+    line_col: str = "message",
+    keys_under_root: bool = False,
+    overwrite_keys: bool = False,
+    add_error_key: bool = True,
+    message_key: str | None = None,
+    document_id: str | None = None,
+    target: str = "json",
+) -> DataFrame:
+    """Parse each line as JSON (``libbeat/reader/readjson/json.go``).
+
+    With ``keys_under_root`` the parsed fields land as top-level
+    columns; ``overwrite_keys`` controls whether they replace existing
+    columns of the same name. ``document_id`` lifts a parsed field into
+    ``meta_id`` (the ES ``_id`` hint). Malformed JSON → null struct +
+    ``error_message`` when ``add_error_key``.
+    """
+    # from_json yields an all-null struct (not NULL) on malformed input;
+    # try_parse_json is the authoritative validity probe.
+    valid = F.try_parse_json(F.col(line_col)).isNotNull()
+    parsed = F.when(valid, F.from_json(F.col(line_col), schema))
+    df = df.withColumn(target, parsed)
+    if add_error_key:
+        df = df.withColumn(
+            "error_message",
+            F.when(
+                F.col(line_col).isNotNull() & ~valid,
+                F.lit("Error decoding JSON"),
+            ),
+        )
+    if document_id:
+        df = df.withColumn("meta_id", F.col(f"{target}.{document_id}"))
+    if message_key:
+        df = df.withColumn(line_col, F.coalesce(F.col(f"{target}.{message_key}"), F.col(line_col)))
+    if keys_under_root:
+        struct_fields = df.select(f"{target}.*").columns
+        for name in struct_fields:
+            if name in df.columns and not overwrite_keys:
+                continue
+            df = df.withColumn(name, F.col(f"{target}.{name}"))
+        df = df.drop(target)
+    return df
+
+
+_DOCKER_SCHEMA = T.StructType(
+    [
+        T.StructField("log", T.StringType()),
+        T.StructField("stream", T.StringType()),
+        T.StructField("time", T.StringType()),
+    ]
+)
+
+_CRI_RE = r"^([^ ]+) (stdout|stderr) ([PF]) (.*)$"
+
+
+def docker_json_reader(
+    df: DataFrame,
+    stream: str = "all",
+    line_col: str = "message",
+    partial: bool = True,
+    cri: bool = False,
+    partition_cols: Sequence[str] = ("source",),
+    order_col: str = "offset",
+) -> DataFrame:
+    """Parse docker (json-file) or CRI container log lines
+    (``libbeat/reader/readjson/docker_json.go``).
+
+    Docker format: ``{"log": "...\\n", "stream": "stdout", "time": "..."}``
+    — a payload not ending in ``\\n`` is a partial line joined with its
+    successors. CRI format: ``TIME STREAM P|F PAYLOAD`` with an explicit
+    partial flag. Partial-line joining reuses the multiline
+    sessionization (match=before on the partial marker).
+    """
+    if cri:
+        df = (
+            df.withColumn("ts_raw", F.regexp_extract(F.col(line_col), _CRI_RE, 1))
+            .withColumn("stream", F.regexp_extract(F.col(line_col), _CRI_RE, 2))
+            .withColumn("_partial", F.regexp_extract(F.col(line_col), _CRI_RE, 3) == "P")
+            .withColumn(line_col, F.regexp_extract(F.col(line_col), _CRI_RE, 4))
+        )
+    else:
+        parsed = F.from_json(F.col(line_col), _DOCKER_SCHEMA)
+        df = (
+            df.withColumn("ts_raw", parsed["time"])
+            .withColumn("stream", parsed["stream"])
+            .withColumn("_partial", ~parsed["log"].endswith("\n"))
+            .withColumn(line_col, F.regexp_replace(parsed["log"], r"\n$", ""))
+        )
+    df = df.withColumn("ts", F.to_timestamp(F.regexp_replace("ts_raw", r"Z$", "+00:00"))).drop(
+        "ts_raw"
+    )
+    if stream != "all":
+        df = df.filter(F.col("stream") == stream)
+    if partial:
+        # partial line → glued to the following line(s): new event
+        # starts where the previous line was NOT partial.
+        w = Window.partitionBy(*partition_cols, "stream").orderBy(order_col)
+        prev_partial = F.lag(F.col("_partial"), 1, False).over(w)
+        grouped = df.withColumn(
+            "_grp", F.sum((~prev_partial).cast("long")).over(w)
+        )
+        lines = F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(line_col).alias("l")))
+        )
+        df = (
+            grouped.groupBy(*partition_cols, "stream", "_grp")
+            .agg(
+                F.min(order_col).alias(order_col),
+                F.min("ts").alias("ts"),
+                lines.alias("_lines"),
+            )
+            .withColumn(line_col, F.concat_ws("", F.transform(F.col("_lines"), lambda x: x["l"])))
+            .drop("_lines", "_grp")
+        )
+    return df.drop("_partial") if "_partial" in df.columns else df
+
+
+def decode_charset(df: DataFrame, charset: str, col: str = "message_bin") -> DataFrame:
+    """Charset decode for binary-read inputs (``libbeat/reader/readfile/encode.go``)."""
+    return df.withColumn("message", F.decode(F.col(col), charset))
+
+
+def match_glob_sources(df: DataFrame, ignore_older_ts=None, ts_col: str = "ts") -> DataFrame:
+    """``ignore_older``: drop rows older than the cutoff (scanner analogue,
+    ``filebeat/input/log/input.go:454``)."""
+    if ignore_older_ts is None:
+        return df
+    return df.filter(F.col(ts_col) >= F.lit(ignore_older_ts))

@@ -1,0 +1,143 @@
+"""Output routing: first-match-wins selector grammar → one ``sink`` column.
+
+Re-expresses the reference's ``outil.Selector`` grammar
+(``libbeat/outputs/outil/select.go:41-67,258-397``): an ordered list of
+rules, each a format string (``fmtSelector``) optionally guarded by a
+``when:`` condition (``condSelector``) and/or post-mapped through a
+value table (``mapSelector``), with a final ``default`` — compiled into
+a single chained ``CASE WHEN`` Column. Constant rules fold to literals
+(Catalyst ConstantFolding finishes the job, matching the reference's
+build-time const-folding at ``select.go:192-205,230-241``).
+
+Fan-out is **single-pass**: either one ``partitionBy("sink")`` write or
+persist + per-sink filter — never re-computing the plan per sink (the
+optimization the reference's shared workQueue embodies,
+``pipeline/consumer.go:179``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.conditions import compile_condition, make_resolver
+from beats_spark.fmtstr import compile_fmtstr
+
+DEAD_LETTER = "_dead_letter"
+
+
+def compile_selector(
+    config: dict,
+    df: DataFrame | None = None,
+    ts_col: str = "ts",
+) -> Column:
+    """Selector config → string Column.
+
+    Config shape::
+
+        {"indices": [
+            {"index": "errors-%{[source]}", "when": {...}},
+            {"index": "%{[env]}-logs", "mappings": {"prod": "hot"},
+             "default": "other"},
+         ],
+         "default": "default-logs"}
+
+    Rule order is first-match-wins; a rule "matches" when its ``when``
+    holds AND its computed value is non-null (format-string fields
+    null-propagate, mirroring fmt errors falling through).
+    """
+    resolver = make_resolver(df)
+    rules = config.get("indices", config.get("rules", []))
+    expr: Column | None = None
+    for rule in rules:
+        fmt = rule.get("index", rule.get("topic", rule.get("key")))
+        if fmt is None:
+            raise ValueError(f"selector rule needs index/topic/key: {rule}")
+        val = compile_fmtstr(fmt, resolver, ts_col)
+        if "mappings" in rule:
+            mapped: Column | None = None
+            for k, v in rule["mappings"].items():
+                c = val == F.lit(k)
+                mapped = F.when(c, F.lit(v)) if mapped is None else mapped.when(c, F.lit(v))
+            if rule.get("default") is not None:
+                mapped = mapped.otherwise(F.lit(rule["default"]))
+            val = mapped
+        cond = val.isNotNull()
+        if "when" in rule:
+            cond = compile_condition(rule["when"], df, resolver) & cond
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    default = config.get("default")
+    if expr is None:
+        return F.lit(default)
+    return expr.otherwise(F.lit(default))
+
+
+def add_sink_column(
+    df: DataFrame,
+    config: dict,
+    sink_col: str = "sink",
+    ts_col: str = "ts",
+    dead_letter: bool = True,
+) -> DataFrame:
+    """Attach the routed sink column; unroutable rows (null selector and
+    null default) divert to the dead-letter sink — the analogue of the
+    ES output's non-indexable drop class
+    (``outputs/elasticsearch/client.go:403-407``)."""
+    col = compile_selector(config, df, ts_col)
+    if dead_letter:
+        col = F.coalesce(col, F.lit(DEAD_LETTER))
+    return df.withColumn(sink_col, col)
+
+
+def fanout_write(
+    df: DataFrame,
+    base_dir: str,
+    sink_col: str = "sink",
+    format: str = "parquet",
+    mode: str = "append",
+    run_id: str | None = None,
+) -> None:
+    """Single-pass multi-sink write: one job, ``partitionBy(sink)``.
+
+    Each sink is a partition directory under ``base_dir`` (per-sink
+    Iceberg tables in production — same layout contract). ``run_id``
+    adds a second partition level making re-runs idempotent: a retried
+    run overwrites only its own ``run_id=...`` partitions (dynamic
+    partition overwrite), the Spark analogue of the reference's
+    at-least-once retry with stable batch identity.
+    """
+    writer = df.write.format(format)
+    if run_id is not None:
+        df = df.withColumn("run_id", F.lit(run_id))
+        writer = (
+            df.write.format(format)
+            .partitionBy(sink_col, "run_id")
+            .option("partitionOverwriteMode", "dynamic")
+        )
+        writer.mode("overwrite").save(base_dir)
+        return
+    writer.partitionBy(sink_col).mode(mode).save(base_dir)
+
+
+def fanout_counts(df: DataFrame, sink_col: str = "sink") -> DataFrame:
+    """Per-sink ACK counts (``libbeat/outputs/metrics.go:53-66`` →
+    ``events.acked`` per output)."""
+    return df.groupBy(sink_col).count().withColumnRenamed("count", "events_acked")
+
+
+def sink_window_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    sink_col: str = "sink",
+    source_col: str = "source",
+    level_col: str = "level",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The north-star aggregate: events per (sink, source, level,
+    window) — a plain hash aggregate (partial + final via Catalyst)."""
+    cols = [c for c in (sink_col, source_col, level_col) if c in df.columns]
+    return (
+        df.groupBy(*cols, F.window(ts_col, window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(*cols, F.col("w.start").alias("window_start"), "events")
+    )

@@ -1,0 +1,296 @@
+"""Processor-library tests (mirrors the reference's table-driven
+actions/*_test.go style)."""
+
+from __future__ import annotations
+
+import base64
+import gzip
+
+import pytest
+
+from beats_spark.pipeline import build_pipeline, normalize
+from beats_spark.processors import build_processor
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    data = [
+        (1, "error", "db timeout on login", 9.5, "2026-01-02T03:04:05Z", "src0"),
+        (2, "info", "user login ok", 0.5, "2026-01-02T04:00:00Z", "src1"),
+        (3, "error", "disk full", 99.0, "2026-01-03T00:00:00Z", "src0"),
+    ]
+    return spark.createDataFrame(
+        data, "id int, level string, msg string, value double, raw_ts string, source string"
+    )
+
+
+def run(df, *entries):
+    return build_pipeline(list(entries))(df)
+
+
+def test_add_fields_under_root(df):
+    out = run(df, {"add_fields": {"fields": {"env": "prod"}, "fields_under_root": True}})
+    assert out.select("env").distinct().collect()[0][0] == "prod"
+
+
+def test_add_fields_attrs_target(df):
+    out = run(df, {"add_fields": {"fields": {"team": "sre"}}})
+    assert out.select("attrs").first()[0] == {"fields.team": "sre"}
+
+
+def test_add_labels_flatten(df):
+    out = run(df, {"add_labels": {"labels": {"app": {"name": "api", "ids": [1, 2]}}}})
+    attrs = out.select("attrs").first()[0]
+    assert attrs == {"labels.app.name": "api", "labels.app.ids.0": "1", "labels.app.ids.1": "2"}
+
+
+def test_add_tags_dedup(df):
+    out = run(df, {"add_tags": {"tags": ["x", "y"]}}, {"add_tags": {"tags": ["y", "z"]}})
+    assert out.select("tags").first()[0] == ["x", "y", "z"]
+
+
+def test_copy_rename_replace(df):
+    out = run(
+        df,
+        {"copy_fields": {"fields": [{"from": "level", "to": "severity"}]}},
+        {"rename": {"fields": [{"from": "raw_ts", "to": "ts_str"}]}},
+        {"replace": {"fields": [{"field": "msg", "pattern": "login", "replacement": "LOGIN"}]}},
+    )
+    r = {x["id"]: x for x in out.collect()}
+    assert r[1]["severity"] == "error" and r[1]["ts_str"].startswith("2026")
+    assert r[1]["msg"] == "db timeout on LOGIN"
+
+
+def test_rename_conflict_raises(df):
+    with pytest.raises(ValueError, match="already exists"):
+        run(df, {"rename": {"fields": [{"from": "msg", "to": "level"}]}})
+
+
+def test_truncate_extract_urldecode_base64(spark):
+    df = spark.createDataFrame(
+        [("héllo wörld", "a-b-c", "x%20y%2Fz", base64.b64encode(b"secret").decode())],
+        "text string, path string, url string, b64 string",
+    )
+    out = run(
+        df,
+        {"truncate_fields": {"fields": ["text"], "max_bytes": 7}},
+        {"extract_field": {"field": "path", "separator": "-", "index": 1, "target": "mid"}},
+        {"urldecode": {"fields": [{"from": "url", "to": "url_dec"}]}},
+        {"decode_base64_field": {"field": {"from": "b64", "to": "plain"}}},
+    )
+    r = out.first()
+    assert r["text"] == "héllo "  # 7 bytes cuts mid-ö → rune-safe trim
+    assert r["mid"] == "b" and r["url_dec"] == "x y/z" and r["plain"] == "secret"
+
+
+def test_gzip_and_mime(spark):
+    gz = base64.b64encode(gzip.compress(b"hello gz")).decode()
+    df = spark.createDataFrame(
+        [(gz, '{"a":1}'), (gz, "%PDF-1.7 x")], "payload string, blob string"
+    )
+    out = run(
+        df,
+        {"decompress_gzip_field": {"field": {"from": "payload", "to": "plain"}}},
+        {"detect_mime_type": {"field": "blob", "target": "mime"}},
+    )
+    got = rows(out, "plain", "mime")
+    assert got == [("hello gz", "application/json"), ("hello gz", "application/pdf")]
+
+
+def test_convert(df):
+    out = run(
+        df,
+        {"convert": {"fields": [{"from": "value", "to": "value_int", "type": "integer"}]}},
+    )
+    assert dict(out.dtypes)["value_int"] == "int"
+    assert rows(out, "value_int") == [(0,), (9,), (99,)]
+
+
+def test_convert_ip_validation(spark):
+    df = spark.createDataFrame([("10.1.2.3",), ("999",)], "addr string")
+    out = run(df, {"convert": {"fields": [{"from": "addr", "to": "ip", "type": "ip"}]}})
+    assert rows(out, "ip") == [("10.1.2.3",), (None,)]
+
+
+def test_timestamp_layouts(df):
+    out = run(
+        df,
+        {"timestamp": {"field": "raw_ts", "layouts": ["ISO8601"], "target": "ts"}},
+    )
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.filter("ts is null").count() == 0
+
+
+def test_timestamp_unix(spark):
+    df = spark.createDataFrame([("1700000000",)], "epoch string")
+    out = run(df, {"timestamp": {"field": "epoch", "layouts": ["UNIX"], "target": "ts"}})
+    assert str(out.first()["ts"]).startswith("2023-11-14")
+
+
+def test_add_id_fingerprint(df):
+    out = run(
+        df,
+        {"add_id": {"key_field": "id"}},
+        {"fingerprint": {"fields": ["level", "msg"], "method": "sha256"}},
+        {"fingerprint": {"fields": ["level"], "method": "xxhash", "target_field": "xx"}},
+    )
+    r = out.filter("id = 1").first()
+    import hashlib
+
+    assert r["meta_id"] == hashlib.sha256(b"1").hexdigest()
+    assert r["fingerprint"] == hashlib.sha256(b"error|db timeout on login").hexdigest()
+    assert len(r["xx"]) > 0
+
+
+def test_drop_event_when(df):
+    out = run(df, {"drop_event": {"when": {"equals": {"level": "error"}}}})
+    assert rows(out, "id") == [(2,)]
+
+
+def test_drop_and_include_fields(df):
+    out = run(df, {"drop_fields": {"fields": ["raw_ts", "value"]}})
+    assert "raw_ts" not in out.columns and "value" not in out.columns
+    out2 = run(df, {"include_fields": {"fields": ["level", "msg"]}})
+    assert set(out2.columns) == {"source", "level", "msg"}  # source always kept
+
+
+def test_guarded_projection_keeps_unmatched_rows(df):
+    out = run(
+        df,
+        {
+            "add_fields": {
+                "fields": {"flag": "hot"},
+                "fields_under_root": True,
+                "when": {"equals": {"level": "error"}},
+            }
+        },
+    )
+    assert rows(out, "id", "flag") == [(1, "hot"), (2, None), (3, "hot")]
+
+
+def test_if_then_else(df):
+    out = run(
+        df,
+        {
+            "if": {"equals": {"level": "error"}},
+            "then": [{"add_fields": {"fields": {"route": "alert"}, "fields_under_root": True}}],
+            "else": [{"add_fields": {"fields": {"route": "archive"}, "fields_under_root": True}}],
+        },
+    )
+    assert rows(out, "id", "route") == [(1, "alert"), (2, "archive"), (3, "alert")]
+
+
+def test_rate_limit(spark):
+    data = [(i, "k%d" % (i % 2), "2026-01-01T00:00:%02dZ" % i) for i in range(20)]
+    df = spark.createDataFrame(data, "id int, key string, raw string").selectExpr(
+        "id", "key", "cast(raw as timestamp) ts", "id as offset"
+    )
+    out = run(df, {"rate_limit": {"limit": "3/m", "fields": ["key"]}})
+    assert out.count() == 6  # 3 per key per minute
+    assert rows(out, "id") == [(0,), (1,), (2,), (3,), (4,), (5,)]  # earliest kept
+
+
+def test_network_direction(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.1", "10.0.0.2"), ("10.0.0.1", "8.8.8.8"), ("8.8.8.8", "10.0.0.1"),
+         ("1.1.1.1", "8.8.8.8")],
+        "src string, dst string",
+    )
+    out = run(df, {"add_network_direction": {"source": "src", "destination": "dst"}})
+    assert [r["direction"] for r in out.collect()] == [
+        "internal", "outbound", "inbound", "external",
+    ]
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame([("a.b.example.co.uk",), ("www.example.com",)], "host string")
+    out = run(df, {"registered_domain": {"field": "host"}})
+    assert rows(out, "registered_domain") == [("example.co.uk",), ("example.com",)]
+
+
+def test_community_id_symmetry(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.1", 1234, "10.0.0.2", 80, "tcp"), ("10.0.0.2", 80, "10.0.0.1", 1234, "tcp")],
+        "source_ip string, source_port int, destination_ip string, destination_port int, transport string",
+    )
+    out = run(df, {"community_id": {}})
+    vals = [r["network_community_id"] for r in out.collect()]
+    assert vals[0] == vals[1] and vals[0].startswith("1:")
+
+
+def test_decode_json_fields(spark):
+    df = spark.createDataFrame([('{"k":"69","n":"2"}',), ("notjson",)], "props string")
+    out = run(df, {"decode_json_fields": {"fields": ["props"], "target": "parsed",
+                                          "add_error_key": True}})
+    got = {r["props"]: (r["parsed"], r["error_message"]) for r in out.collect()}
+    assert got['{"k":"69","n":"2"}'] == ({"k": "69", "n": "2"}, None)
+    assert got["notjson"][0] is None and got["notjson"][1] == "Error decoding JSON"
+
+
+def test_decode_csv_fields(spark):
+    df = spark.createDataFrame([('a,"b,c",d',)], "line string")
+    out = run(df, {"decode_csv_fields": {"fields": {"line": "cols"}}})
+    assert out.first()["cols"] == ["a", "b,c", "d"]
+
+
+def test_decode_xml(spark):
+    df = spark.createDataFrame([("<Root><A attr='1'>x</A><B><C>y</C></B></Root>",)], "doc string")
+    out = run(df, {"decode_xml": {"field": "doc", "target_field": "xml"}})
+    assert out.first()["xml"] == {"root.a.attr": "1", "root.a": "x", "root.b.c": "y"}
+
+
+def test_extract_array(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],)], "arr array<string>")
+    out = run(df, {"extract_array": {"field": "arr", "mappings": {"first": 0, "last": 2}}})
+    assert (out.first()["first"], out.first()["last"]) == ("a", "c")
+
+
+def test_script_dataframe_and_pandas(spark):
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    out = run(df, {"script": {"source": lambda d: d.withColumn("v2", d.v * 2)}})
+    assert rows(out, "v2") == [(2,), (4,)]
+
+    def pandas_fn(pdf):
+        pdf["v"] = pdf["v"] + 10
+        return pdf
+
+    out2 = run(df, {"script": {"source": pandas_fn, "lang": "pandas"}})
+    assert rows(out2, "v") == [(11,), (12,)]
+
+
+def test_lookup_enrichment_broadcast(spark, df):
+    dim = spark.createDataFrame(
+        [("src0", "host-a", "prod"), ("src1", "host-b", "staging")],
+        "source string, host_name string, env string",
+    )
+    out = run(df, {"add_host_metadata": {"dim": dim, "prefix": ""}})
+    assert rows(out, "id", "host_name", "env") == [
+        (1, "host-a", "prod"), (2, "host-b", "staging"), (3, "host-a", "prod"),
+    ]
+    # the physical plan must be a broadcast join, not a shuffle join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dns_append_and_tag(spark):
+    df = spark.createDataFrame([("8.8.8.8",), ("9.9.9.9",)], "ip string")
+    dim = spark.createDataFrame([("8.8.8.8", "dns.google")], "ip string, hostname string")
+    out = run(df, {"dns": {"dim": dim, "field": "ip", "target": "host",
+                           "tag_on_failure": ["_dns_fail"]}})
+    got = {r["ip"]: (r["host"], r["tags"]) for r in out.collect()}
+    assert got["8.8.8.8"] == ("dns.google", [])
+    assert got["9.9.9.9"] == (None, ["_dns_fail"])
+
+
+def test_normalize_drops_empty(spark):
+    df = spark.createDataFrame([("x",), ("",), (None,)], "message string")
+    assert normalize(df).count() == 1
+
+
+def test_add_formatted_index(spark):
+    df = spark.createDataFrame(
+        [("src0", "2026-01-02T03:04:05Z")], "source string, raw string"
+    ).selectExpr("source", "cast(raw as timestamp) ts")
+    out = run(df, {"add_formatted_index": {"index": "logs-%{[source]}-%{+yyyy.MM.dd}"}})
+    assert out.first()["sink"] == "logs-src0-2026.01.02"

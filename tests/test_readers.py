@@ -1,0 +1,95 @@
+"""Source/reader-chain tests (reference: filebeat harvester reader chain,
+filebeat/tests/system/test_json.py / docker json model)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from beats_spark.readers import (
+    docker_json_reader,
+    include_exclude_lines,
+    json_reader,
+    limit_bytes,
+    read_log_lines,
+    strip_newline,
+)
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def logdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logs")
+    (d / "app1.log").write_text("alpha\nbeta\ngamma\n")
+    (d / "app2.log").write_text("delta\n")
+    (d / "skip.bak").write_text("nope\n")
+    return d
+
+
+def test_read_log_lines_offsets(spark, logdir):
+    df = read_log_lines(spark, str(logdir / "*.log"))
+    got = [
+        (r["source"].rsplit("/", 1)[-1], r["line_no"], r["offset"], r["message"])
+        for r in df.collect()
+    ]
+    assert sorted(got) == [
+        ("app1.log", 1, 0, "alpha"),
+        ("app1.log", 2, 6, "beta"),
+        ("app1.log", 3, 11, "gamma"),
+        ("app2.log", 1, 0, "delta"),
+    ]
+
+
+def test_exclude_files(spark, logdir):
+    df = read_log_lines(spark, str(logdir / "*"), exclude_files=r"\.bak$")
+    assert df.filter("source like '%skip.bak'").count() == 0
+
+
+def test_strip_newline_and_limit(spark):
+    df = spark.createDataFrame([("hello world\r\n",)], "message string")
+    out = limit_bytes(strip_newline(df), max_bytes=5)
+    assert out.first()["message"] == "hello"
+
+
+def test_include_exclude_lines(spark):
+    df = spark.createDataFrame(
+        [("ERR one",), ("WARN two",), ("ERR skip me",)], "message string"
+    )
+    out = include_exclude_lines(df, include_lines=[r"^ERR"], exclude_lines=[r"skip"])
+    assert rows(out, "message") == [("ERR one",)]
+
+
+def test_json_reader_keys_under_root(spark):
+    lines = [json.dumps({"level": "info", "msg": "ok", "id": "x1"}), "broken{"]
+    df = spark.createDataFrame([(l,) for l in lines], "message string")
+    out = json_reader(
+        df, "level string, msg string, id string",
+        keys_under_root=True, document_id="id",
+    )
+    got = {r["meta_id"]: (r["level"], r["msg"], r["error_message"]) for r in out.collect()}
+    assert got["x1"] == ("info", "ok", None)
+    assert got[None][2] == "Error decoding JSON"
+
+
+def test_docker_json_reader_partial_join(spark):
+    lines = [
+        ("c1", 0, json.dumps({"log": "part1 ", "stream": "stdout", "time": "2026-01-01T00:00:00Z"})),
+        ("c1", 10, json.dumps({"log": "part2\n", "stream": "stdout", "time": "2026-01-01T00:00:01Z"})),
+        ("c1", 20, json.dumps({"log": "whole\n", "stream": "stdout", "time": "2026-01-01T00:00:02Z"})),
+        ("c1", 30, json.dumps({"log": "err\n", "stream": "stderr", "time": "2026-01-01T00:00:03Z"})),
+    ]
+    df = spark.createDataFrame(lines, "source string, offset long, message string")
+    out = docker_json_reader(df, stream="stdout")
+    assert rows(out, "offset", "message") == [(0, "part1 part2"), (20, "whole")]
+
+
+def test_cri_reader(spark):
+    lines = [
+        ("c1", 0, "2026-01-01T00:00:00.000Z stdout P begin "),
+        ("c1", 10, "2026-01-01T00:00:00.100Z stdout F end"),
+        ("c1", 20, "2026-01-01T00:00:01.000Z stderr F oops"),
+    ]
+    df = spark.createDataFrame(lines, "source string, offset long, message string")
+    out = docker_json_reader(df, cri=True, stream="all")
+    assert rows(out, "stream", "message") == [("stderr", "oops"), ("stdout", "begin end")]

@@ -1,0 +1,120 @@
+"""Routing/selector + fan-out tests (reference: outil selector grammar,
+libbeat/outputs/outil/select.go test coverage model)."""
+
+from __future__ import annotations
+
+import pytest
+
+from beats_spark.routing import (
+    DEAD_LETTER,
+    add_sink_column,
+    compile_selector,
+    fanout_counts,
+    fanout_write,
+    sink_window_counts,
+)
+from tests.conftest import rows
+
+CONFIG = {
+    "indices": [
+        {"index": "errors-%{[source]}", "when": {"equals": {"level": "error"}}},
+        {"index": "audit", "when": {"contains": {"msg": "login"}}},
+        {"index": "%{[env]}", "mappings": {"prod": "hot-logs", "staging": "warm-logs"}},
+    ],
+    "default": "default-logs",
+}
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    data = [
+        (1, "error", "db timeout", "src0", "prod", "2026-01-02T03:00:00Z"),
+        (2, "info", "user login ok", "src1", "prod", "2026-01-02T03:30:00Z"),
+        (3, "info", "heartbeat", "src0", "prod", "2026-01-02T04:00:00Z"),
+        (4, "info", "heartbeat", "src1", "staging", "2026-01-02T04:10:00Z"),
+        (5, "warn", "odd", "src2", "qa", "2026-01-02T05:00:00Z"),
+        (6, "error", "disk", "src2", None, "2026-01-02T05:30:00Z"),
+    ]
+    return spark.createDataFrame(
+        data, "id int, level string, msg string, source string, env string, raw string"
+    ).selectExpr("id", "level", "msg", "source", "env", "cast(raw as timestamp) ts")
+
+
+def test_first_match_wins(df):
+    out = add_sink_column(df, CONFIG)
+    assert rows(out, "id", "sink") == [
+        (1, "errors-src0"),
+        (2, "audit"),
+        (3, "hot-logs"),
+        (4, "warm-logs"),
+        (5, "default-logs"),  # env=qa misses the mapping, falls to default
+        (6, "errors-src2"),
+    ]
+
+
+def test_null_field_falls_through(spark):
+    # error row with null source: fmt string null-propagates → rule skipped
+    df = spark.createDataFrame(
+        [(1, "error", None, "m", "prod", None)],
+        "id int, level string, source string, msg string, env string, ts timestamp",
+    )
+    out = add_sink_column(df, CONFIG)
+    assert out.first()["sink"] == "hot-logs"
+
+
+def test_default_none_routes_dead_letter(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, level string")
+    out = add_sink_column(df, {"indices": [], "default": None})
+    assert out.first()["sink"] == DEAD_LETTER
+
+
+def test_fmt_default_fallback(spark):
+    df = spark.createDataFrame([(None,), ("s1",)], "source string")
+    col = compile_selector({"indices": [{"index": "i-%{[source]:unknown}"}]}, df)
+    assert rows(df.withColumn("sink", col), "sink") == [("i-s1",), ("i-unknown",)]
+
+
+def test_const_selector_folds(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    col = compile_selector({"indices": [{"index": "fixed"}], "default": "d"}, df)
+    assert df.withColumn("s", col).first()["s"] == "fixed"
+
+
+def test_fanout_single_pass_write(df, tmp_path):
+    out = add_sink_column(df, CONFIG)
+    fanout_write(out, str(tmp_path / "sinks"))
+    import os
+
+    dirs = sorted(
+        d.split("=", 1)[1] for d in os.listdir(tmp_path / "sinks") if d.startswith("sink=")
+    )
+    assert dirs == ["audit", "default-logs", "errors-src0", "errors-src2", "hot-logs", "warm-logs"]
+    back = df.sparkSession.read.parquet(str(tmp_path / "sinks"))
+    assert back.count() == 6
+
+
+def test_fanout_run_id_idempotent(df, tmp_path):
+    out = add_sink_column(df, CONFIG)
+    base = str(tmp_path / "sinks2")
+    fanout_write(out, base, run_id="r1")
+    fanout_write(out, base, run_id="r1")  # re-run overwrites, no duplication
+    back = df.sparkSession.read.parquet(base)
+    assert back.count() == 6
+
+
+def test_fanout_counts(df):
+    out = add_sink_column(df, CONFIG)
+    got = dict(rows(fanout_counts(out), "sink", "events_acked"))
+    assert got == {
+        "errors-src0": 1, "errors-src2": 1, "audit": 1,
+        "hot-logs": 1, "warm-logs": 1, "default-logs": 1,
+    }
+
+
+def test_sink_window_counts(df):
+    out = add_sink_column(df, CONFIG)
+    agg = sink_window_counts(out, window="1 hour")
+    total = sum(r["events"] for r in agg.collect())
+    assert total == 6
+    cols = agg.columns
+    assert cols == ["sink", "source", "level", "window_start", "events"]
