@@ -1,38 +1,611 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse → enrich → route → aggregate
+pipeline at sf0.001. ``queries()`` exposes one entry per implemented
+operator family (SURVEY.md §2 + the training-data ops), each verified
+against the matching ``oracle_sql()`` DuckDB statement at sf0.01.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark query and the oracle SQL (the driver sorts columns by name
+and hashes values).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the full log pipeline (harvest-line synth → dissect → enrich →
+# drop → route → window aggregate).  SURVEY.md §3.1.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ROUTING = {
+    "indices": [
+        {"index": "errors-%{+yyyy.MM.dd}", "when": {"equals": {"level": "error"}}},
+        # vip rule: format-string null (no customer match) falls through
+        # to the next rule — the reference's fmt-error fall-through.
+        {
+            "index": "vip-%{[cust_c_mktsegment]}",
+            "when": {
+                "and": [
+                    {"equals": {"event_type": "purchase"}},
+                    {"range": {"value": {"gte": 300}}},
+                ]
+            },
+        },
+        {"index": "logs-%{[level]}"},
+    ],
+    "default": "logs-unknown",
+}
+
+_FLAGSHIP_TOKENIZER = 'level=%{level} user=%{uid|long} msg="%{msg}"'
+
+
+def _flagship_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.dissect import dissect
+    from beats_spark.pipeline import build_pipeline, normalize
+    from beats_spark.processors.enrich import LookupJoin
+    from beats_spark.routing import add_sink_column, sink_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+
+    # harvest stand-in: render each event as a raw log line
+    level = (
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("value") >= 400, "warn")
+        .otherwise("info")
+    )
+    raw = ev.withColumn(
+        "message",
+        F.concat(
+            F.lit("level="), level,
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(' msg="'), F.col("event_type"), F.lit(' evt"'),
+        ),
+    )
+
+    chain = build_pipeline(
+        [
+            lambda df: dissect(df, _FLAGSHIP_TOKENIZER, target_prefix=""),
+            {"add_fields": {"fields": {"env": "prod"}, "fields_under_root": True}},
+            {"drop_event": {}, "when": {"equals": {"msg": "view evt"}}},
+            LookupJoin(cust, on="user_id", dim_key="c_custkey",
+                       prefix="cust_", fields=["c_mktsegment"]),
+        ]
+    )
+    routed = add_sink_column(chain(normalize(raw)), _FLAGSHIP_ROUTING)
+    agg = sink_window_counts(
+        routed, window="1 hour", source_col="level", level_col="__absent"
+    )
+    return agg
+
+
+_FLAGSHIP_ORACLE = """
+WITH base AS (
+  SELECT e.*,
+         CASE WHEN event_type = 'error' THEN 'error'
+              WHEN value >= 400 THEN 'warn'
+              ELSE 'info' END AS level,
+         c.c_mktsegment AS cust_c_mktsegment
+  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+), kept AS (
+  SELECT * FROM base WHERE event_type <> 'view'
+), routed AS (
+  SELECT *,
+         CASE WHEN level = 'error' THEN 'errors-' || strftime(ts, '%Y.%m.%d')
+              WHEN event_type = 'purchase' AND value >= 300
+                   AND cust_c_mktsegment IS NOT NULL
+                   THEN 'vip-' || cust_c_mktsegment
+              WHEN level IS NOT NULL THEN 'logs-' || level
+              ELSE 'logs-unknown' END AS sink
+  FROM kept
+)
+SELECT sink, level, date_trunc('hour', ts) AS window_start,
+       count(*) AS events
+FROM routed GROUP BY 1, 2, 3
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship_impl(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# Per-operator queries (SURVEY.md §2) over the events table
+# ---------------------------------------------------------------------------
+
+
+def q_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins selector (§2.7) → per-sink ACK counts (§2.8)."""
+    from beats_spark.routing import add_sink_column, fanout_counts
+
+    routing = {
+        "indices": [
+            {"index": "errors-%{+yyyy.MM.dd}", "when": {"equals": {"event_type": "error"}}},
+            {"index": "hot-%{[event_type]}", "when": {"range": {"value": {"gte": 400}}}},
+            {
+                "index": "purchases",
+                "when": {
+                    "and": [
+                        {"equals": {"event_type": "purchase"}},
+                        {"range": {"value": {"gt": 100}}},
+                    ]
+                },
+            },
+        ],
+        "default": "default-logs",
+    }
+    ev = _t(spark, sf_dir, "events")
+    return fanout_counts(add_sink_column(ev, routing))
+
+
+_Q_ROUTE_FANOUT_SQL = """
+SELECT sink, count(*) AS events_acked FROM (
+  SELECT CASE WHEN event_type = 'error' THEN 'errors-' || strftime(ts, '%Y.%m.%d')
+              WHEN value >= 400 THEN 'hot-' || event_type
+              WHEN event_type = 'purchase' AND value > 100 THEN 'purchases'
+              ELSE 'default-logs' END AS sink
+  FROM events
+) GROUP BY sink
+"""
+
+
+def q_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissect tokenizer round-trip (§2.4): render → parse → typed cast."""
+    from beats_spark.dissect import dissect
+
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.withColumn(
+        "message",
+        F.concat(
+            F.lit("type="), F.col("event_type"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(' msg="evt payload"'),
+        ),
+    )
+    out = dissect(raw, 'type=%{etype} user=%{uid|long} msg="%{msg}"', target_prefix="")
+    return out.select("event_id", "etype", "uid", "msg")
+
+
+_Q_DISSECT_SQL = """
+SELECT event_id, event_type AS etype, user_id AS uid,
+       'evt payload' AS msg
+FROM events
+"""
+
+
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_json_fields with declared schema (§2.4)."""
+    from beats_spark.processors.base import build_processor
+
+    ev = _t(spark, sf_dir, "events")
+    p = build_processor(
+        {"decode_json_fields": {"fields": ["props"], "target": "pj", "schema": "k int"}}
+    )
+    return p(ev).select("event_id", F.col("pj.k").alias("k"))
+
+
+_Q_JSON_DECODE_SQL = """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+"""
+
+
+def q_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition compiler (§2.5): or/and/not/equals/range/contains/regexp."""
+    from beats_spark.conditions import compile_condition
+
+    ev = _t(spark, sf_dir, "events")
+    cond = {
+        "or": [
+            {
+                "and": [
+                    {"equals": {"event_type": "click"}},
+                    {"range": {"value": {"gte": 50, "lt": 300}}},
+                ]
+            },
+            {"contains": {"props": "9"}},
+            {"not": {"regexp": {"event_type": "^(view|signup)$"}}},
+        ]
+    }
+    return (
+        ev.filter(compile_condition(cond, ev))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("survivors"))
+    )
+
+
+_Q_CONDITIONS_SQL = """
+SELECT event_type, count(*) AS survivors FROM events
+WHERE (event_type = 'click' AND value >= 50 AND value < 300)
+   OR props LIKE '%9%'
+   OR NOT regexp_matches(event_type, '^(view|signup)$')
+GROUP BY event_type
+"""
+
+
+def q_include_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """include_lines before exclude_lines (§2.2) on the props payload."""
+    from beats_spark.readers import include_exclude_lines
+
+    ev = _t(spark, sf_dir, "events")
+    out = include_exclude_lines(
+        ev,
+        include_lines=[r'k": [0-9]?[02468]\}'],
+        exclude_lines=[r'k": 4'],
+        line_col="props",
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("kept"))
+
+
+_Q_INCLUDE_EXCLUDE_SQL = """
+SELECT event_type, count(*) AS kept FROM events
+WHERE regexp_matches(props, 'k": [0-9]?[02468]\\}')
+  AND NOT regexp_matches(props, 'k": 4')
+GROUP BY event_type
+"""
+
+
+def q_multiline_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline sessionization, pattern mode match=after (§2.1): click
+    events append to the previous event within each user stream."""
+    from beats_spark.multiline import multiline_pattern
+
+    ev = _t(spark, sf_dir, "events")
+    return multiline_pattern(
+        ev,
+        pattern="^click$",
+        match="after",
+        partition_cols=("user_id",),
+        order_col="event_id",
+        line_col="event_type",
+    )
+
+
+_Q_MULTILINE_PATTERN_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         regexp_matches(event_type, '^click$') AS m
+  FROM events
+), g AS (
+  SELECT *,
+         sum(CASE WHEN (NOT m) OR rn = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM l
+)
+SELECT user_id, min(event_id) AS event_id,
+       string_agg(event_type, chr(10) ORDER BY event_id) AS event_type,
+       count(*) AS n_lines
+FROM g GROUP BY user_id, grp
+"""
+
+
+def q_multiline_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline count mode (§2.1): merge every 5 events per user."""
+    from beats_spark.multiline import multiline_count
+
+    ev = _t(spark, sf_dir, "events")
+    return multiline_count(
+        ev,
+        lines_count=5,
+        partition_cols=("user_id",),
+        order_col="event_id",
+        line_col="event_type",
+    )
+
+
+_Q_MULTILINE_COUNT_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, event_type,
+         (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 5 AS grp
+  FROM events
+)
+SELECT user_id, min(event_id) AS event_id,
+       string_agg(event_type, chr(10) ORDER BY event_id) AS event_type,
+       count(*) AS n_lines
+FROM l GROUP BY user_id, grp
+"""
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate_limit as windowed top-k (§2.2): ≤2 events/hour per type."""
+    from beats_spark.processors.base import build_processor
+
+    ev = _t(spark, sf_dir, "events")
+    p = build_processor(
+        {"rate_limit": {"limit": "2/h", "fields": ["event_type"], "order_col": "event_id"}}
+    )
+    return p(ev).select("event_id")
+
+
+_Q_RATE_LIMIT_SQL = """
+SELECT event_id FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type, date_trunc('hour', ts) ORDER BY event_id) <= 2
+"""
+
+
+def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast lookup enrichment (§2.6): two chained dim joins
+    (customer → nation), the add_host_metadata/translate shape."""
+    from beats_spark.processors.enrich import LookupJoin, Translate
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    step1 = LookupJoin(cust, on="user_id", dim_key="c_custkey",
+                       prefix="cust_", fields=["c_name", "c_nationkey"])
+    step2 = Translate(nation, field="cust_c_nationkey", dim_key="n_nationkey",
+                      target="nation_name", dim_value="n_name")
+    out = step2(step1(ev))
+    return out.select(
+        "event_id",
+        F.col("cust_c_name").alias("cust_name"),
+        "nation_name",
+    )
+
+
+_Q_ENRICH_LOOKUP_SQL = """
+SELECT e.event_id, c.c_name AS cust_name, n.n_name AS nation_name
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fingerprint processor (§2.3): sha256 + md5 over joined fields."""
+    from beats_spark.processors.base import build_processor
+
+    ev = _t(spark, sf_dir, "events")
+    p1 = build_processor(
+        {"fingerprint": {"fields": ["event_type", "user_id"], "method": "sha256",
+                         "target_field": "fp_sha"}}
+    )
+    p2 = build_processor(
+        {"fingerprint": {"fields": ["event_type", "user_id"], "method": "md5",
+                         "target_field": "fp_md5"}}
+    )
+    return p2(p1(ev)).select("event_id", "fp_sha", "fp_md5")
+
+
+_Q_FINGERPRINT_SQL = """
+SELECT event_id,
+       sha256(event_type || '|' || user_id) AS fp_sha,
+       md5(event_type || '|' || user_id) AS fp_md5
+FROM events
+"""
+
+
+def q_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection chain (§2.3): add_fields/add_tags/replace/extract_field/
+    rename/copy_fields/drop_fields with a when-guard, via build_pipeline."""
+    from beats_spark.pipeline import build_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    chain = build_pipeline(
+        [
+            {"add_fields": {"fields": {"env": "prod", "dc": "us-east-1"},
+                            "fields_under_root": True}},
+            {"add_tags": {"tags": ["beta", "prod"]}},
+            {"add_tags": {"tags": ["prod", "x"]}},
+            {"add_fields": {"fields": {"hot": "yes"}, "fields_under_root": True},
+             "when": {"range": {"value": {"gte": 250}}}},
+            {"replace": {"fields": [{"field": "event_type", "pattern": "click",
+                                     "replacement": "tap"}]}},
+            {"extract_field": {"field": "props", "separator": ":", "index": 1,
+                               "target": "k_raw"}},
+            {"copy_fields": {"fields": [{"from": "user_id", "to": "uid_copy"}]}},
+            {"rename": {"fields": [{"from": "dc", "to": "datacenter"}]}},
+            {"drop_fields": {"fields": ["props", "value"]}},
+        ]
+    )
+    out = chain(ev)
+    return out.select(
+        "event_id", "env", "datacenter", "hot", "event_type", "k_raw", "uid_copy",
+        F.array_join("tags", ",").alias("tags_csv"),
+    )
+
+
+_Q_MUTATIONS_SQL = """
+SELECT event_id, 'prod' AS env, 'us-east-1' AS datacenter,
+       CASE WHEN value >= 250 THEN 'yes' END AS hot,
+       replace(event_type, 'click', 'tap') AS event_type,
+       string_split(props, ':')[2] AS k_raw,
+       user_id AS uid_copy,
+       'beta,prod,x' AS tags_csv
+FROM events
+"""
+
+
+def q_codec_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-ish mutations (§2.3): base64 round-trip, urldecode, truncate."""
+    from beats_spark.pipeline import build_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    prepped = ev.withColumns(
+        {
+            "b64": F.base64(F.col("event_type").cast("binary")),
+            "enc": F.concat(F.lit("u%20"), F.col("user_id").cast("string")),
+        }
+    )
+    chain = build_pipeline(
+        [
+            {"decode_base64_field": {"field": {"from": "b64", "to": "b64_dec"}}},
+            {"urldecode": {"fields": [{"from": "enc", "to": "dec"}]}},
+            {"truncate_fields": {"fields": ["props"], "max_characters": 5}},
+        ]
+    )
+    return chain(prepped).select("event_id", "b64_dec", "dec",
+                                 F.col("props").alias("props_cut"))
+
+
+_Q_CODEC_FIELDS_SQL = """
+SELECT event_id, event_type AS b64_dec,
+       'u ' || user_id AS dec,
+       substr(props, 1, 5) AS props_cut
+FROM events
+"""
+
+
+def q_convert_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert + timestamp processors (§2.3): typed casts and layout parse."""
+    from beats_spark.pipeline import build_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    prepped = ev.withColumn("ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    chain = build_pipeline(
+        [
+            {"convert": {"fields": [
+                {"from": "user_id", "to": "uid_str", "type": "string"},
+                {"from": "event_id", "to": "eid_int", "type": "integer"},
+            ]}},
+            {"timestamp": {"field": "ts_str", "layouts": ["yyyy-MM-dd HH:mm:ss"],
+                           "target": "parsed_ts"}},
+        ]
+    )
+    return chain(prepped).select("event_id", "uid_str", "eid_int", "parsed_ts")
+
+
+_Q_CONVERT_TIMESTAMP_SQL = """
+SELECT event_id, CAST(user_id AS VARCHAR) AS uid_str,
+       CAST(event_id AS INT) AS eid_int,
+       date_trunc('second', ts) AS parsed_ts
+FROM events
+"""
+
+
+def q_network_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR classification (§2.3/2.5): add_network_direction over
+    deterministically constructed IPs — pure bitmask expressions."""
+    from beats_spark.processors.base import build_processor
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    e = F.col("event_id")
+
+    def mk_ip(sel):
+        return (
+            F.when(sel % 4 == 0, F.concat(F.lit("10."), (sel % 250).cast("string"), F.lit(".1.2")))
+            .when(sel % 4 == 1, F.concat(F.lit("172.16."), (sel % 16).cast("string"), F.lit(".9")))
+            .when(sel % 4 == 2, F.concat(F.lit("192.168.1."), (sel % 250).cast("string")))
+            .otherwise(F.concat(F.lit("8.8."), (sel % 250).cast("string"), F.lit(".8")))
+        )
+
+    prepped = ev.withColumns({"src_ip": mk_ip(u), "dst_ip": mk_ip(e)})
+    p = build_processor(
+        {"add_network_direction": {"source": "src_ip", "destination": "dst_ip",
+                                   "target": "direction"}}
+    )
+    return p(prepped).groupBy("direction").agg(F.count(F.lit(1)).alias("flows"))
+
+
+_Q_NETWORK_DIRECTION_SQL = """
+WITH f AS (
+  SELECT (user_id % 4) < 3 AS src_int, (event_id % 4) < 3 AS dst_int
+  FROM events
+)
+SELECT CASE WHEN src_int AND dst_int THEN 'internal'
+            WHEN src_int THEN 'outbound'
+            WHEN dst_int THEN 'inbound'
+            ELSE 'external' END AS direction,
+       count(*) AS flows
+FROM f GROUP BY 1
+"""
+
+
+def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star aggregate (§2.8): events per sink/type/hour window."""
+    from beats_spark.routing import add_sink_column, sink_window_counts
+
+    routing = {
+        "indices": [
+            {"index": "errors", "when": {"equals": {"event_type": "error"}}},
+        ],
+        "default": "main",
+    }
+    ev = _t(spark, sf_dir, "events")
+    routed = add_sink_column(ev, routing)
+    return sink_window_counts(
+        routed, window="1 hour", source_col="event_type", level_col="__absent"
+    )
+
+
+_Q_WINDOW_AGG_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'errors' ELSE 'main' END AS sink,
+       event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS events
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flagship_impl(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from beats_spark.corpus.entry_queries import corpus_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {
+        "pipeline_flagship": q_pipeline_flagship,
+        "route_fanout": q_route_fanout,
+        "dissect": q_dissect,
+        "json_decode": q_json_decode,
+        "conditions": q_conditions,
+        "include_exclude": q_include_exclude,
+        "multiline_pattern": q_multiline_pattern,
+        "multiline_count": q_multiline_count,
+        "rate_limit": q_rate_limit,
+        "enrich_lookup": q_enrich_lookup,
+        "fingerprint": q_fingerprint,
+        "mutations": q_mutations,
+        "codec_fields": q_codec_fields,
+        "convert_timestamp": q_convert_timestamp,
+        "network_direction": q_network_direction,
+        "window_agg": q_window_agg,
+    }
+    q.update(corpus_queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from beats_spark.corpus.entry_queries import corpus_oracles
+
+    o = {
+        "pipeline_flagship": _FLAGSHIP_ORACLE,
+        "route_fanout": _Q_ROUTE_FANOUT_SQL,
+        "dissect": _Q_DISSECT_SQL,
+        "json_decode": _Q_JSON_DECODE_SQL,
+        "conditions": _Q_CONDITIONS_SQL,
+        "include_exclude": _Q_INCLUDE_EXCLUDE_SQL,
+        "multiline_pattern": _Q_MULTILINE_PATTERN_SQL,
+        "multiline_count": _Q_MULTILINE_COUNT_SQL,
+        "rate_limit": _Q_RATE_LIMIT_SQL,
+        "enrich_lookup": _Q_ENRICH_LOOKUP_SQL,
+        "fingerprint": _Q_FINGERPRINT_SQL,
+        "mutations": _Q_MUTATIONS_SQL,
+        "codec_fields": _Q_CODEC_FIELDS_SQL,
+        "convert_timestamp": _Q_CONVERT_TIMESTAMP_SQL,
+        "network_direction": _Q_NETWORK_DIRECTION_SQL,
+        "window_agg": _Q_WINDOW_AGG_SQL,
+    }
+    o.update(corpus_oracles())
+    return o

@@ -1,0 +1,198 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash banding,
+n-gram Jaccard.
+
+Scale design (10^9+ documents):
+
+- Exact dedup is a single hash aggregate on the fingerprint — one
+  shuffle keyed on a uniform hash (no skew by construction).
+- Near-dup never compares all pairs: MinHash signatures band into
+  ``bands`` keys and candidates come from an equi-join on
+  ``(band, key)`` — the shuffle is keyed on band buckets, and hot
+  buckets (boilerplate-heavy corpora) are exactly the skew AQE's
+  skew-join splitting handles. Verification (signature agreement /
+  exact Jaccard) runs only on candidate pairs.
+- SimHash banding is the same trick on the packed 32-bit sketch: equal
+  byte in any of 4 positions → candidate; exact Hamming check after.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.corpus.hashing import h32, shingles, word_tokens
+
+
+def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Group identical rows by ``key_cols``; keep the smallest id as
+    canonical. Returns (canonical_id, n_copies) per group."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("canonical_id", "n_copies")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: ``sig[i] = min over shingles of
+    h32(i, shingle)``. Docs with < shingle_k tokens are dropped (no
+    shingles → no signature). One narrow pass, no shuffle."""
+    toks = word_tokens(F.col(text_col))
+    sh = shingles(toks, shingle_k)
+
+    # one-arg lambda with the seed captured by closure: a default-arg
+    # (s, i=i) form would make PySpark bind i to transform's INDEX
+    # lambda variable instead of the Python seed.
+    def min_hash(seed: str):
+        return F.array_min(F.transform(sh, lambda s: h32(s, seed=seed)))
+
+    sig = F.array(*[min_hash(str(i)) for i in range(num_hashes)])
+    return (
+        df.filter(F.size(toks) >= shingle_k)
+        .select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+    min_matches: int = 0,
+) -> DataFrame:
+    """MinHash near-dup candidates with signature agreement counts.
+
+    Returns (doc_a, doc_b, sig_matches): all LSH candidate pairs (any
+    shared band) with the number of agreeing signature positions;
+    ``min_matches`` filters weak candidates (estimated Jaccard ≈
+    sig_matches / num_hashes).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    out = pairs.select("doc_a", "doc_b", matches.alias("sig_matches"))
+    if min_matches:
+        out = out.filter(F.col("sig_matches") >= min_matches)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard on LSH candidate pairs: intersection/union
+    sizes of the distinct shingle sets (integers — exact cross-engine).
+    The expensive set intersection runs only on candidates."""
+    cands = minhash_neardup_pairs(
+        df, id_col, text_col, num_hashes, shingle_k, bands
+    ).select("doc_a", "doc_b")
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(word_tokens(F.col(text_col)), shingle_k)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    return joined.select(
+        "doc_a", "doc_b", n_inter.alias("n_inter"), n_union.alias("n_union")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup: byte-banding the 32-bit sketch (equal byte in
+    any of the 4 positions → candidate), exact Hamming check after.
+    Returns (doc_a, doc_b, hamming)."""
+    from beats_spark.corpus.textstats import simhash as _simhash
+
+    s = _simhash(df.select(F.col(id_col).alias("doc_id"), text_col), text_col)
+    s = s.select("doc_id", "simhash")
+    banded = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -1,0 +1,399 @@
+"""Driver-contract queries + DuckDB oracles for the corpus operators.
+
+Each Spark query runs the engine operator; the oracle re-derives the
+same result in pure SQL (md5-based portable hashing makes minhash /
+simhash / LSH bit-checkable across engines). Oracles that share
+constants with the engine (stopwords, language markers, LSH planes) are
+GENERATED from the same Python constants, so the two sides cannot
+drift."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beats_spark.corpus import dedup, multimodal, similarity, textstats
+
+H32_SQL = "('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# -- text stats --------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    out = textstats.text_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        F.col("n_alpha").cast("long").alias("n_alpha"),
+        F.col("n_digit").cast("long").alias("n_digit"),
+        "word_chars",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "is_quality",
+    )
+
+
+def _text_stats_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    bpe = textstats.BPE_TOKEN_RE.replace("\\", "\\\\") if False else textstats.BPE_TOKEN_RE
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+  len(toks)::BIGINT AS n_words,
+  len(list_filter(toks, t -> t IN ({stop})))::BIGINT AS n_stopwords,
+  length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
+  length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+  COALESCE(CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT), 0) AS word_chars,
+  len(regexp_extract_all(text, '{bpe}'))::BIGINT AS n_bpe_tokens,
+  (len(toks) >= 5 AND len(toks) <= 5000
+   AND len(list_filter(toks, t -> t IN ({stop}))) * 10 <= len(toks) * 4
+   AND length(regexp_replace(text, '[^a-z]', '', 'g')) * 10 >= length(text) * 5
+  ) AS is_quality
+FROM s
+"""
+
+
+# -- language id -------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir)).select("doc_id", "predicted_lang")
+
+
+def _lang_id_sql() -> str:
+    order = list(textstats.LANG_MARKERS)
+    score_cols = []
+    for lang, markers in textstats.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(f"len(list_filter(toks, t -> t IN ({lst}))) AS s_{lang}")
+    whens = []
+    for i, lang in enumerate(order):
+        conds = [f"s_{lang} > 0"]
+        for j, other in enumerate(order):
+            if other == lang:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH s AS (
+  SELECT doc_id, {', '.join(score_cols)}
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT doc_id, CASE {' '.join(whens)} ELSE 'und' END AS predicted_lang FROM s
+"""
+
+
+# -- fingerprint & simhash ---------------------------------------------------
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textstats.doc_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
+
+
+_DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return textstats.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {H32_SQL.format(expr='tok')} AS h FROM toks
+), votes AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v
+  FROM h, (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# -- minhash / LSH near-dup --------------------------------------------------
+
+_SHINGLE_SQL = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+  )
+"""
+
+_MINH_SQL = (
+    """
+  minh AS (
+    SELECT doc_id, seed, min("""
+    + H32_SQL.format(expr="seed || ':' || s")
+    + """) AS mh
+    FROM sh, (SELECT unnest(range(0, 16)) AS seed)
+    GROUP BY doc_id, seed
+  ),
+  sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM minh GROUP BY doc_id),
+  bands AS (
+    SELECT doc_id, b,
+           array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
+    FROM sig, (SELECT unnest(range(0, 4)) AS b)
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+  )
+"""
+)
+
+
+def q_minhash_neardup(spark, sf_dir):
+    return dedup.minhash_neardup_pairs(_docs(spark, sf_dir))
+
+
+_MINHASH_NEARDUP_SQL = f"""
+WITH {_SHINGLE_SQL}, {_MINH_SQL}
+SELECT p.doc_a, p.doc_b, count(*) AS sig_matches
+FROM pairs p
+JOIN minh ma ON ma.doc_id = p.doc_a
+JOIN minh mb ON mb.doc_id = p.doc_b AND mb.seed = ma.seed AND mb.mh = ma.mh
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_SQL}, {_MINH_SQL},
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(DISTINCT a.s) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(DISTINCT s) AS n FROM sh GROUP BY 1)
+SELECT p.doc_a, p.doc_b,
+       COALESCE(i.n_inter, 0)::BIGINT AS n_inter,
+       (sa.n + sb.n - COALESCE(i.n_inter, 0))::BIGINT AS n_union
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+def q_simhash_neardup(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+_SIMHASH_NEARDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {H32_SQL.format(expr='tok')} AS h FROM toks
+), votes AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v
+  FROM h, (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+), s AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS key
+  FROM s, (SELECT unnest(range(0, 4)) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+# -- embeddings --------------------------------------------------------------
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))"
+    " / (a.nrm * b.nrm)"
+)
+
+_EMB_PREP_SQL = """
+  e AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+           sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)))) AS nrm
+    FROM embeddings
+  )
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), k=3)
+
+
+_EMBEDDING_TOPK_SQL = f"""
+WITH {_EMB_PREP_SQL},
+p AS (
+  SELECT a.vec_id, b.vec_id AS nid, {_COS_SQL} AS cos
+  FROM e a, e b WHERE a.vec_id != b.vec_id
+)
+SELECT vec_id, nid, cos,
+       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid ASC)::INT AS rank
+FROM p
+QUALIFY rank <= 3
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+_EMBEDDING_NEARDUP_SQL = f"""
+WITH {_EMB_PREP_SQL}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.45
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir), k=1, n_planes=6, dim=64)
+
+
+def _ann_lsh_sql(n_planes: int = 6, dim: int = 64) -> str:
+    planes = similarity.lsh_planes(n_planes, dim)
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for i, row in enumerate(planes)
+    )
+    return f"""
+WITH {_EMB_PREP_SQL},
+planes(pid, p) AS (VALUES
+    {rows}
+),
+buckets AS (
+  SELECT vec_id, v, nrm,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(v, p), x -> x[1] * x[2])) > 0
+                  THEN 1::BIGINT << pid ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, planes GROUP BY vec_id, v, nrm
+),
+p AS (
+  SELECT a.vec_id, b.vec_id AS nid,
+         list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / (a.nrm * b.nrm) AS cos
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id
+)
+SELECT vec_id, nid, cos,
+       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid ASC)::INT AS rank
+FROM p
+QUALIFY rank <= 1
+"""
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def q_media_features(spark, sf_dir):
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, fake_decode=True).select(
+        "media_id", "kind", "n_bytes", "sha", "sniffed_format", "width", "height"
+    )
+
+
+_MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         ['IMG0','AUD0','VID0'][CAST(doc_id % 3 AS INT) + 1] || text AS payload
+  FROM documents
+)
+SELECT media_id, kind,
+       (octet_length(payload::BLOB))::BIGINT AS n_bytes,
+       sha256(payload) AS sha,
+       'fake' AS sniffed_format,
+       (64 + ('0x' || substr(md5(payload), 1, 2))::INT % 192)::INT AS width,
+       (64 + ('0x' || substr(md5(payload), 3, 2))::INT % 192)::INT AS height
+FROM m
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media)
+
+
+_FRAME_SAMPLE_SQL = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         octet_length((['VID0'][1] || text)::BLOB) AS n
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, frame_no::INT AS frame_no, (frame_no * 64)::INT AS frame_offset
+FROM (SELECT media_id, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no FROM m)
+"""
+
+
+def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "simhash": q_simhash,
+        "minhash_neardup": q_minhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_neardup": q_simhash_neardup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh": q_ann_lsh,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+    }
+
+
+def corpus_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "text_stats": _text_stats_sql(),
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "simhash": _SIMHASH_SQL,
+        "minhash_neardup": _MINHASH_NEARDUP_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "simhash_neardup": _SIMHASH_NEARDUP_SQL,
+        "embedding_topk": _EMBEDDING_TOPK_SQL,
+        "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        "ann_lsh": _ann_lsh_sql(),
+        "media_features": _MEDIA_FEATURES_SQL,
+        "frame_sample": _FRAME_SAMPLE_SQL,
+    }

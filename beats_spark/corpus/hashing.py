@@ -1,0 +1,44 @@
+"""Portable hashing & shingling primitives.
+
+``h32`` is the engine's cross-checkable 32-bit hash: the first 8 hex
+chars of md5, as a bigint. md5 is standard everywhere (Spark JVM,
+DuckDB, Python hashlib), so every hash-derived operator (minhash,
+simhash, LSH buckets) can be verified bit-for-bit by an independent SQL
+oracle. xxhash64 would be ~3× faster JVM-side; swap via ``fast=True``
+where no oracle parity is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def h32(col: Column | str, seed: str | None = None, fast: bool = False) -> Column:
+    """Deterministic 32-bit hash of a string column → bigint [0, 2^32)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}:"), c)
+    if fast:
+        return F.pmod(F.xxhash64(c), F.lit(4294967296))
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Whitespace word split (single-space corpus convention)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-word shingles of a token array: element i joins tokens[i..i+k-1].
+
+    Returns an empty array when the document has fewer than k tokens.
+    Pure JVM expression (sequence + transform + element_at).
+    """
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(k)])
+    return F.when(n >= k, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )

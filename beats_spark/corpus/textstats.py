@@ -1,0 +1,138 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting, simhash.
+
+All pure JVM column expressions (split / regexp / aggregate /
+zip_with) — no Python in the hot path, so the whole stage stays inside
+WholeStageCodegen and scales linearly with input splits (narrow, no
+shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.corpus.hashing import h32, word_tokens
+
+#: BPE-ish token regex: letter runs, digit runs, single other non-space.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+#: Disjoint per-language marker words for the n-gram-free heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "et", "est", "dans", "avec"],
+    "es": ["el", "los", "una", "por", "para"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def token_count(col: Column | str, pattern: str = BPE_TOKEN_RE) -> Column:
+    """Count regex tokens (the BPE-ish tokenizer stand-in)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics (all integer-valued for exact
+    cross-engine comparison): word/stopword/alpha/digit counts, total
+    word chars, BPE-ish token count, and a rule-based quality flag."""
+    c = F.col(text_col)
+    toks = word_tokens(c)
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(c, "[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, "[^0-9]", ""))
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_bpe = token_count(c)
+    # quality: 5..5000 words, stopwords under 40%, mostly alphabetic.
+    # Ratios via cross-multiplication — integer-exact on both engines.
+    is_quality = (
+        (n_words >= 5)
+        & (n_words <= 5000)
+        & (n_stop * 10 <= n_words * 4)
+        & (n_alpha * 10 >= F.length(c) * 5)
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "n_stopwords": n_stop,
+            "n_alpha": n_alpha,
+            "n_digit": n_digit,
+            "word_chars": word_chars,
+            "n_bpe_tokens": n_bpe,
+            "is_quality": is_quality,
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", target: str = "predicted_lang") -> DataFrame:
+    """Marker-word language ID heuristic: score = count of tokens in the
+    language's marker list; argmax with fixed tie order (en, de, fr, es,
+    zh); all-zero → 'und'."""
+    toks = word_tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    pred: Column = F.lit("und")
+    # build the argmax CASE chain back-to-front so earlier languages win ties
+    expr = None
+    for lang in order:
+        s = scores[lang]
+        cond = (s > 0) & F.lit(True)
+        for other in order:
+            if other == lang:
+                continue
+            # strictly greater than languages before it would have won already;
+            # >= suffices against later ones, > against earlier ones.
+            op = (s > scores[other]) if order.index(other) < order.index(lang) else (
+                s >= scores[other]
+            )
+            cond = cond & op
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise(F.lit("und"))
+    return df.withColumn(target, pred)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", target: str = "fp") -> DataFrame:
+    """Normalized content fingerprint: lowercase, collapse whitespace,
+    trim, md5 — the exact-dedup key robust to spacing/case noise."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(target, F.md5(norm))
+
+
+def simhash(df: DataFrame, text_col: str = "text", target: str = "simhash",
+            bits: int = 32) -> DataFrame:
+    """SimHash over word tokens: per-token 32-bit hash votes ±1 on each
+    bit position; the sign vector is packed into a bigint.
+
+    One pass over the token array: hashes precomputed with transform
+    (md5 once per token), votes folded with a single aggregate over a
+    bits-wide accumulator array — entirely JVM-side.
+    """
+    toks = word_tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: h32(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def tok_votes(h: Column) -> Column:
+        return F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for b in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        hashes, zero, lambda acc, h: F.zip_with(acc, tok_votes(h), lambda a, b: a + b)
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed + F.when(
+            F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(target, packed)

@@ -1,0 +1,120 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two measurements:
+
+- per-query wall seconds over the testdata parquet (materialized with
+  the noop sink — no driver collect in the timing path);
+- end-to-end pipeline throughput (events/sec) on the deterministic
+  synthetic tokenized-log table (parse → enrich → route → aggregate),
+  the north-rule metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pipeline_flagship",
+    "dissect",
+    "multiline_pattern",
+    "rate_limit",
+    "enrich_lookup",
+    "window_agg",
+    "fingerprint",
+    "dedup_exact",
+    "text_stats",
+    "simhash",
+    "minhash_neardup",
+    "embedding_topk",
+    "ann_lsh",
+]
+
+PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "2000000"))
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_pipeline_throughput(spark) -> tuple[float, int]:
+    """events/sec of the full parse→enrich→route→aggregate plan on the
+    synthetic tokenized-log table (generated in-plan; generation cost is
+    ~2% of parse cost and charged against us)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.datagen import TOKENIZER, generate_events, host_dim
+    from beats_spark.dissect import dissect
+    from beats_spark.pipeline import build_pipeline, normalize
+    from beats_spark.processors.enrich import LookupJoin
+    from beats_spark.routing import add_sink_column, sink_window_counts
+
+    events = generate_events(spark, PIPELINE_ROWS)
+    dim = host_dim(spark)
+    chain = build_pipeline(
+        [
+            lambda df: dissect(df, TOKENIZER, target_prefix=""),
+            {"drop_event": {}, "when": {"equals": {"level": "debug"}}},
+            LookupJoin(dim, on="source", prefix="host_"),
+            {"fingerprint": {"fields": ["source", "offset"], "method": "xxhash",
+                             "target_field": "event_hash"}},
+        ]
+    )
+    routing = {
+        "indices": [
+            {"index": "errors-%{+yyyy.MM.dd}", "when": {"equals": {"level": "error"}}},
+            {"index": "logs-%{[host_env]}-%{[level]}"},
+        ],
+        "default": "dead-letter",
+    }
+    t0 = time.time()
+    routed = add_sink_column(chain(normalize(events)), routing)
+    agg = sink_window_counts(routed, window="1 hour", source_col="source",
+                             level_col="level")
+    materialize(agg)
+    dt = time.time() - t0
+    return PIPELINE_ROWS / dt, PIPELINE_ROWS
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from beats_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        materialize(df)
+        times[name] = round(time.time() - t0, 3)
+
+    eps, nrows = run_pipeline_throughput(spark)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline query seconds + pipeline events/sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline_events_per_sec": round(eps),
+        "pipeline_rows": nrows,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
