@@ -43,20 +43,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: ``sig[i] = min over shingles of
     h32(i, shingle)``. Docs with < shingle_k tokens are dropped (no
-    shingles → no signature). One narrow pass, no shuffle."""
-    toks = word_tokens(F.col(text_col))
-    sh = shingles(toks, shingle_k)
+    shingles → no signature).
 
-    # one-arg lambda with the seed captured by closure: a default-arg
-    # (s, i=i) form would make PySpark bind i to transform's INDEX
-    # lambda variable instead of the Python seed.
-    def min_hash(seed: str):
-        return F.array_min(F.transform(sh, lambda s: h32(s, seed=seed)))
-
-    sig = F.array(*[min_hash(str(i)) for i in range(num_hashes)])
-    return (
-        df.filter(F.size(toks) >= shingle_k)
-        .select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    Relational formulation: explode shingles → ``num_hashes`` hash
+    columns per shingle → hash-aggregate mins per doc. The groupBy is a
+    partial+final hash aggregate (map-side combine shrinks the shuffle
+    to one row per doc), and every md5 is computed exactly once — the
+    nested-lambda alternative re-evaluates the shingle array per seed.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(word_tokens(F.col(text_col)), shingle_k)).alias("s"),
+    )
+    hashed = sh.select(
+        "doc_id", *[h32(F.col("s"), seed=str(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 

@@ -34,11 +34,19 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     """k-word shingles of a token array: element i joins tokens[i..i+k-1].
 
     Returns an empty array when the document has fewer than k tokens.
-    Pure JVM expression (sequence + transform + element_at).
+
+    Built with ``zip_with`` over k shifted slices — deliberately NOT
+    ``transform(sequence, i -> element_at(tokens, i+j))``: an
+    expression referencing ``tokens`` INSIDE a lambda body is
+    re-evaluated per element (per-element full re-split when tokens is
+    ``split(text)``), an O(n²) blowup. The slice arguments here are
+    evaluated once per row.
     """
     n = F.size(tokens)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    mk = lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(k)])
-    return F.when(n >= k, F.transform(idx, mk)).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = n - (k - 1)  # shingle count
+    out = F.slice(tokens, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(tokens, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, out).otherwise(F.array().cast("array<string>"))

@@ -130,9 +130,13 @@ def simhash(df: DataFrame, text_col: str = "text", target: str = "simhash",
     votes = F.aggregate(
         hashes, zero, lambda acc, h: F.zip_with(acc, tok_votes(h), lambda a, b: a + b)
     )
-    packed = F.lit(0).cast("long")
-    for b in range(bits):
-        packed = packed + F.when(
-            F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    # pack sign bits in ONE pass over the votes array (zip against a
+    # literal powers-of-two array) — referencing `votes` per bit would
+    # re-run the whole aggregate 32 times.
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    packed = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.withColumn(target, packed)

@@ -1,0 +1,205 @@
+"""Tests for the training-data corpus operators (dedup, textstats,
+similarity, multimodal)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.corpus import dedup, multimodal, similarity, textstats
+from beats_spark.corpus.hashing import h32, shingles, word_tokens
+from tests.conftest import rows
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# -- hashing -----------------------------------------------------------------
+
+
+def test_h32_matches_python_md5(spark):
+    df = spark.createDataFrame([("hello world",)], "s string")
+    got = df.select(h32(F.col("s"), seed="7").alias("h")).collect()[0]["h"]
+    expect = int(hashlib.md5(b"7:hello world").hexdigest()[:8], 16)
+    assert got == expect
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d e",), ("a b",), ("",)], "t string")
+    out = [r[0] for r in df.select(shingles(word_tokens(F.col("t")), 3)).collect()]
+    assert out[0] == ["a b c", "b c d", "c d e"]
+    assert out[1] == []
+    # empty string splits to [''] → fewer than k tokens → empty
+    assert out[2] == []
+
+
+# -- textstats ---------------------------------------------------------------
+
+
+def test_text_stats_counts(spark):
+    df = _docs(spark, ["the cat sat on the mat 42 times!"])
+    r = textstats.text_stats(df).collect()[0]
+    assert r["n_words"] == 8
+    assert r["n_stopwords"] == 2  # the, the ("on" is not in the list)
+    assert r["n_digit"] == 2
+    assert r["word_chars"] == 25
+    # BPE-ish: the,cat,sat,on,the,mat,42,times,! → 9
+    assert r["n_bpe_tokens"] == 9
+
+
+def test_lang_id_markers(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat and the dog of winter",
+            "der hund und die katze ist gut",
+            "le chat est dans la maison avec moi",
+            "xyzzy plugh",
+        ],
+    )
+    got = dict(rows(textstats.lang_id(df), "doc_id", "predicted_lang"))
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "und"
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = _docs(spark, ["Hello   World", "hello world", "different"])
+    fps = [r[1] for r in rows(textstats.doc_fingerprint(df), "doc_id", "fp")]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated words about spark shuffles and broadcast joins"
+    df = _docs(spark, [base, near, far])
+    s = {r[0]: r[1] for r in rows(textstats.simhash(df), "doc_id", "simhash")}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(s[0], s[1]) < ham(s[0], s[2])
+    assert ham(s[0], s[1]) <= 10
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, ["aa bb", "aa bb", "cc dd", "aa bb"])
+    got = rows(dedup.exact_dedup(df, ["text"], "doc_id"), "canonical_id", "n_copies")
+    assert got == [(0, 3), (2, 1)]
+
+
+NEAR_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+NEAR_B = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+FAR = "one two three four five six seven eight nine ten eleven twelve"
+
+
+def test_minhash_neardup_finds_near_pair(spark):
+    df = _docs(spark, [NEAR_A, NEAR_B, FAR])
+    got = rows(dedup.minhash_neardup_pairs(df), "doc_a", "doc_b", "sig_matches")
+    assert len(got) == 1
+    a, b, m = got[0]
+    assert (a, b) == (0, 1)
+    assert m >= 8  # ~90% shingle overlap → high signature agreement
+
+
+def test_ngram_jaccard_exact(spark):
+    df = _docs(spark, [NEAR_A, NEAR_B, FAR])
+    got = rows(dedup.ngram_jaccard_pairs(df), "doc_a", "doc_b", "n_inter", "n_union")
+    assert len(got) == 1
+    a, b, inter, union = got[0]
+    # 12 tokens → 10 shingles each; only the final shingle contains the
+    # differing last token → 9 shared, union 11
+    assert (a, b) == (0, 1)
+    assert inter == 9 and union == 11
+
+
+def test_simhash_neardup_pairs(spark):
+    df = _docs(spark, [NEAR_A, NEAR_B, FAR])
+    got = rows(
+        dedup.simhash_neardup_pairs(df, max_hamming=10), "doc_a", "doc_b", "hamming"
+    )
+    assert (0, 1) in {(a, b) for a, b, _ in got}
+
+
+# -- similarity --------------------------------------------------------------
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_topk_exact(spark):
+    df = _emb(spark, [[1, 0], [0.9, 0.1], [0, 1]])
+    top = {r[0]: (r[1], r[2]) for r in rows(similarity.cosine_topk(df, k=1), "vec_id", "nid", "cos")}
+    assert top[0][0] == 1
+    assert top[1][0] == 0
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(top[0][1] - expected) < 1e-6
+
+
+def test_embedding_neardup_threshold(spark):
+    df = _emb(spark, [[1, 0], [1, 0.01], [0, 1]])
+    got = rows(similarity.embedding_neardup_pairs(df, 0.99), "vec_a", "vec_b")
+    assert got == [(0, 1)]
+
+
+def test_ann_lsh_same_bucket_for_identical(spark):
+    df = _emb(spark, [[1.0] * 8, [1.0] * 8, [-1.0] * 8])
+    out = rows(similarity.ann_lsh_topk(df, k=1, n_planes=4, dim=8), "vec_id", "nid")
+    got = dict(out)
+    # identical vectors share every hyperplane sign → same bucket
+    assert got.get(0) == 1 and got.get(1) == 0
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_decode_media_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG....")
+    d1 = multimodal.decode_media(b"IMG0abc", fake=True)
+    d2 = multimodal.decode_media(b"IMG0abc", fake=True)
+    assert d1 == d2
+    assert 64 <= d1["width"] < 256 and 64 <= d1["height"] < 256
+
+
+def test_media_features_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text payload {i}", "src0") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    media = multimodal.synth_media(docs)
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "data", "meta"]
+    feats = multimodal.extract_features(media, fake_decode=True)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 6
+    r0 = got["0"]
+    payload = b"IMG0text payload 0"
+    assert r0["n_bytes"] == len(payload)
+    assert r0["sha"] == hashlib.sha256(payload).hexdigest()
+    assert r0["sniffed_format"] == "fake"
+    assert r0["kind"] == "image"
+
+
+def test_frame_sample_video_only(spark):
+    docs = spark.createDataFrame(
+        [(2, "x" * 200, "src0"), (1, "y" * 200, "src0")],
+        "doc_id long, text string, source string",
+    )
+    media = multimodal.synth_media(docs)
+    frames = rows(multimodal.frame_sample(media, every_n_bytes=64, max_frames=8),
+                  "media_id", "frame_no", "frame_offset")
+    # only doc_id=2 is video; 204 bytes → floor(204/64)=3 → frames 0..3
+    assert [f[0] for f in frames] == ["2"] * 4
+    assert [f[2] for f in frames] == [0, 64, 128, 192]
