@@ -552,6 +552,41 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_csv_fields (quoted path = Arrow csv.reader, §2.4) +
+    extract_array mappings — round-trips a quoted CSV line built from
+    event columns back into typed fields."""
+    from beats_spark.pipeline import build_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    prepped = ev.withColumn(
+        "line",
+        F.concat_ws(
+            ",",
+            F.col("event_type"),
+            F.col("user_id").cast("string"),
+            # RFC-4180 quoting: embedded double-quotes are doubled
+            F.concat(F.lit('"'), F.regexp_replace("props", '"', '""'), F.lit('"')),
+        ),
+    )
+    chain = build_pipeline(
+        [
+            {"decode_csv_fields": {"fields": {"line": "cells"}, "quoted": True}},
+            {"extract_array": {"field": "cells",
+                               "mappings": {"etype": 0, "uid_s": 1, "props_q": 2}}},
+        ]
+    )
+    return chain(prepped).select("event_id", "etype", "uid_s", "props_q")
+
+
+_Q_CSV_EXTRACT_SQL = """
+SELECT event_id, event_type AS etype,
+       CAST(user_id AS VARCHAR) AS uid_s,
+       props AS props_q
+FROM events
+"""
+
+
 def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flagship_impl(spark, sf_dir)
 
@@ -581,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_timestamp": q_convert_timestamp,
         "network_direction": q_network_direction,
         "window_agg": q_window_agg,
+        "csv_extract": q_csv_extract,
     }
     q.update(corpus_queries())
     return q
@@ -606,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_timestamp": _Q_CONVERT_TIMESTAMP_SQL,
         "network_direction": _Q_NETWORK_DIRECTION_SQL,
         "window_agg": _Q_WINDOW_AGG_SQL,
+        "csv_extract": _Q_CSV_EXTRACT_SQL,
     }
     o.update(corpus_oracles())
     return o

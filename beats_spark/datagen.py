@@ -34,20 +34,16 @@ PHRASES = [
 TOKENIZER = 'level=%{level} ts=%{timestamp} caller=%{caller} msg="%{msg}"'
 
 
-def generate_events(
-    spark: SparkSession,
-    n_rows: int,
+def event_exprs(
+    i,
     n_sources: int = 10,
     parts_per_source: int = 4,
     hot_fraction: float = 0.6,
     garbage_every: int = 50,
-    partitions: int | None = None,
-) -> DataFrame:
-    """Build the synthetic input table. ``garbage_every``: every Nth row
-    gets an unparseable message (exercises the parse-failure/dead-letter
-    path); 0 disables."""
-    df = spark.range(0, n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism)
-    i = F.col("id")
+) -> list:
+    """The event table as a pure function of a monotonically increasing
+    row-id Column ``i`` — shared by the batch generator (``spark.range``)
+    and the streaming rate source (``value``)."""
     hot_mod = int(round(hot_fraction * 10))
     source = F.when(
         F.pmod(i, 10) < hot_mod, F.lit("src_hot")
@@ -82,7 +78,7 @@ def generate_events(
         lambda x: F.pmod(F.xxhash64(i, x), 50257).cast("int"),
     )
     part_id = F.pmod(i, F.lit(parts_per_source)).cast("int")
-    return df.select(
+    return [
         F.concat(source, F.lit("-"), F.lpad(i.cast("string"), 12, "0")).alias("doc_id"),
         tokens.alias("tokens"),
         n_tok.alias("n_tok"),
@@ -91,6 +87,24 @@ def generate_events(
         ts.alias("ts"),
         part_id.alias("part_id"),
         i.alias("offset"),
+    ]
+
+
+def generate_events(
+    spark: SparkSession,
+    n_rows: int,
+    n_sources: int = 10,
+    parts_per_source: int = 4,
+    hot_fraction: float = 0.6,
+    garbage_every: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build the synthetic input table. ``garbage_every``: every Nth row
+    gets an unparseable message (exercises the parse-failure/dead-letter
+    path); 0 disables."""
+    df = spark.range(0, n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return df.select(
+        *event_exprs(F.col("id"), n_sources, parts_per_source, hot_fraction, garbage_every)
     )
 
 

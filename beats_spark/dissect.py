@@ -175,18 +175,55 @@ class DissectPattern:
                 return f.dtype
         return None
 
-    def extract_columns(self, src: Column) -> dict[str, Column]:
-        """Static path: one Column per output key (string-typed; caller casts)."""
+    # single-pass capture separator: one regexp_replace rewrites the (anchored,
+    # whole-string) match into "\x02$1<SEP>$2<SEP>..." so ALL capture groups AND
+    # the match/no-match signal come out of ONE regex evaluation per row (vs
+    # rlike + one regexp_extract per key = k+1 evaluations). \x01/\x02 never
+    # occur in log text; a captured value containing \x01 would misalign the
+    # split (the reference reads raw text lines, where control chars are absent).
+    SEP = "\x01"
+    MARK = "\x02"
+
+    def marked_column(self, src: Column) -> Column:
+        """One regex evaluation → "\\x02" + captures joined by SEP when the
+        pattern matches; the input unchanged when it doesn't. Because every
+        match is rewritten to start with MARK, ``marked != src`` is exact:
+        an unmatched line passes through identical, and a matched line's
+        rewrite always differs from itself (it would have to both start
+        with MARK and equal its own capture-join to collide)."""
         assert self._regex is not None
+        ngroups = max((f.group for f in self.fields if f.group), default=0)
+        rep = self.MARK + self.SEP.join(f"${g}" for g in range(1, ngroups + 1))
+        # dissect allows (ignores) trailing text after the last delimiter;
+        # the replacement form must swallow it so only captures remain.
+        pattern = self._regex if self._regex.endswith("$") else self._regex + ".*"
+        return F.regexp_replace(src, pattern, rep)
+
+    def parts_column(self, marked: Column) -> Column:
+        """Captured group values from ``marked_column`` output (group g =
+        element_at(parts, g)); no further regex work. The MARK prefix is
+        still on element 1 — ``extract_columns`` strips it there, so only
+        the first field is copied, never the whole line."""
+        return F.split(marked, self.SEP, -1)
+
+    def extract_columns(self, parts: Column) -> dict[str, Column]:
+        """Static path: one Column per output key (string-typed; caller
+        casts), built from the shared ``parts_column`` array — no further
+        regex work per key."""
         by_key: dict[str, list[_Field]] = {}
         for f in self.output_fields():
             by_key.setdefault(f.name, []).append(f)
+        def grp(g: int) -> Column:
+            v = F.element_at(parts, g)
+            # group 1 carries the match MARK prefix (see parts_column)
+            return F.substring(v, 2, 2**30) if g == 1 else v
+
         out: dict[str, Column] = {}
         for key, fs in by_key.items():
-            col = F.regexp_extract(src, self._regex, fs[0].group)
+            col = grp(fs[0].group)
             for f in fs[1:]:
                 join = f.delim_before if f.delim_before else DEFAULT_JOIN
-                col = F.concat(col, F.lit(join), F.regexp_extract(src, self._regex, f.group))
+                col = F.concat(col, F.lit(join), grp(f.group))
             out[key] = col
         return out
 
@@ -298,8 +335,14 @@ def dissect(
     src = F.col(field)
 
     if pat.regex is not None:
-        ok = src.isNotNull() & src.rlike(pat.regex)
-        raw_cols = pat.extract_columns(src)
+        # ONE regex evaluation per row total, independent of key count;
+        # marked/parts are materialized in temp columns so codegen computes
+        # the replace and the split exactly once each.
+        marked_col, parts_col = "_dissect_marked", "_dissect_parts"
+        df = df.withColumn(marked_col, pat.marked_column(src))
+        df = df.withColumn(parts_col, pat.parts_column(F.col(marked_col)))
+        ok = src.isNotNull() & (F.col(marked_col) != src)
+        raw_cols = pat.extract_columns(F.col(parts_col))
         out_cols: dict[str, Column] = {}
         for key, col in raw_cols.items():
             dtype = pat.key_dtype(key)
@@ -312,8 +355,8 @@ def dissect(
                 F.when(ok, F.struct(*[c.alias(k) for k, c in out_cols.items()])),
             )
         else:
-            for k, c in out_cols.items():
-                df = df.withColumn(k, c)
+            df = df.withColumns(out_cols)
+        drop_cols = [marked_col, parts_col]
     else:
         # indirect keys → data-dependent key names → map<string,string>
         # via an Arrow-batched pandas UDF (no per-row Spark UDF).
@@ -326,6 +369,7 @@ def dissect(
         tgt = target_prefix or "dissect"
         df = df.withColumn(tgt, dissect_map(src))
         ok = F.col(tgt).isNotNull()
+        drop_cols = []
 
     # failure flag (reference: processor.go:93-105 / log.flags)
     if flags_col in df.columns:
@@ -338,4 +382,4 @@ def dissect(
             F.array_union(F.coalesce(prev, F.array()), F.array(F.lit(PARSE_ERROR_FLAG)))
         ),
     )
-    return df
+    return df.drop(*drop_cols) if drop_cols else df

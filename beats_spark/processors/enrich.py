@@ -79,6 +79,36 @@ class AddCloudMetadata(DFProc):
         return df.withColumns({f"cloud_{k}": F.lit(v) for k, v in self.cloud.items()})
 
 
+@register("add_docker_metadata")
+class AddDockerMetadata(LookupJoin):
+    """Container-id → container labels/name (the watcher cache becomes
+    the dim). Ref: add_docker_metadata/add_docker_metadata.go:134."""
+
+    def __init__(self, dim: DataFrame, on: str = "container_id",
+                 prefix: str = "container_", fields: list[str] | None = None):
+        super().__init__(dim, on=on, prefix=prefix, fields=fields)
+
+
+@register("add_kubernetes_metadata")
+class AddKubernetesMetadata(LookupJoin):
+    """Pod-key → ``kubernetes.*`` metadata (indexer/matcher cache → dim).
+    Ref: add_kubernetes_metadata/kubernetes.go:242."""
+
+    def __init__(self, dim: DataFrame, on: str = "pod_uid",
+                 prefix: str = "kubernetes_", fields: list[str] | None = None):
+        super().__init__(dim, on=on, prefix=prefix, fields=fields)
+
+
+@register("add_process_metadata")
+class AddProcessMetadata(LookupJoin):
+    """PID → process info (process cache → dim).
+    Ref: add_process_metadata/add_process_metadata.go:161."""
+
+    def __init__(self, dim: DataFrame, on: str = "pid",
+                 prefix: str = "process_", fields: list[str] | None = None):
+        super().__init__(dim, on=on, prefix=prefix, fields=fields)
+
+
 @register("translate")
 class Translate(LookupJoin):
     """Generic value→value translation dim join (the translate_sid

@@ -134,10 +134,22 @@ def sink_window_counts(
     ts_col: str = "ts",
 ) -> DataFrame:
     """The north-star aggregate: events per (sink, source, level,
-    window) — a plain hash aggregate (partial + final via Catalyst)."""
+    window) — a plain hash aggregate (partial + final via Catalyst).
+
+    For single-unit tumbling windows ("1 hour"/"1 day"/...) the group
+    key is ``date_trunc(unit, ts)`` — one timestamp instead of the
+    ``window()`` struct of two, identical semantics, a third less group
+    key to hash/compare/shuffle per row at 10^12 scale."""
     cols = [c for c in (sink_col, source_col, level_col) if c in df.columns]
+    parts = window.strip().lower().split()
+    if len(parts) == 2 and parts[0] == "1" and parts[1].rstrip("s") in (
+        "minute", "hour", "day", "week",
+    ):
+        key = F.date_trunc(parts[1].rstrip("s"), F.col(ts_col))
+    else:
+        key = F.window(ts_col, window)["start"]
     return (
-        df.groupBy(*cols, F.window(ts_col, window).alias("w"))
+        df.groupBy(*cols, key.alias("window_start"))
         .agg(F.count(F.lit(1)).alias("events"))
-        .select(*cols, F.col("w.start").alias("window_start"), "events")
+        .select(*cols, "window_start", "events")
     )

@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+JVM_PERF_FLAGS = "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g"
+
 
 def get_spark(
     app_name: str = "beats_spark",
@@ -49,6 +51,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # The fused parse→route→aggregate stage generates >8 KB bytecode
+        # methods; HotSpot refuses to JIT those by default and the hot loop
+        # runs interpreted (5-20x slower). Allow huge-method compilation and
+        # give the code cache room for the large generated classes.
+        .config("spark.driver.extraJavaOptions", JVM_PERF_FLAGS)
+        .config("spark.executor.extraJavaOptions", JVM_PERF_FLAGS)
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -113,6 +113,31 @@ def main() -> None:
         "pipeline_rows": nrows,
         "cpus": int(cpus),
     }
+
+    # north-rule scaling evidence: fresh N vs 4N spark-submit runs
+    # (taskset-pinned, see scripts/scaling_bench.py). Gated so a broken
+    # or slow environment degrades to the headline numbers only.
+    if os.environ.get("BENCH_SCALING", "1") == "1":
+        spark.stop()  # free all cores for the pinned measurement runs
+        try:
+            from scripts.scaling_bench import build_pyfiles_zip, run_once
+
+            rows = int(os.environ.get("BENCH_SCALING_ROWS", "16000000"))
+            zip_path = build_pyfiles_zip()
+            lo = run_once(4, rows, zip_path)
+            hi = run_once(16, rows, zip_path)
+            out["scaling"] = {
+                "rows": rows,
+                "low_cores": 4,
+                "high_cores": 16,
+                "low_eps": lo["events_per_sec"],
+                "high_eps": hi["events_per_sec"],
+                "efficiency": round((hi["events_per_sec"] / lo["events_per_sec"]) / 4, 3),
+                "sink_counts_equal": lo["sink_counts"] == hi["sink_counts"],
+            }
+        except Exception as e:  # pragma: no cover - environment-dependent
+            out["scaling_error"] = str(e)[:200]
+
     print(json.dumps(out))
 
 

@@ -1,0 +1,193 @@
+"""Structured Streaming parity: same operator semantics on unbounded
+sources, plus restart/exactly-once behavior the batch path can't test.
+
+Mirrors the reference's system tests: ``test_multiline.py`` (merge
+across reads), ``test_registrar.py`` (resume without dup/loss),
+``test_publisher.py`` (per-sink counts)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.app import LogPipeline
+from beats_spark.datagen import TOKENIZER, generate_events, host_dim
+from beats_spark.dissect import dissect
+from beats_spark.multiline import multiline_pattern
+from beats_spark.processors.enrich import LookupJoin
+from beats_spark.streaming import StreamingLogPipeline, streaming_multiline_pattern
+from beats_spark.streaming.sources import stream_parquet_dir
+from tests.conftest import rows
+
+N = 2000
+
+
+@pytest.fixture()
+def pipe(spark):
+    dim = host_dim(spark)
+    return LogPipeline(
+        processors=[
+            lambda df: dissect(df, TOKENIZER, target_prefix=""),
+            {"drop_event": {}, "when": {"equals": {"level": "debug"}}},
+            LookupJoin(dim, on="source", prefix="host_"),
+        ],
+        routing={
+            "indices": [
+                {"index": "errors-%{+yyyy.MM.dd}", "when": {"equals": {"level": "error"}}},
+                {"index": "logs-%{[host_env]}-%{[level]}"},
+            ],
+            "default": "dead-letter",
+        },
+    )
+
+
+def _write_events(spark, path, n, start=0):
+    (
+        generate_events(spark, start + n)
+        .filter(F.col("offset") >= start)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def _read_sinks(spark, sink_dir):
+    return spark.read.parquet(sink_dir)
+
+
+def test_stream_fanout_matches_batch(spark, pipe, tmp_path):
+    src = str(tmp_path / "in")
+    _write_events(spark, src, N)
+
+    s = StreamingLogPipeline(
+        pipe, str(tmp_path / "sinks"), str(tmp_path / "cp"),
+        counts_dir=str(tmp_path / "counts"),
+    )
+    q = s.start(stream_parquet_dir(spark, src))
+    q.awaitTermination(120)
+
+    got = _read_sinks(spark, str(tmp_path / "sinks"))
+    want = pipe.routed(spark.read.parquet(src))
+    assert rows(got, "doc_id", "sink") == rows(want, "doc_id", "sink")
+
+    # per-sink ack counts (the publisher counter set) recorded per batch
+    counts = spark.read.parquet(str(tmp_path / "counts"))
+    got_counts = {
+        r["sink"]: r["total"]
+        for r in counts.groupBy("sink").agg(F.sum("events_acked").alias("total")).collect()
+    }
+    want_counts = {r["sink"]: r["count"] for r in want.groupBy("sink").count().collect()}
+    assert got_counts == want_counts
+
+    # token-array invariant on every surviving streamed row
+    orig = spark.read.parquet(src).select("doc_id", F.col("tokens").alias("t0"))
+    diff = got.join(orig, "doc_id").filter(F.col("tokens") != F.col("t0")).count()
+    assert diff == 0
+
+
+def test_stream_restart_no_dup_no_loss(spark, pipe, tmp_path):
+    """The registrar test: process, stop, more data arrives, restart with
+    the same checkpoint — every event lands exactly once."""
+    src = str(tmp_path / "in")
+    sinks = str(tmp_path / "sinks")
+    cp = str(tmp_path / "cp")
+    s = StreamingLogPipeline(pipe, sinks, cp)
+
+    _write_events(spark, src, N)
+    s.start(stream_parquet_dir(spark, src)).awaitTermination(120)
+
+    _write_events(spark, src, N, start=N)
+    s.start(stream_parquet_dir(spark, src)).awaitTermination(120)
+
+    got = _read_sinks(spark, sinks)
+    assert got.count() == got.select("doc_id").distinct().count()
+    want = pipe.routed(spark.read.parquet(src))
+    assert rows(got, "doc_id", "sink") == rows(want, "doc_id", "sink")
+
+
+def test_streaming_multiline_matches_batch(spark, tmp_path):
+    """State crosses micro-batch boundaries: maxFilesPerTrigger=1 forces
+    one batch per file; events spanning the file boundary must still
+    merge (the batch operator is the oracle, modulo each stream's open
+    tail event which streaming holds for the timeout flush)."""
+    src = str(tmp_path / "lines")
+    # WARN lines continue the previous event (match=after on leading space)
+    lines = generate_events(spark, 600).select(
+        "source",
+        "part_id",
+        "offset",
+        F.when(F.pmod("offset", 3) == 1, F.concat(F.lit("  at frame "), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("ERR "), F.col("message")))
+        .alias("message"),
+    )
+    half = lines.filter(F.col("offset") < 300)
+    rest = lines.filter(F.col("offset") >= 300)
+    half.coalesce(1).write.mode("append").parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    merged = streaming_multiline_pattern(
+        stream_parquet_dir(spark, src, max_files_per_trigger=1),
+        pattern=r"^\s+at ",
+        match="after",
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        merged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    want = multiline_pattern(lines, pattern=r"^\s+at ", match="after")
+    # each stream's final open event sits in state until the 5s idle
+    # timeout; depending on batch pacing the availableNow run may or may
+    # not include the flush batch. Every emitted event must be a correct
+    # merge, and at minimum all closed (non-tail) events must be out.
+    last = want.groupBy("source", "part_id").agg(F.max("offset").alias("offset"))
+    want_closed = want.join(last, ["source", "part_id", "offset"], "left_anti")
+    cols = ("source", "part_id", "offset", "message", "n_lines")
+    got_rows = set(rows(got, *cols))
+    assert got_rows <= set(rows(want, *cols))
+    assert got_rows >= set(rows(want_closed, *cols))
+    # no duplicates from state replays
+    assert got.count() == got.select("source", "part_id", "offset").distinct().count()
+
+
+def test_stream_window_counts(spark, pipe, tmp_path):
+    src = str(tmp_path / "in")
+    # two files → two batches, so the watermark advances and closes windows
+    _write_events(spark, src, N)
+    _write_events(spark, src, N, start=N)
+
+    s = StreamingLogPipeline(pipe, str(tmp_path / "sinks"), str(tmp_path / "cp"))
+    agg_dir = str(tmp_path / "agg")
+    q = s.start_window_counts(
+        stream_parquet_dir(spark, src, max_files_per_trigger=1),
+        agg_dir,
+        str(tmp_path / "cp_agg"),
+        window="10 minutes",
+        watermark="10 minutes",
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(agg_dir)
+    assert got.count() > 0
+    # every emitted closed window equals the batch aggregate for it
+    # (set comparison — join keys include nullable `level`)
+    want = (
+        pipe.routed(spark.read.parquet(src))
+        .groupBy("sink", "source", "level", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select("sink", "source", "level", F.col("w.start").alias("window_start"), "events")
+    )
+    cols = ("sink", "source", "level", "window_start", "events")
+    assert set(rows(got, *cols)) <= set(rows(want, *cols))
+    # each window is emitted at most once (append mode finalization)
+    assert got.count() == got.select("sink", "source", "level", "window_start").distinct().count()
