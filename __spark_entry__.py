@@ -366,6 +366,37 @@ LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 
 
+def q_dns_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dns processor (§2.6): pre-resolved dim lookup with ``replace``
+    action (miss keeps the original value) and ``tag_on_failure``."""
+    from beats_spark.processors.base import build_processor
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "host_key", F.pmod("user_id", F.lit(40)).cast("string")
+    )
+    dim = _t(spark, sf_dir, "nation")  # 25 rows → keys 25..39 miss
+    p = build_processor(
+        {"dns": {"dim": dim, "field": "host_key", "target": "host_name",
+                 "action": "replace", "tag_on_failure": ["dns_failed"],
+                 "dim_key": "n_nationkey", "dim_value": "n_name"}}
+    )
+    out = p(ev)
+    return out.select(
+        "event_id",
+        F.col("host_name").cast("string").alias("host_name"),
+        F.array_join("tags", ",").alias("tags_csv"),
+    )
+
+
+_Q_DNS_ENRICH_SQL = """
+SELECT e.event_id,
+       COALESCE(n.n_name, CAST(e.user_id % 40 AS VARCHAR)) AS host_name,
+       CASE WHEN n.n_name IS NULL THEN 'dns_failed' ELSE '' END AS tags_csv
+FROM events e
+LEFT JOIN nation n ON (e.user_id % 40) = n.n_nationkey
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fingerprint processor (§2.3): sha256 + md5 over joined fields."""
     from beats_spark.processors.base import build_processor
@@ -610,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_count": q_multiline_count,
         "rate_limit": q_rate_limit,
         "enrich_lookup": q_enrich_lookup,
+        "dns_enrich": q_dns_enrich,
         "fingerprint": q_fingerprint,
         "mutations": q_mutations,
         "codec_fields": q_codec_fields,
@@ -636,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "multiline_count": _Q_MULTILINE_COUNT_SQL,
         "rate_limit": _Q_RATE_LIMIT_SQL,
         "enrich_lookup": _Q_ENRICH_LOOKUP_SQL,
+        "dns_enrich": _Q_DNS_ENRICH_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "mutations": _Q_MUTATIONS_SQL,
         "codec_fields": _Q_CODEC_FIELDS_SQL,

@@ -320,6 +320,44 @@ QUALIFY rank <= 1
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    return similarity.ann_ivf_topk(_emb(spark, sf_dir), k=1, n_cells=8, dim=64)
+
+
+def _ann_ivf_sql(n_cells: int = 8, dim: int = 64) -> str:
+    cents = similarity.ivf_centroids(n_cells, dim)
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+WITH {_EMB_PREP_SQL},
+cents(cid, c) AS (VALUES
+    {rows}
+),
+assign AS (
+  SELECT vec_id, v, nrm, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM (
+    SELECT e.vec_id, e.v, e.nrm, c.cid,
+           list_sum(list_transform(list_zip(e.v, c.c),
+                                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+    FROM e, cents c)
+),
+cells AS (SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+p AS (
+  SELECT a.vec_id, b.vec_id AS nid,
+         list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / (a.nrm * b.nrm) AS cos
+  FROM cells a JOIN cells b ON a.cell = b.cell
+  WHERE a.vec_id != b.vec_id
+)
+SELECT vec_id, nid, cos,
+       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid ASC)::INT AS rank
+FROM p
+QUALIFY rank <= 1
+"""
+
+
 # -- multimodal --------------------------------------------------------------
 
 
@@ -376,6 +414,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
     }
@@ -394,6 +433,7 @@ def corpus_oracles() -> dict[str, str]:
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "media_features": _MEDIA_FEATURES_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
     }

@@ -112,6 +112,79 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random coarse-quantizer centroids in [-1, 1)
+    (md5-derived like ``lsh_planes`` — reproducible in any engine). In
+    production these come from a k-means fit on a sample; the assignment
+    / probe plan below is identical either way."""
+    cents = []
+    for i in range(n_cells):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"cent{i},{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 2147483648.0 - 1.0)
+        cents.append(row)
+    return cents
+
+
+def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (min squared L2; ties → lower cell id).
+
+    Distances land in ONE array column and the argmin is
+    ``array_position(dists, array_min(dists))`` — a chained
+    ``when(d < best, ...)`` fold would copy each aggregate
+    expression exponentially (see the nested-lambda re-evaluation
+    blowups fixed in the minhash/simhash operators)."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in row]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for row in cents
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ann_ivf_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
+                 dim: int | None = None, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse-quantize each vector to its nearest
+    centroid cell, then exact cosine top-k WITHIN the cell (nprobe=1).
+
+    The scale path beyond LSH buckets: at 10^9 vectors with ~√n cells,
+    assignment is a narrow map (C small centroid dot products/row) and
+    the candidate join is an equi-join on ``cell`` — per-cell work is
+    n/C × n/C, fully parallel, no cross join anywhere."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cents = ivf_centroids(n_cells, dim)
+    p = _prepped(df, id_col, vec_col).withColumn("cell", ivf_cell(F.col("v"), cents))
+    a, b = p.alias("a"), p.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nid"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "nid", "cos", "rank")
+    )
+
+
 def ann_lsh_topk(df: DataFrame, k: int = 1, n_planes: int = 8,
                  dim: int | None = None, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

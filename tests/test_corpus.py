@@ -162,6 +162,23 @@ def test_ann_lsh_same_bucket_for_identical(spark):
     assert got.get(0) == 1 and got.get(1) == 0
 
 
+def test_ann_ivf_identical_vectors_share_cell(spark):
+    df = _emb(spark, [[1.0] * 8, [1.0] * 8, [-1.0] * 8])
+    out = rows(similarity.ann_ivf_topk(df, k=1, n_cells=4, dim=8), "vec_id", "nid")
+    got = dict(out)
+    # identical vectors have identical centroid distances → same cell,
+    # and each is the other's nearest (cosine 1.0)
+    assert got.get(0) == 1 and got.get(1) == 0
+
+
+def test_ivf_cell_is_argmin_with_low_index_ties(spark):
+    cents = similarity.ivf_centroids(4, 2)
+    df = spark.createDataFrame([([float(cents[2][0]), float(cents[2][1])],)],
+                               "v array<double>")
+    cell = df.select(similarity.ivf_cell(F.col("v"), cents).alias("c")).first()["c"]
+    assert cell == 2  # a vector AT centroid 2 lands in cell 2
+
+
 # -- multimodal --------------------------------------------------------------
 
 
