@@ -618,6 +618,118 @@ FROM events
 """
 
 
+_STREAM_ROUTING = {
+    "indices": [
+        {"index": "errors", "when": {"equals": {"event_type": "error"}}},
+        {"index": "hot", "when": {"range": {"value": {"gte": 400}}}},
+    ],
+    "default": "main",
+}
+
+
+def _stream_pipe(spark: SparkSession):
+    from beats_spark.app import LogPipeline
+
+    return LogPipeline(
+        processors=[{"add_fields": {"fields": {"env": "prod"},
+                                    "fields_under_root": True}}],
+        routing=_STREAM_ROUTING,
+        drop_empty_col=None,
+    )
+
+
+def q_streaming_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming face: the same routing config run as an
+    availableNow stream with foreachBatch fan-out; per-sink ack counts
+    must equal the batch/SQL result (streaming/batch parity)."""
+    import os
+    import tempfile
+
+    from beats_spark.streaming import StreamingLogPipeline
+    from beats_spark.streaming.sources import stream_parquet_dir
+
+    tmp = tempfile.mkdtemp(prefix="qstream_")
+    # the file stream source wants a directory to watch
+    os.makedirs(f"{tmp}/in")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{tmp}/in/events.parquet")
+    s = StreamingLogPipeline(
+        _stream_pipe(spark), f"{tmp}/sinks", f"{tmp}/cp", counts_dir=f"{tmp}/counts"
+    )
+    q = s.start(stream_parquet_dir(spark, f"{tmp}/in"))
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{tmp}/counts")
+        .groupBy("sink")
+        .agg(F.sum("events_acked").alias("events_acked"))
+    )
+
+
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrar semantics (§2.10): two resumable runs over the same
+    input — the second is fully filtered by committed offsets, so the
+    sink table holds each routed event exactly once."""
+    import tempfile
+
+    from beats_spark.app import LogPipeline
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("source", F.col("event_type"))
+        .withColumn("part_id", F.pmod("user_id", F.lit(4)).cast("int"))
+        .withColumn("offset", F.col("event_id").cast("long"))
+    )
+    tmp = tempfile.mkdtemp(prefix="qresume_")
+    pipe = LogPipeline(
+        processors=[{"add_fields": {"fields": {"env": "prod"},
+                                    "fields_under_root": True}}],
+        routing=_STREAM_ROUTING,
+        drop_empty_col=None,
+        checkpoint_path=f"{tmp}/cp",
+    )
+    half = ev.filter(F.col("offset") % 2 == 0)
+    pipe.run_batch(spark, half, f"{tmp}/sinks", run_id="r1")
+    # second run sees EVERYTHING; resume filter must keep only rows past
+    # each (source, part_id)'s committed offset
+    pipe.run_batch(spark, ev, f"{tmp}/sinks", run_id="r2")
+    out = spark.read.parquet(f"{tmp}/sinks")
+    return out.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.count_distinct("event_id").alias("distinct_events"),
+    )
+
+
+_Q_STREAM_FANOUT_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'errors'
+            WHEN value >= 400 THEN 'hot'
+            ELSE 'main' END AS sink,
+       count(*) AS events_acked
+FROM events GROUP BY 1
+"""
+
+# resume keeps, per (source=event_type, part_id=user_id%4), rows with
+# offset > committed max EVEN offset of run 1 — plus all of run 1.
+_Q_CHECKPOINT_RESUME_SQL = """
+WITH routed AS (
+  SELECT event_id, event_type AS source, user_id % 4 AS part_id, event_id AS off,
+         CASE WHEN event_type = 'error' THEN 'errors'
+              WHEN value >= 400 THEN 'hot'
+              ELSE 'main' END AS sink
+  FROM events
+), committed AS (
+  SELECT source, part_id, max(off) AS max_off
+  FROM routed WHERE off % 2 = 0 GROUP BY 1, 2
+), final AS (
+  SELECT r.* FROM routed r WHERE r.off % 2 = 0
+  UNION ALL
+  SELECT r.event_id, r.source, r.part_id, r.off, r.sink FROM routed r
+  LEFT JOIN committed c ON c.source = r.source AND c.part_id = r.part_id
+  WHERE r.off % 2 = 1 AND (c.max_off IS NULL OR r.off > c.max_off)
+)
+SELECT sink, count(*) AS events, count(DISTINCT event_id) AS distinct_events
+FROM final GROUP BY sink
+"""
+
+
 def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flagship_impl(spark, sf_dir)
 
@@ -649,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "network_direction": q_network_direction,
         "window_agg": q_window_agg,
         "csv_extract": q_csv_extract,
+        "streaming_fanout": q_streaming_fanout,
+        "checkpoint_resume": q_checkpoint_resume,
     }
     q.update(corpus_queries())
     return q
@@ -676,6 +790,8 @@ def oracle_sql() -> dict[str, str]:
         "network_direction": _Q_NETWORK_DIRECTION_SQL,
         "window_agg": _Q_WINDOW_AGG_SQL,
         "csv_extract": _Q_CSV_EXTRACT_SQL,
+        "streaming_fanout": _Q_STREAM_FANOUT_SQL,
+        "checkpoint_resume": _Q_CHECKPOINT_RESUME_SQL,
     }
     o.update(corpus_oracles())
     return o
