@@ -102,3 +102,21 @@ def test_flagship_log_line(spark):
     assert (row["level"], row["timestamp"], row["caller"], row["msg"]) == (
         "info", "2026-08-16T10:00:00Z", "main.go:42", "Starting OK",
     )
+
+
+def test_apache_common_log_format(spark):
+    """Real-world format breadth: Apache/NCSA access-log lines (the
+    reference's nasa-50k.log fixture shape), typed status/bytes."""
+    tok = ('%{ip} %{ident} %{auth} [%{ts}] "%{verb} %{path} HTTP/%{ver}" '
+           "%{code|integer} %{bytes|long}")
+    lines = [
+        '199.72.81.55 - - [01/Jul/1995:00:00:01 -0400] "GET /history/apollo/ HTTP/1.0" 200 6245',
+        'unicomp6.unicomp.net - frank [01/Jul/1995:00:00:06 -0400] "POST /shuttle/countdown/ HTTP/1.0" 404 0',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "message string")
+    out = {r["ip"]: r for r in dissect(df, tok, target_prefix="").collect()}
+    r = out["199.72.81.55"]
+    assert (r["verb"], r["path"], r["code"], r["bytes"]) == ("GET", "/history/apollo/", 200, 6245)
+    assert r["ts"] == "01/Jul/1995:00:00:01 -0400" and r["log_flags"] is None
+    r2 = out["unicomp6.unicomp.net"]
+    assert (r2["auth"], r2["verb"], r2["code"]) == ("frank", "POST", 404)
