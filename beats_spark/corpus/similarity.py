@@ -46,19 +46,34 @@ def _prepped(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
-    """All ordered pairs (a ≠ b) with cosine similarity."""
+    """All ordered pairs (a ≠ b) with cosine similarity.
+
+    cos(a,b) = cos(b,a), so the n²-element dot-product fold — the
+    expensive part — runs only on the n²/2 unordered pairs (a < b); the
+    ordered view is that half unioned with its mirror. Same rows, same
+    doubles (the fold order per pair is fixed by the a<b orientation),
+    half the compute."""
     p = _prepped(df, id_col, vec_col)
     a, b = p.alias("a"), p.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
+    half = (
         a.crossJoin(b)
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("nid"),
+            F.col("a.vec_id").alias("ida"),
+            F.col("b.vec_id").alias("idb"),
             cos.alias("cos"),
         )
     )
+    # emit both orientations in ONE pass (a union of the half-frame with
+    # its mirror would re-run the cross join and the folds twice)
+    both = F.explode(
+        F.array(
+            F.struct(F.col("ida").alias("vec_id"), F.col("idb").alias("nid"), F.col("cos")),
+            F.struct(F.col("idb").alias("vec_id"), F.col("ida").alias("nid"), F.col("cos")),
+        )
+    )
+    return half.select(both.alias("p")).select("p.vec_id", "p.nid", "p.cos")
 
 
 def cosine_topk(df: DataFrame, k: int = 1, id_col: str = "vec_id",
