@@ -13,11 +13,12 @@ north rule, and this package provides the same operator semantics over
 """
 
 from beats_spark.streaming.multiline import streaming_multiline_pattern
-from beats_spark.streaming.pipeline import StreamingLogPipeline
+from beats_spark.streaming.pipeline import StreamingLogPipeline, dedup_stream
 from beats_spark.streaming.sources import stream_events
 
 __all__ = [
     "StreamingLogPipeline",
+    "dedup_stream",
     "stream_events",
     "streaming_multiline_pattern",
 ]

@@ -30,6 +30,24 @@ from beats_spark.app import LogPipeline
 from beats_spark.routing import fanout_counts, fanout_write
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Effectively-once on an at-least-once stream: drop event replays
+    by identity within the watermark horizon.
+
+    The reference achieves this with per-item ES dedup (409 handling,
+    ``elasticsearch/client.go:370-407``) and stable kafka partitioning;
+    Spark's ``dropDuplicatesWithinWatermark`` is the native equivalent —
+    state is bounded by the watermark, so 10^12-row streams hold only
+    the horizon's keys."""
+    keys = keys or ["doc_id"]
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 class StreamingLogPipeline:
     """Run a configured LogPipeline over a streaming source."""
 

@@ -191,3 +191,30 @@ def test_stream_window_counts(spark, pipe, tmp_path):
     assert set(rows(got, *cols)) <= set(rows(want, *cols))
     # each window is emitted at most once (append mode finalization)
     assert got.count() == got.select("sink", "source", "level", "window_start").distinct().count()
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    """At-least-once replay collapses to effectively-once: the same rows
+    delivered twice (two files) come out once."""
+    from beats_spark.streaming.pipeline import dedup_stream
+
+    src = str(tmp_path / "in")
+    batch = generate_events(spark, 200)
+    batch.coalesce(1).write.mode("append").parquet(src)
+    batch.coalesce(1).write.mode("append").parquet(src)  # the replay
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream_parquet_dir(spark, src), keys=["doc_id"])
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 200
+    assert got.select("doc_id").distinct().count() == 200
