@@ -66,10 +66,16 @@ def compile_selector(
         if "when" in rule:
             cond = compile_condition(rule["when"], df, resolver) & cond
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    # the default is itself a selector in the reference (outil builds it
+    # via the same fmt machinery, select.go:258-333) — compile it too
     default = config.get("default")
+    default_col = (
+        compile_fmtstr(default, resolver, ts_col) if isinstance(default, str)
+        else F.lit(default)
+    )
     if expr is None:
-        return F.lit(default)
-    return expr.otherwise(F.lit(default))
+        return default_col
+    return expr.otherwise(default_col)
 
 
 def add_sink_column(
@@ -96,6 +102,7 @@ def fanout_write(
     format: str = "parquet",
     mode: str = "append",
     run_id: str | None = None,
+    files_per_sink: int | None = None,
 ) -> None:
     """Single-pass multi-sink write: one job, ``partitionBy(sink)``.
 
@@ -105,7 +112,17 @@ def fanout_write(
     run overwrites only its own ``run_id=...`` partitions (dynamic
     partition overwrite), the Spark analogue of the reference's
     at-least-once retry with stable batch identity.
+
+    ``files_per_sink`` bounds the file count: without it, every task
+    holding rows for a sink emits a file into that sink's directory —
+    at 10^5 tasks × 10^3 sinks that is a small-files catastrophe.
+    Repartitioning on (sink, bucket) first costs one shuffle but caps
+    output at ``files_per_sink`` files per sink per run.
     """
+    if files_per_sink:
+        bucket = F.pmod(F.xxhash64(*[c for c in df.columns if c != sink_col][:2]),
+                        F.lit(files_per_sink))
+        df = df.repartition(F.col(sink_col), bucket)
     writer = df.write.format(format)
     if run_id is not None:
         df = df.withColumn("run_id", F.lit(run_id))

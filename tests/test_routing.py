@@ -118,3 +118,20 @@ def test_sink_window_counts(df):
     assert total == 6
     cols = agg.columns
     assert cols == ["sink", "source", "level", "window_start", "events"]
+
+
+def test_fanout_write_bounds_files_per_sink(spark, tmp_path):
+    import glob
+
+    from beats_spark.datagen import generate_events
+    from beats_spark.routing import add_sink_column, fanout_write
+
+    ev = generate_events(spark, 2000).repartition(8)
+    routed = add_sink_column(ev, {"indices": [], "default": "logs-%{[source]}"})
+    out = str(tmp_path / "sinks")
+    fanout_write(routed, out, files_per_sink=2)
+    for d in glob.glob(f"{out}/sink=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert 1 <= len(files) <= 2, (d, files)
+    # content survives the repartition
+    assert spark.read.parquet(out).count() == 2000
