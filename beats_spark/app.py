@@ -49,6 +49,7 @@ class LogPipeline:
     window: str = "1 hour"
     checkpoint_path: str | None = None
     drop_empty_col: str | None = "message"
+    files_per_sink: int | None = None  # bound sink file counts (routing.fanout_write)
     _chain: Callable[[DataFrame], DataFrame] = field(init=False, repr=False, default=None)
 
     def __post_init__(self) -> None:
@@ -95,7 +96,8 @@ class LogPipeline:
         routed = metrics.observe_count(routed, "events_published")
         routed.persist()
         try:
-            fanout_write(routed, sink_dir, run_id=run_id)
+            fanout_write(routed, sink_dir, run_id=run_id,
+                         files_per_sink=self.files_per_sink)
             if agg_dir:
                 self.aggregates(routed).withColumn("run_id", F.lit(run_id)).write.mode(
                     "append"

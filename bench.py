@@ -33,6 +33,8 @@ HEADLINE = [
     "minhash_neardup",
     "embedding_topk",
     "ann_lsh",
+    "ann_ivf",
+    "csv_extract",
 ]
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "2000000"))
