@@ -124,10 +124,12 @@ def main() -> None:
         try:
             from scripts.scaling_bench import build_pyfiles_zip, run_once
 
-            rows = int(os.environ.get("BENCH_SCALING_ROWS", "16000000"))
+            # kept cheap (~3 min): per-round trend signal; the full-rigor
+            # multi-rep + ceiling-calibrated evidence is BENCH/BASELINE.md
+            rows = int(os.environ.get("BENCH_SCALING_ROWS", "8000000"))
             zip_path = build_pyfiles_zip()
-            lo = run_once(4, rows, zip_path)
-            hi = run_once(16, rows, zip_path)
+            lo = run_once(4, rows, zip_path, reps=2)
+            hi = run_once(16, rows, zip_path, reps=2)
             for r in (lo, hi):
                 steady = r.get("rep_seconds") or [r["seconds"]]
                 r["seconds"] = min(steady[1:] or steady)
