@@ -153,14 +153,17 @@ def sink_window_counts(
     """The north-star aggregate: events per (sink, source, level,
     window) — a plain hash aggregate (partial + final via Catalyst).
 
-    For single-unit tumbling windows ("1 hour"/"1 day"/...) the group
-    key is ``date_trunc(unit, ts)`` — one timestamp instead of the
+    For single-unit tumbling windows ("1 minute"/"1 hour"/"1 day") the
+    group key is ``date_trunc(unit, ts)`` — one timestamp instead of the
     ``window()`` struct of two, identical semantics, a third less group
-    key to hash/compare/shuffle per row at 10^12 scale."""
+    key to hash/compare/shuffle per row at 10^12 scale. "1 week" is
+    deliberately NOT on this fast path: ``F.window`` tumbles weeks from
+    the epoch (1970-01-01, a Thursday) while ``date_trunc('week')`` is
+    Monday-aligned — the two would disagree by 3 days."""
     cols = [c for c in (sink_col, source_col, level_col) if c in df.columns]
     parts = window.strip().lower().split()
     if len(parts) == 2 and parts[0] == "1" and parts[1].rstrip("s") in (
-        "minute", "hour", "day", "week",
+        "minute", "hour", "day",
     ):
         key = F.date_trunc(parts[1].rstrip("s"), F.col(ts_col))
     else:

@@ -41,6 +41,12 @@ STATE_SCHEMA = T.StructType(
         T.StructField("buf", T.ArrayType(T.StringType())),
         T.StructField("first_offset", T.LongType()),
         T.StructField("n_lines", T.IntegerType()),
+        # whether the LAST line seen matched the pattern — needed so
+        # match="before" survives micro-batch boundaries (the first line
+        # of the next batch continues the open event iff the previous
+        # batch's final line matched, exactly like the batch operator's
+        # lag()).
+        T.StructField("last_matched", T.BooleanType()),
     ]
 )
 
@@ -62,6 +68,12 @@ def streaming_multiline_pattern(
     open tail event of each stream flushes ``timeout_ms`` after its
     stream goes idle — identical rows to the batch operator, plus
     bounded-latency flushing.
+
+    Caveat: ``ProcessingTimeTimeout`` fires on a SUBSEQUENT micro-batch,
+    so under a one-shot ``availableNow`` trigger the final open event of
+    each stream can remain in state (no later batch arrives to fire the
+    timeout). Continuous triggers flush it after ``timeout_ms``; tests
+    that need the tail on availableNow send a sentinel line.
     """
     if match not in ("after", "before"):
         raise ValueError(f"match must be after|before, got {match!r}")
@@ -73,14 +85,14 @@ def streaming_multiline_pattern(
         source, part_id = key
         if state.hasTimedOut:
             # idle flush (reader timeout): emit the open event.
-            buf, first_offset, n = state.get
+            buf, first_offset, n, _last = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "source": [source],
                     "part_id": [part_id],
                     "offset": [first_offset],
-                    "message": [separator.join(buf[:max_lines])],
+                    "message": [separator.join(buf)],
                     "n_lines": [n],
                 }
             )
@@ -94,8 +106,9 @@ def streaming_multiline_pattern(
         buf: list[str] = []
         first_offset = 0
         n = 0
+        last_matched = False
         if state.exists:
-            buf, first_offset, n = state.get
+            buf, first_offset, n, last_matched = state.get
             buf = list(buf)
 
         out: dict[str, list] = {
@@ -106,24 +119,34 @@ def streaming_multiline_pattern(
             out["source"].append(source)
             out["part_id"].append(part_id)
             out["offset"].append(first_offset)
-            out["message"].append(separator.join(buf[:max_lines]))
+            out["message"].append(separator.join(buf))
             out["n_lines"].append(n)
 
         matched = rows["message"].map(lambda s: bool(rx.search(s)) != negate)
-        prev_m = matched.shift(1, fill_value=False) if match == "before" else None
+        prev_m = None
+        if match == "before":
+            # the fill value for the first row is the stored match flag of
+            # the previous batch's final line — an event spanning the
+            # micro-batch boundary keeps accumulating instead of splitting.
+            prev_m = matched.shift(1, fill_value=bool(last_matched))
         for i, (off, line) in enumerate(zip(rows["offset"], rows["message"])):
             # after: matching lines continue the open event; before: a line
             # continues the event the PREVIOUS matching line opened.
             cont = bool(matched.iloc[i]) if match == "after" else bool(prev_m.iloc[i])
-            if buf and not cont:
+            if n and not cont:
                 emit()
                 buf, n = [], 0
-            if not buf:
+            if n == 0:
                 first_offset = int(off)
-            buf.append(line)
+            # past max_lines the event stays open but extra lines are
+            # discarded from the content (reference messageBuffer.addLine,
+            # multiline/message_buffer.go:72-110) — state stays bounded;
+            # n_lines keeps the pre-cap count like the batch operator.
+            if len(buf) < max_lines:
+                buf.append(line)
             n += 1
 
-        state.update((buf, first_offset, n))
+        state.update((buf, first_offset, n, bool(matched.iloc[-1])))
         state.setTimeoutDuration(timeout_ms)
         if out["source"]:
             yield pd.DataFrame(out)

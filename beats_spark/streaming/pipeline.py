@@ -66,10 +66,16 @@ class StreamingLogPipeline:
         try:
             fanout_write(batch_df, self.sink_dir, run_id=f"b{batch_id:012d}")
             if self.counts_dir:
+                # partition by batch_id + dynamic overwrite: a foreachBatch
+                # replay after restart rewrites ITS batch's counts instead
+                # of appending duplicate events_acked rows — the same
+                # idempotency contract as the sink write above.
                 (
                     fanout_counts(batch_df)
                     .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("append")
+                    .write.partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
                     .parquet(self.counts_dir)
                 )
         finally:

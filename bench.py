@@ -45,12 +45,20 @@ def materialize(df) -> int:
     return 0
 
 
-def run_pipeline_throughput(spark) -> tuple[float, int]:
+PIPELINE_REPS = int(os.environ.get("BENCH_PIPELINE_REPS", "4"))
+
+
+def run_pipeline_throughput(spark) -> tuple[float, int, list[float]]:
     """events/sec of the full parse→enrich→route→aggregate plan on the
     synthetic tokenized-log table (generated in-plan; generation cost is
-    ~2% of parse cost and charged against us)."""
-    from pyspark.sql import functions as F
+    ~2% of parse cost and charged against us).
 
+    Protocol (matches BENCH/BASELINE.md): ONE plan, one untimed warm-up
+    run (Janino codegen + HotSpot JIT of the >8 KB generated methods),
+    then ``PIPELINE_REPS`` timed reps; throughput = min rep (this
+    sandbox's vCPU delivery stalls runs by 5-15× at random — measured:
+    identical plan reps of 1.8 s and 31.6 s minutes apart — so min is
+    the only estimator of achievable rate; all rep times are reported)."""
     from beats_spark.datagen import TOKENIZER, generate_events, host_dim
     from beats_spark.dissect import dissect
     from beats_spark.pipeline import build_pipeline, normalize
@@ -75,13 +83,17 @@ def run_pipeline_throughput(spark) -> tuple[float, int]:
         ],
         "default": "dead-letter",
     }
-    t0 = time.time()
     routed = add_sink_column(chain(normalize(events)), routing)
     agg = sink_window_counts(routed, window="1 hour", source_col="source",
                              level_col="level")
-    materialize(agg)
-    dt = time.time() - t0
-    return PIPELINE_ROWS / dt, PIPELINE_ROWS
+    materialize(agg)  # warm-up: codegen + JIT, untimed
+    rep_secs: list[float] = []
+    for _ in range(PIPELINE_REPS):
+        t0 = time.time()
+        materialize(agg)
+        rep_secs.append(round(time.time() - t0, 3))
+    best = min(rep_secs)
+    return PIPELINE_ROWS / best, PIPELINE_ROWS, rep_secs
 
 
 def main() -> None:
@@ -98,11 +110,14 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
-        t0 = time.time()
-        materialize(df)
-        times[name] = round(time.time() - t0, 3)
+        reps = []
+        for _ in range(2):  # min-of-2: the host stalls runs at random
+            t0 = time.time()
+            materialize(df)
+            reps.append(time.time() - t0)
+        times[name] = round(min(reps), 3)
 
-    eps, nrows = run_pipeline_throughput(spark)
+    eps, nrows, rep_secs = run_pipeline_throughput(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -113,34 +128,55 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline_events_per_sec": round(eps),
         "pipeline_rows": nrows,
+        "pipeline_rep_seconds": rep_secs,
         "cpus": int(cpus),
     }
 
     # north-rule scaling evidence: fresh N vs 4N spark-submit runs
-    # (taskset-pinned, see scripts/scaling_bench.py). Gated so a broken
-    # or slow environment degrades to the headline numbers only.
+    # (taskset-pinned, see scripts/scaling_bench.py), with the machine
+    # scaling ceiling measured in the same window so the artifact is
+    # self-contained. Gated so a broken environment degrades to the
+    # headline numbers only.
     if os.environ.get("BENCH_SCALING", "1") == "1":
         spark.stop()  # free all cores for the pinned measurement runs
         try:
-            from scripts.scaling_bench import build_pyfiles_zip, run_once
+            from scripts.scaling_bench import build_pyfiles_zip, calibrate, run_once
 
-            # kept cheap (~3 min): per-round trend signal; the full-rigor
-            # multi-rep + ceiling-calibrated evidence is BENCH/BASELINE.md
             rows = int(os.environ.get("BENCH_SCALING_ROWS", "8000000"))
+            reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+            low, high = 4, 16
             zip_path = build_pyfiles_zip()
-            lo = run_once(4, rows, zip_path, reps=2)
-            hi = run_once(16, rows, zip_path, reps=2)
+            # interleave calibration with its paired run: the host's vCPU
+            # delivery drifts over minutes, ceiling and measurement must
+            # sample the same window
+            cal_lo = calibrate(low, n=5_000_000_000)
+            lo = run_once(low, rows, zip_path, reps=reps)
+            cal_hi = calibrate(high, n=5_000_000_000)
+            hi = run_once(high, rows, zip_path, reps=reps)
             for r in (lo, hi):
                 steady = r.get("rep_seconds") or [r["seconds"]]
                 r["seconds"] = min(steady[1:] or steady)
                 r["events_per_sec"] = round(rows / r["seconds"])
+            ratio = high / low
+            eff = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio
+            ceiling = (cal_hi / cal_lo) / ratio
             out["scaling"] = {
                 "rows": rows,
-                "low_cores": 4,
-                "high_cores": 16,
+                "low_cores": low,
+                "high_cores": high,
                 "low_eps": lo["events_per_sec"],
                 "high_eps": hi["events_per_sec"],
-                "efficiency": round((hi["events_per_sec"] / lo["events_per_sec"]) / 4, 3),
+                "low_rep_seconds": lo.get("rep_seconds"),
+                "high_rep_seconds": hi.get("rep_seconds"),
+                "efficiency": round(eff, 3),
+                # ceiling: pure-CPU whole-stage-codegen loop (range →
+                # xxhash64 → max) over the same N→4N step — what the
+                # hardware itself scales at in this window; the pipeline
+                # can't beat it, so judge efficiency against it.
+                "machine_ceiling_efficiency": round(ceiling, 3),
+                "efficiency_vs_ceiling": round(eff / ceiling, 3),
+                "calibration_rows_per_sec": {str(low): round(cal_lo),
+                                             str(high): round(cal_hi)},
                 "sink_counts_equal": lo["sink_counts"] == hi["sink_counts"],
             }
         except Exception as e:  # pragma: no cover - environment-dependent

@@ -160,6 +160,62 @@ def test_streaming_multiline_matches_batch(spark, tmp_path):
     assert got.count() == got.select("source", "part_id", "offset").distinct().count()
 
 
+def test_streaming_multiline_before_spans_batches(spark, tmp_path):
+    """match='before' across a micro-batch boundary: whether the previous
+    batch's FINAL line matched is part of the state (last_matched), so an
+    event whose continuation line is the first row of the next batch must
+    keep accumulating, not split (the bug class: shift fill_value=False
+    resets the lag at every batch edge)."""
+    import pandas as pd
+
+    src = str(tmp_path / "lines")
+    # backslash-continuation: offsets 0,1 of each triple end with '\'
+    # (match), offset 2 ends the event → events [0,1,2], [3,4,5], ...
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 12,
+            "part_id": [0] * 12,
+            "offset": list(range(12)),
+            "message": [
+                f"l{i} \\" if i % 3 != 2 else f"l{i} end" for i in range(12)
+            ],
+        }
+    )
+    lines = spark.createDataFrame(pdf)
+    # split mid-event: offset 3 (matches) is the last line of file 1, so
+    # the event [3,4,5] spans the two micro-batches
+    lines.filter(F.col("offset") <= 3).coalesce(1).write.mode("append").parquet(src)
+    lines.filter(F.col("offset") > 3).coalesce(1).write.mode("append").parquet(src)
+
+    merged = streaming_multiline_pattern(
+        stream_parquet_dir(spark, src, max_files_per_trigger=1),
+        pattern=r"\\$",
+        match="before",
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        merged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    want = multiline_pattern(
+        lines, pattern=r"\\$", match="before",
+        partition_cols=("source", "part_id"),
+    )
+    last = want.groupBy("source", "part_id").agg(F.max("offset").alias("offset"))
+    want_closed = want.join(last, ["source", "part_id", "offset"], "left_anti")
+    cols = ("source", "part_id", "offset", "message", "n_lines")
+    got_rows = set(rows(got, *cols))
+    assert got_rows <= set(rows(want, *cols))
+    assert got_rows >= set(rows(want_closed, *cols))
+
+
 def test_stream_window_counts(spark, pipe, tmp_path):
     src = str(tmp_path / "in")
     # two files → two batches, so the watermark advances and closes windows
