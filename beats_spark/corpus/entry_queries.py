@@ -286,6 +286,18 @@ WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.45
 """
 
 
+def q_embedding_topk_blocked(spark, sf_dir):
+    """Blocked exact top-k: same oracle as embedding_topk (the rows are
+    identical by construction — GEMM candidates, fold-cos re-rank)."""
+    return similarity.cosine_topk_blocked(_emb(spark, sf_dir), k=3, n_blocks=8)
+
+
+def q_embedding_neardup_blocked(spark, sf_dir):
+    return similarity.embedding_neardup_blocked(
+        _emb(spark, sf_dir), threshold=0.45, n_blocks=8
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(_emb(spark, sf_dir), k=1, n_planes=6, dim=64)
 
@@ -322,6 +334,13 @@ QUALIFY rank <= 1
 
 def q_ann_ivf(spark, sf_dir):
     return similarity.ann_ivf_topk(_emb(spark, sf_dir), k=1, n_cells=8, dim=64)
+
+
+def q_ann_ivf_sqrtn(spark, sf_dir):
+    """IVF at the √n-cells design point (45 cells ≈ √2000 at sf0.1):
+    demonstrates the GEMM assignment path at a centroid count the
+    literal-fold codegen could not reach."""
+    return similarity.ann_ivf_topk(_emb(spark, sf_dir), k=1, n_cells=45, dim=64)
 
 
 def _ann_ivf_sql(n_cells: int = 8, dim: int = 64) -> str:
@@ -412,9 +431,12 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_neardup": q_simhash_neardup,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_blocked": q_embedding_topk_blocked,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_sqrtn": q_ann_ivf_sqrtn,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
     }
@@ -431,9 +453,12 @@ def corpus_oracles() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "simhash_neardup": _SIMHASH_NEARDUP_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
+        "embedding_topk_blocked": _EMBEDDING_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        "embedding_neardup_blocked": _EMBEDDING_NEARDUP_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
+        "ann_ivf_sqrtn": _ann_ivf_sql(45),
         "media_features": _MEDIA_FEATURES_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
     }

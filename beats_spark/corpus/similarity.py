@@ -20,8 +20,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _as_double(vec: Column) -> Column:
@@ -78,7 +81,12 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
 
 def cosine_topk(df: DataFrame, k: int = 1, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k neighbors per vector (ties broken by neighbor id)."""
+    """Exact top-k neighbors per vector (ties broken by neighbor id).
+
+    This is the small-n exactness baseline (cross join + per-pair
+    fold). For anything beyond ~10^5 vectors use
+    :func:`cosine_topk_blocked` (identical rows, GEMM candidates, no
+    cross join) or the ``ann_*`` approximate paths."""
     pairs = cosine_pairs(df, id_col, vec_col)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -96,6 +104,113 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
     return pairs.filter(
         (F.col("vec_id") < F.col("nid")) & (F.col("cos") >= threshold)
     ).select(F.col("vec_id").alias("vec_a"), F.col("nid").alias("vec_b"), "cos")
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact brute force — the scale-sane exact path
+# ---------------------------------------------------------------------------
+
+
+def _blocked_candidates(df: DataFrame, k: int, n_blocks: int, id_col: str,
+                        vec_col: str, threshold: float | None) -> DataFrame:
+    """Candidate (vec_id, nid) pairs via blocked GEMM.
+
+    The database side is hash-partitioned into ``n_blocks`` blocks on
+    ``vec_id``; the query side is replicated to every block (explode —
+    a narrow map, no driver loop). Each (query-batch × block) cogroup
+    computes ONE numpy matmul and keeps the per-block top-k (or all
+    pairs ≥ threshold−ε). The exact global answer is a subset of the
+    union of per-block top-k, so the final fold-cos re-rank downstream
+    is exact. Work per group is (n × n/B × dim) in BLAS — the same
+    total flops as the cross join but 10-100× faster than per-pair
+    fold codegen, and each block is an independent task: at 10^9 rows
+    pick B so n/B fits an executor (the query side then streams
+    through in Arrow batches)."""
+    p = _prepped(df, id_col, vec_col)
+    b = p.withColumn(
+        "blk", F.pmod(F.col("vec_id").cast("long"), F.lit(n_blocks)).cast("int")
+    )
+    a = p.withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+    )
+
+    def part(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                              "nid": pd.Series([], dtype="int64")})
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+        # sort the block by id so stable argsort breaks cos ties by nid
+        b_pdf = b_pdf.sort_values("vec_id")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["v"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["v"]])
+        S = (A @ B.T) / np.outer(a_pdf["nrm"].to_numpy(), b_pdf["nrm"].to_numpy())
+        aid = a_pdf["vec_id"].to_numpy()
+        bid = b_pdf["vec_id"].to_numpy()
+        S[aid[:, None] == bid[None, :]] = -np.inf  # self-pairs
+        if threshold is not None:
+            ri, cj = np.nonzero(S >= threshold - 1e-9)
+        else:
+            kk = min(k, S.shape[1])
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            ri = np.repeat(np.arange(S.shape[0]), kk)
+            cj = idx.ravel()
+            keep = S[ri, cj] != -np.inf
+            ri, cj = ri[keep], cj[keep]
+        return pd.DataFrame({"vec_id": aid[ri], "nid": bid[cj]})
+
+    return (
+        a.groupby("blk")
+        .cogroup(b.groupby("blk"))
+        .applyInPandas(part, schema="vec_id long, nid long")
+    )
+
+
+def _fold_cos_for_pairs(cand: DataFrame, p: DataFrame) -> DataFrame:
+    """Re-compute cosine for candidate pairs with the sequential JVM
+    fold — the numpy scores picked the candidates; the EMITTED values
+    are the canonical order-stable fold, bit-identical to the
+    unblocked operators and the DuckDB oracle."""
+    pa = p.select(F.col("vec_id"), F.col("v").alias("_va"), F.col("nrm").alias("_na"))
+    pb = p.select(F.col("vec_id").alias("nid"), F.col("v").alias("_vb"),
+                  F.col("nrm").alias("_nb"))
+    joined = cand.join(pa, "vec_id").join(pb, "nid")
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return joined.select("vec_id", "nid", cos.alias("cos"))
+
+
+def cosine_topk_blocked(df: DataFrame, k: int = 1, n_blocks: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors, blocked: same rows as :func:`cosine_topk`
+    (GEMM candidate generation + fold-cos re-rank), no cross join in
+    the plan — the exact path that survives 100× scale-up."""
+    p = _prepped(df, id_col, vec_col)
+    cand = _blocked_candidates(df, k, n_blocks, id_col, vec_col, threshold=None)
+    pairs = _fold_cos_for_pairs(cand, p)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "nid", "cos", "rank")
+    )
+
+
+def embedding_neardup_blocked(df: DataFrame, threshold: float,
+                              n_blocks: int = 8, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs ≥ threshold, blocked: same rows as
+    :func:`embedding_neardup_pairs` without the cross join. The GEMM
+    pass over-collects by ε; the fold-cos filter makes the final set
+    exact."""
+    p = _prepped(df, id_col, vec_col)
+    cand = _blocked_candidates(df, 0, n_blocks, id_col, vec_col,
+                               threshold=threshold).filter(
+        F.col("vec_id") < F.col("nid")
+    )
+    pairs = _fold_cos_for_pairs(cand, p)
+    return pairs.filter(F.col("cos") >= threshold).select(
+        F.col("vec_id").alias("vec_a"), F.col("nid").alias("vec_b"), "cos"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -167,24 +282,116 @@ def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def _incell_topk(p: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Exact top-k WITHIN each bucket/cell via one GEMM per group
+    (applyInPandas), then fold-cos re-rank of the candidates.
+
+    Replaces the per-pair JVM fold equi-join when bucket sizes are big
+    enough that (n/C)² pair folds dominate: one (n_c × n_c) BLAS matmul
+    per group generates the candidates, and the emitted cos values are
+    re-computed with the canonical sequential fold so results are
+    bit-identical to the fold path (ranking differs only on sub-ulp cos
+    ties). Skewed buckets = one big group per hot key; mitigation is
+    quantizer quality (k-means), not the join plan."""
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                              "nid": pd.Series([], dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")  # stable argsort ties → lower nid
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy()
+        S = (V @ V.T) / np.outer(nrm, nrm)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, len(pdf) - 1)
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        ri = np.repeat(np.arange(len(pdf)), kk)
+        cj = idx.ravel()
+        keep = S[ri, cj] != -np.inf
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({"vec_id": ids[ri[keep]], "nid": ids[cj[keep]]})
+
+    cand = p.select("vec_id", "v", "nrm", key_col).groupBy(key_col).applyInPandas(
+        part, schema="vec_id long, nid long"
+    )
+    pairs = _fold_cos_for_pairs(cand, p)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "nid", "cos", "rank")
+    )
+
+
+def ivf_cell_assign(cents: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment: ONE numpy matmul per
+    batch against the (n_cells × dim) centroid matrix shipped in the UDF
+    closure — cost O(batch × n_cells × dim) in BLAS, so the √n-cells
+    design point (31k cells at 10^9 rows) is a plain GEMM per batch.
+    The literal-fold codegen of :func:`ivf_cell` cannot reach that scale
+    (one fold expression per centroid); it remains for tiny centroid
+    sets and as the oracle-parity reference.
+
+    argmin over ``|c|² − 2·v·c`` (the ``|v|²`` term is constant per row)
+    with numpy's first-min tie-break = the lower cell id, matching
+    ``ivf_cell``'s ``array_position(dists, array_min(dists))``."""
+    C = np.asarray(cents, dtype=np.float64)  # (n_cells, dim)
+    Cn = (C * C).sum(axis=1)  # (n_cells,)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype="int32")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        scores = Cn - 2.0 * (V @ C.T)
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return assign
+
+
 def ann_ivf_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
                  dim: int | None = None, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding", assign: str = "pandas",
+                 pairs: str = "gemm") -> DataFrame:
     """IVF-style ANN: coarse-quantize each vector to its nearest
     centroid cell, then exact cosine top-k WITHIN the cell (nprobe=1).
 
     The scale path beyond LSH buckets: at 10^9 vectors with ~√n cells,
-    assignment is a narrow map (C small centroid dot products/row) and
-    the candidate join is an equi-join on ``cell`` — per-cell work is
-    n/C × n/C, fully parallel, no cross join anywhere."""
+    assignment is a narrow map — one Arrow-batched GEMM per batch
+    (``assign="pandas"``, the default) — and the candidates come from
+    within the cell only: ``pairs="gemm"`` (default) does one matmul
+    per cell group + fold-cos re-rank; ``pairs="fold"`` is the pure-JVM
+    per-pair fold equi-join (cheaper for tiny cells, (n/C)²·dim fold
+    cost otherwise). ``assign="expr"`` keeps the literal-fold JVM
+    assignment (viable only for small centroid counts). Emitted cos
+    values are identical across all variants (always the canonical
+    sequential fold).
+
+    ``dim`` is required: the embedding dimension is config, not
+    something to probe with a driver-side action at plan-build time."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "ann_ivf_topk requires dim= (embedding dimension); plan build "
+            "must not run a driver-side first() probe"
+        )
     cents = ivf_centroids(n_cells, dim)
-    p = _prepped(df, id_col, vec_col).withColumn("cell", ivf_cell(F.col("v"), cents))
+    cell = (
+        ivf_cell_assign(cents)(F.col("v")) if assign == "pandas"
+        else ivf_cell(F.col("v"), cents)
+    )
+    p = _prepped(df, id_col, vec_col).withColumn("cell", cell)
+    if pairs == "gemm":
+        return _incell_topk(p, "cell", k)
+    return _fold_join_topk(p, "cell", k)
+
+
+def _fold_join_topk(p: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-pair JVM fold over the bucket equi-join + window top-k."""
     a, b = p.alias("a"), p.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
-        a.join(b, "cell")
+        a.join(b, key_col)
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_id"),
@@ -202,30 +409,27 @@ def ann_ivf_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
 
 def ann_lsh_topk(df: DataFrame, k: int = 1, n_planes: int = 8,
                  dim: int | None = None, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding", pairs: str = "fold") -> DataFrame:
     """Approximate top-k: exact cosine ranking WITHIN each LSH bucket.
 
-    The join is an equi-join on ``bucket`` (never a cross join);
+    The candidates come from the bucket only (never a cross join);
     vectors alone in their bucket yield no rows (the approximation
-    trade-off — more planes ⇒ faster + lonelier, fewer ⇒ recall)."""
+    trade-off — more planes ⇒ faster + lonelier, fewer ⇒ recall).
+    ``pairs="fold"`` (default; buckets are small by design) is the
+    per-pair JVM fold equi-join; ``pairs="gemm"`` switches to one
+    matmul per bucket group for fat-bucket workloads.
+
+    ``dim`` is required (no driver-side probe at plan build). The
+    sign-bit BUCKET fold stays JVM-side in both modes: dot products
+    near zero make the bucket bit ulp-sensitive, and the sequential
+    fold is the cross-engine-reproducible ordering."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "ann_lsh_topk requires dim= (embedding dimension); plan build "
+            "must not run a driver-side first() probe"
+        )
     planes = lsh_planes(n_planes, dim)
     p = _prepped(df, id_col, vec_col).withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    a, b = p.alias("a"), p.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("nid"),
-            cos.alias("cos"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "nid", "cos", "rank")
-    )
+    if pairs == "gemm":
+        return _incell_topk(p, "bucket", k)
+    return _fold_join_topk(p, "bucket", k)

@@ -32,8 +32,11 @@ HEADLINE = [
     "simhash",
     "minhash_neardup",
     "embedding_topk",
+    "embedding_topk_blocked",
+    "embedding_neardup_blocked",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_sqrtn",
     "csv_extract",
 ]
 

@@ -179,6 +179,53 @@ def test_ivf_cell_is_argmin_with_low_index_ties(spark):
     assert cell == 2  # a vector AT centroid 2 lands in cell 2
 
 
+def test_ivf_pandas_assignment_matches_expr(spark):
+    """The GEMM argmin (default) must assign every vector to the same
+    cell as the literal-fold JVM expression."""
+    import numpy as _np
+
+    vecs = [[float(_np.cos(i * 0.7 + d)) for d in range(8)] for i in range(50)]
+    df = _emb(spark, vecs)
+    a = rows(similarity.ann_ivf_topk(df, k=1, n_cells=16, dim=8, assign="pandas"),
+             "vec_id", "nid", "rank")
+    b = rows(similarity.ann_ivf_topk(df, k=1, n_cells=16, dim=8, assign="expr"),
+             "vec_id", "nid", "rank")
+    assert a == b
+
+
+def test_ann_ivf_requires_dim(spark):
+    df = _emb(spark, [[1.0, 0.0]])
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_ivf_topk(df, k=1)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_lsh_topk(df, k=1)
+
+
+def test_blocked_topk_matches_crossjoin(spark):
+    """Blocked GEMM exact top-k = cross-join exact top-k, row for row
+    (ids, cos doubles, ranks)."""
+    import numpy as _np
+
+    vecs = [[float(_np.sin(i * 1.3 + d * 0.5)) for d in range(6)] for i in range(40)]
+    df = _emb(spark, vecs)
+    cols = ("vec_id", "nid", "cos", "rank")
+    want = sorted(rows(similarity.cosine_topk(df, k=3), *cols))
+    got = sorted(rows(similarity.cosine_topk_blocked(df, k=3, n_blocks=4), *cols))
+    assert got == want
+
+
+def test_blocked_neardup_matches_crossjoin(spark):
+    import numpy as _np
+
+    vecs = [[float(_np.sin(i * 0.9 + d)) for d in range(6)] for i in range(30)]
+    vecs[7] = [v * 1.001 for v in vecs[3]]  # a guaranteed near-dup pair
+    df = _emb(spark, vecs)
+    cols = ("vec_a", "vec_b", "cos")
+    want = sorted(rows(similarity.embedding_neardup_pairs(df, 0.8), *cols))
+    got = sorted(rows(similarity.embedding_neardup_blocked(df, 0.8, n_blocks=4), *cols))
+    assert got == want and len(want) > 0
+
+
 # -- multimodal --------------------------------------------------------------
 
 
