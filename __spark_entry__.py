@@ -558,6 +558,62 @@ FROM f GROUP BY 1
 """
 
 
+def q_sink_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bulk per-item triage (§2.7): status → outcome ladder
+    (elasticsearch/client.go:390-420), dropped class diverted to the
+    dead-letter sink, per-sink outcome counters (outputs/metrics.go)."""
+    from beats_spark.routing import add_sink_column, triage_counts, triage_outcomes
+
+    routing = {
+        "indices": [
+            {"index": "errors", "when": {"equals": {"event_type": "error"}}},
+        ],
+        "default": "main",
+    }
+    ev = _t(spark, sf_dir, "events")
+    # deterministic synthetic bulk-item statuses (no ES in-sandbox):
+    # mostly 201, a tail of 409/429/400/503 spread by event_id
+    m = F.pmod("event_id", F.lit(20))
+    status = (
+        F.when(m == 16, 400)
+        .when(m == 17, 409)
+        .when(m == 18, 429)
+        .when(m == 19, 503)
+        .otherwise(201)
+    )
+    routed = add_sink_column(ev, routing).withColumn("item_status", status)
+    return triage_counts(triage_outcomes(routed))
+
+
+_Q_SINK_TRIAGE_SQL = """
+WITH routed AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'errors' ELSE 'main' END AS sink0,
+         CASE WHEN event_id % 20 = 16 THEN 400
+              WHEN event_id % 20 = 17 THEN 409
+              WHEN event_id % 20 = 18 THEN 429
+              WHEN event_id % 20 = 19 THEN 503
+              ELSE 201 END AS status
+  FROM events
+), triaged AS (
+  SELECT CASE WHEN status < 300 THEN 'acked'
+              WHEN status = 409 THEN 'duplicate'
+              WHEN status = 429 THEN 'toomany'
+              WHEN status < 500 THEN 'dropped'
+              ELSE 'retry' END AS outcome,
+         CASE WHEN status >= 400 AND status < 500 AND status NOT IN (409, 429)
+              THEN '_dead_letter' ELSE sink0 END AS sink
+  FROM routed
+)
+SELECT sink,
+       sum(CASE WHEN outcome = 'acked' THEN 1 ELSE 0 END) AS events_acked,
+       sum(CASE WHEN outcome = 'duplicate' THEN 1 ELSE 0 END) AS events_duplicates,
+       sum(CASE WHEN outcome = 'toomany' THEN 1 ELSE 0 END) AS events_toomany,
+       sum(CASE WHEN outcome = 'dropped' THEN 1 ELSE 0 END) AS events_dropped,
+       sum(CASE WHEN outcome IN ('toomany', 'retry') THEN 1 ELSE 0 END) AS events_failed
+FROM triaged GROUP BY sink
+"""
+
+
 def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star aggregate (§2.8): events per sink/type/hour window."""
     from beats_spark.routing import add_sink_column, sink_window_counts
@@ -759,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_fields": q_codec_fields,
         "convert_timestamp": q_convert_timestamp,
         "network_direction": q_network_direction,
+        "sink_triage": q_sink_triage,
         "window_agg": q_window_agg,
         "csv_extract": q_csv_extract,
         "streaming_fanout": q_streaming_fanout,
@@ -788,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "codec_fields": _Q_CODEC_FIELDS_SQL,
         "convert_timestamp": _Q_CONVERT_TIMESTAMP_SQL,
         "network_direction": _Q_NETWORK_DIRECTION_SQL,
+        "sink_triage": _Q_SINK_TRIAGE_SQL,
         "window_agg": _Q_WINDOW_AGG_SQL,
         "csv_extract": _Q_CSV_EXTRACT_SQL,
         "streaming_fanout": _Q_STREAM_FANOUT_SQL,

@@ -206,17 +206,21 @@ class DissectPattern:
         the first field is copied, never the whole line."""
         return F.split(marked, self.SEP, -1)
 
-    def extract_columns(self, parts: Column) -> dict[str, Column]:
+    def extract_columns(self, parts: Column,
+                        trim=None) -> dict[str, Column]:
         """Static path: one Column per output key (string-typed; caller
         casts), built from the shared ``parts_column`` array — no further
-        regex work per key."""
+        regex work per key. ``trim`` (Column → Column) applies to each
+        CAPTURED part before append-joins, matching the reference's
+        per-capture trim (dissect.go:71-73)."""
         by_key: dict[str, list[_Field]] = {}
         for f in self.output_fields():
             by_key.setdefault(f.name, []).append(f)
         def grp(g: int) -> Column:
             v = F.element_at(parts, g)
             # group 1 carries the match MARK prefix (see parts_column)
-            return F.substring(v, 2, 2**30) if g == 1 else v
+            v = F.substring(v, 2, 2**30) if g == 1 else v
+            return trim(v) if trim is not None else v
 
         out: dict[str, Column] = {}
         for key, fs in by_key.items():
@@ -229,8 +233,9 @@ class DissectPattern:
 
     # ---------- python reference implementation (UDF + oracle) ----------
 
-    def parse(self, s: str) -> dict[str, str] | None:
-        """Positional parse of one string; None on failure."""
+    def parse(self, s: str, trim=None) -> dict[str, str] | None:
+        """Positional parse of one string; None on failure. ``trim``
+        (str → str) applies to each captured part before appends."""
         if s is None:
             return None
         pos = 0
@@ -267,7 +272,7 @@ class DissectPattern:
             else:
                 val = s[pos:]
                 pos = len(s)
-            captured.append(val)
+            captured.append(trim(val) if trim is not None else val)
 
         # apply phase (ordinal-sorted, stable), mirrors resolve():
         m: dict[str, str] = {}
@@ -301,6 +306,33 @@ def compile_tokenizer(tokenizer: str) -> DissectPattern:
     return DissectPattern(tokenizer)
 
 
+TRIM_MODES = ("none", "left", "right", "all", "both")
+
+
+def _trim_column_fn(trim_values: str, trim_chars: str):
+    """Column→Column trimmer for the static path (one regexp_replace;
+    anchored alternation handles mode=all in a single pass). Mirrors
+    the reference's trimmer (trim.go:31-70, config.go:62-78)."""
+    if trim_values in ("", "none"):
+        return None
+    cls = "[" + re.escape(trim_chars) + "]+"
+    pats = {"left": f"^{cls}", "right": f"{cls}$",
+            "all": f"^{cls}|{cls}$", "both": f"^{cls}|{cls}$"}
+    pat = pats[trim_values]
+    return lambda c: F.regexp_replace(c, pat, "")
+
+
+def _trim_str_fn(trim_values: str, trim_chars: str):
+    """str→str trimmer for the pandas-UDF path — same semantics."""
+    if trim_values in ("", "none"):
+        return None
+    if trim_values == "left":
+        return lambda s: s.lstrip(trim_chars)
+    if trim_values == "right":
+        return lambda s: s.rstrip(trim_chars)
+    return lambda s: s.strip(trim_chars)
+
+
 def _convert(col: Column, dtype: str) -> Column:
     """Typed conversion; right-trims spaces first like the reference."""
     t = SPARK_TYPES[dtype]
@@ -323,14 +355,30 @@ def dissect(
     target_prefix: str = "dissect",
     convert_types: bool = True,
     flags_col: str = "log_flags",
+    trim_values: str = "none",
+    trim_chars: str = " ",
+    ignore_failure: bool = False,
+    overwrite_keys: bool = True,
 ) -> DataFrame:
     """Apply a dissect tokenizer to ``df[field]``.
 
     Output keys land as a struct column named ``target_prefix`` (or as
     top-level columns when ``target_prefix == ""`` — the reference's
     keys-under-root). On parse failure the row is kept, outputs are
-    null, and ``dissect_parsing_error`` is appended to ``flags_col``.
+    null, and ``dissect_parsing_error`` is appended to ``flags_col``
+    (suppressed by ``ignore_failure``, processor.go:101-105).
+
+    ``trim_values`` (none|left|right|all, config.go:35-49 +
+    trim.go) trims ``trim_chars`` from each CAPTURED part before
+    append-joins and type conversion. ``overwrite_keys=False`` keeps an
+    existing column instead of overwriting it (mapper,
+    processor.go:119-137; keys-under-root mode only — with a
+    ``target_prefix`` struct there is no collision).
     """
+    if trim_values not in TRIM_MODES:
+        raise ValueError(
+            f"trim_values must be one of {TRIM_MODES}, got {trim_values!r}"
+        )
     pat = compile_tokenizer(tokenizer)
     src = F.col(field)
 
@@ -342,13 +390,17 @@ def dissect(
         df = df.withColumn(marked_col, pat.marked_column(src))
         df = df.withColumn(parts_col, pat.parts_column(F.col(marked_col)))
         ok = src.isNotNull() & (F.col(marked_col) != src)
-        raw_cols = pat.extract_columns(F.col(parts_col))
+        raw_cols = pat.extract_columns(
+            F.col(parts_col), trim=_trim_column_fn(trim_values, trim_chars)
+        )
         out_cols: dict[str, Column] = {}
         for key, col in raw_cols.items():
             dtype = pat.key_dtype(key)
             if convert_types and dtype and dtype != "string":
                 col = _convert(col, dtype)
             out_cols[key] = F.when(ok, col)
+        if not overwrite_keys:
+            out_cols = {k: c for k, c in out_cols.items() if k not in df.columns}
         if target_prefix:
             df = df.withColumn(
                 target_prefix,
@@ -361,10 +413,11 @@ def dissect(
         # indirect keys → data-dependent key names → map<string,string>
         # via an Arrow-batched pandas UDF (no per-row Spark UDF).
         parse = pat.parse
+        trim_s = _trim_str_fn(trim_values, trim_chars)
 
         @pandas_udf(T.MapType(T.StringType(), T.StringType()))
         def dissect_map(s: pd.Series) -> pd.Series:
-            return s.map(parse)
+            return s.map(lambda v: parse(v, trim=trim_s))
 
         tgt = target_prefix or "dissect"
         df = df.withColumn(tgt, dissect_map(src))
@@ -372,14 +425,16 @@ def dissect(
         drop_cols = []
 
     # failure flag (reference: processor.go:93-105 / log.flags)
-    if flags_col in df.columns:
-        prev = F.col(flags_col)
-    else:
-        prev = F.lit(None).cast(T.ArrayType(T.StringType()))
-    df = df.withColumn(
-        flags_col,
-        F.when(ok, prev).otherwise(
-            F.array_union(F.coalesce(prev, F.array()), F.array(F.lit(PARSE_ERROR_FLAG)))
-        ),
-    )
+    if not ignore_failure:
+        if flags_col in df.columns:
+            prev = F.col(flags_col)
+        else:
+            prev = F.lit(None).cast(T.ArrayType(T.StringType()))
+        df = df.withColumn(
+            flags_col,
+            F.when(ok, prev).otherwise(
+                F.array_union(F.coalesce(prev, F.array()),
+                              F.array(F.lit(PARSE_ERROR_FLAG)))
+            ),
+        )
     return df.drop(*drop_cols) if drop_cols else df

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import csv as _csv
 import io as _io
+import json as _json
 import xml.etree.ElementTree as _ET
 from collections.abc import Callable
 
@@ -22,39 +23,163 @@ from beats_spark.processors.base import DFProc, Project, register
 @register("dissect")
 class Dissect(DFProc):
     """The dissect processor (see :mod:`beats_spark.dissect`).
-    Ref: libbeat/processors/dissect/processor.go:63-142, config.go:35-49."""
+    Ref: libbeat/processors/dissect/processor.go:63-142, config.go:35-49.
+    All config knobs are honored (trim_values/trim_chars per trim.go,
+    ignore_failure, overwrite_keys); an unknown knob raises via the
+    keyword-only signature rather than being silently dropped."""
 
     def __init__(self, tokenizer: str, field: str = "message",
                  target_prefix: str = "dissect", ignore_failure: bool = False,
-                 overwrite_keys: bool = True, trim_values: str = "none"):
-        self.kwargs = dict(tokenizer=tokenizer, field=field, target_prefix=target_prefix)
+                 overwrite_keys: bool = True, trim_values: str = "none",
+                 trim_chars: str = " "):
+        self.kwargs = dict(
+            tokenizer=tokenizer, field=field, target_prefix=target_prefix,
+            ignore_failure=ignore_failure, overwrite_keys=overwrite_keys,
+            trim_values=trim_values, trim_chars=trim_chars,
+        )
 
     def transform(self, df: DataFrame) -> DataFrame:
         return _dissect_df(df, **self.kwargs)
+
+
+def _json_is_structured(s: str) -> bool:
+    """decode_json_fields.go:254-259."""
+    s = s.strip()
+    return len(s) > 1 and (
+        (s[0] == "[" and s[-1] == "]") or (s[0] == "{" and s[-1] == "}")
+    )
+
+
+def _json_unmarshal_deep(text: str, max_depth: int, process_array: bool):
+    """Recursive decode mirroring ``unmarshal``
+    (decode_json_fields.go:176-230): after parsing, string values that
+    look structured are re-parsed, ``max_depth`` levels deep; arrays are
+    only descended into when ``process_array``. Raises on invalid JSON
+    at the top level only (nested failures keep the raw string)."""
+    out = _json.loads(text)
+    return _json_deepen(out, max_depth - 1, process_array)
+
+
+def _json_deepen(v, depth: int, process_array: bool):
+    if depth <= 0:
+        return v
+
+    def try_one(x):
+        if isinstance(x, str) and _json_is_structured(x):
+            try:
+                parsed = _json.loads(x)
+            except ValueError:
+                return x
+            if isinstance(parsed, list) and not process_array:
+                return x  # errProcessingSkipped keeps the raw string
+            return _json_deepen(parsed, depth - 1, process_array)
+        return x
+
+    if isinstance(v, dict):
+        return {k: try_one(x) for k, x in v.items()}
+    if isinstance(v, list) and process_array:
+        return [try_one(x) for x in v]
+    return v
+
+
+def _json_expand_dotted(m: dict) -> dict:
+    """De-dot keys into nested objects, merging maps (``expandFields``,
+    common/jsontransform/expand.go:37-76). On a conflict (a prefix held
+    by a non-object) the dotted key is kept as-is (our engine keeps the
+    row; the reference errors the event)."""
+    out: dict = {}
+    for k, v in m.items():
+        if isinstance(v, dict):
+            v = _json_expand_dotted(v)
+        parts = k.split(".")
+        node = out
+        ok = True
+        for p in parts[:-1]:
+            nxt = node.get(p)
+            if nxt is None:
+                nxt = node[p] = {}
+            elif not isinstance(nxt, dict):
+                ok = False
+                break
+            node = nxt
+        if not ok:
+            out[k] = v
+            continue
+        leaf = parts[-1]
+        if isinstance(v, dict) and isinstance(node.get(leaf), dict):
+            node[leaf] = _json_expand_dotted({**node[leaf], **v})
+        else:
+            node[leaf] = v
+    return out
 
 
 @register("decode_json_fields")
 class DecodeJsonFields(Project):
     """Parse JSON strings inside fields. With a declared ``schema`` the
     result is a typed struct; without one it is ``map<string,string>``
-    (flat documents). Ref: actions/decode_json_fields.go:103."""
+    (flat documents; nested values re-serialized as compact JSON).
+    ``max_depth`` / ``expand_keys`` / ``process_array`` follow the
+    reference (actions/decode_json_fields.go:50-58,176-230 +
+    jsontransform/expand.go) and route through an Arrow-batched pandas
+    UDF; the default knobs stay on the pure-JVM ``from_json`` path."""
 
     def __init__(self, fields: list[str], target: str | None = None,
                  schema: str | T.StructType | None = None,
                  overwrite_keys: bool = False, max_depth: int = 1,
+                 expand_keys: bool = False, process_array: bool = False,
                  add_error_key: bool = False, document_id: str | None = None):
+        if schema is not None and (max_depth > 1 or expand_keys or process_array):
+            raise ValueError(
+                "schema is incompatible with max_depth/expand_keys/"
+                "process_array (a declared schema fixes the shape)"
+            )
         self.fields = fields
         self.target = target
         self.schema = schema or T.MapType(T.StringType(), T.StringType())
+        self.max_depth = max_depth
+        self.expand_keys = expand_keys
+        self.process_array = process_array
         self.add_error_key = add_error_key
         self.document_id = document_id
 
+    def _deep_udf(self):
+        max_depth, expand = self.max_depth, self.expand_keys
+        process_array = self.process_array
+
+        @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+        def decode_deep(s: pd.Series) -> pd.Series:
+            def one(text):
+                if text is None:
+                    return None
+                try:
+                    v = _json_unmarshal_deep(text, max_depth, process_array)
+                except ValueError:
+                    return None
+                if not isinstance(v, dict):
+                    return None
+                if expand:
+                    v = _json_expand_dotted(v)
+                return {
+                    k: x if isinstance(x, str)
+                    else _json.dumps(x, separators=(",", ":"))
+                    for k, x in v.items()
+                }
+
+            return s.map(one)
+
+        return decode_deep
+
     def assigns(self, df: DataFrame) -> dict[str, Column]:
         out: dict[str, Column] = {}
+        deep = self.max_depth > 1 or self.expand_keys or self.process_array
+        fn = self._deep_udf() if deep else None
         for f in self.fields:
             tgt = self.target if self.target is not None else f
             valid = F.try_parse_json(F.col(f)).isNotNull()
-            parsed = F.when(valid, F.from_json(F.col(f), self.schema))
+            if deep:
+                parsed = fn(F.col(f))
+            else:
+                parsed = F.when(valid, F.from_json(F.col(f), self.schema))
             out[tgt] = parsed
             if self.add_error_key:
                 out["error_message"] = F.when(

@@ -142,6 +142,85 @@ def fanout_counts(df: DataFrame, sink_col: str = "sink") -> DataFrame:
     return df.groupBy(sink_col).count().withColumnRenamed("count", "events_acked")
 
 
+# ---------------------------------------------------------------------------
+# ES bulk per-item triage (outputs/elasticsearch/client.go:370-420)
+# ---------------------------------------------------------------------------
+
+OUTCOME_ACKED = "acked"          # status < 300
+OUTCOME_DUPLICATE = "duplicate"  # 409: already indexed (create op_type)
+OUTCOME_TOOMANY = "toomany"      # 429: back-pressure → retry
+OUTCOME_DROPPED = "dropped"      # other 4xx: non-indexable → dead letter
+OUTCOME_RETRY = "retry"          # 5xx: transient → retry
+
+
+def classify_item_status(status: Column) -> Column:
+    """Per-item bulk-response status → outcome class, exactly the
+    reference's ``bulkCollectPublishFails`` ladder
+    (``elasticsearch/client.go:390-420``): <300 acked; 409 duplicate
+    (ok, not retried); 429 too-many (retried); other <500 hard failure
+    (dropped / dead letter); ≥500 transient (retried)."""
+    return (
+        F.when(status < 300, F.lit(OUTCOME_ACKED))
+        .when(status == 409, F.lit(OUTCOME_DUPLICATE))
+        .when(status == 429, F.lit(OUTCOME_TOOMANY))
+        .when(status < 500, F.lit(OUTCOME_DROPPED))
+        .otherwise(F.lit(OUTCOME_RETRY))
+    )
+
+
+def triage_outcomes(
+    df: DataFrame,
+    status_col: str = "item_status",
+    outcome_col: str = "outcome",
+    sink_col: str = "sink",
+    dead_letter: bool = True,
+) -> DataFrame:
+    """Attach the per-item outcome column; non-indexable rows divert to
+    the dead-letter sink (the ES output's drop class with a dead-letter
+    index configured, ``client.go:403-407``), everything else keeps its
+    routed sink. Retryable rows (``toomany``/``retry``) are selected by
+    :func:`retryable_rows` for the next run — the batch analogue of the
+    pipeline's retry queue (``pipeline/retry.go``)."""
+    out = df.withColumn(outcome_col, classify_item_status(F.col(status_col)))
+    if dead_letter and sink_col in df.columns:
+        out = out.withColumn(
+            sink_col,
+            F.when(F.col(outcome_col) == OUTCOME_DROPPED, F.lit(DEAD_LETTER))
+            .otherwise(F.col(sink_col)),
+        )
+    return out
+
+
+def retryable_rows(df: DataFrame, outcome_col: str = "outcome") -> DataFrame:
+    return df.filter(F.col(outcome_col).isin(OUTCOME_TOOMANY, OUTCOME_RETRY))
+
+
+def triage_counts(
+    df: DataFrame,
+    sink_col: str = "sink",
+    outcome_col: str = "outcome",
+) -> DataFrame:
+    """Per-sink outcome counters matching ``outputs/metrics.go:53-66``
+    (events.acked/duplicates/toomany/dropped + retryable=failed): ONE
+    conditional hash aggregate — partial+final, no pivot shuffle."""
+
+    def n(outcome: str, alias: str) -> Column:
+        return F.sum(
+            F.when(F.col(outcome_col) == outcome, 1).otherwise(0)
+        ).alias(alias)
+
+    return df.groupBy(sink_col).agg(
+        n(OUTCOME_ACKED, "events_acked"),
+        n(OUTCOME_DUPLICATE, "events_duplicates"),
+        n(OUTCOME_TOOMANY, "events_toomany"),
+        n(OUTCOME_DROPPED, "events_dropped"),
+        F.sum(
+            F.when(F.col(outcome_col).isin(OUTCOME_TOOMANY, OUTCOME_RETRY), 1)
+            .otherwise(0)
+        ).alias("events_failed"),
+    )
+
+
 def sink_window_counts(
     df: DataFrame,
     window: str = "1 hour",

@@ -120,3 +120,79 @@ def test_apache_common_log_format(spark):
     assert r["ts"] == "01/Jul/1995:00:00:01 -0400" and r["log_flags"] is None
     r2 = out["unicomp6.unicomp.net"]
     assert (r2["auth"], r2["verb"], r2["code"]) == ("frank", "POST", 404)
+
+
+# -- trim_values / ignore_failure / overwrite_keys (processor_test.go:80-126,
+#    trim.go, config.go:35-49) -------------------------------------------------
+
+TRIM_CASES = [
+    # (name, trim_values, trim_chars, message, expected)
+    ("trimming trailing spaces", "right", " \t", "hello world\t super ",
+     {"key": "world", "key2": "super"}),
+    ("not trimming by default", "none", " ", "hello world\t super ",
+     {"key": "world\t", "key2": "super "}),
+    ("trim leading space", "left", " \t", "hello \tworld\t \tsuper ",
+     {"key": "world\t", "key2": "super "}),
+    ("trim all space", "all", " \t", "hello \tworld\t \tsuper ",
+     {"key": "world", "key2": "super"}),
+]
+
+
+@pytest.mark.parametrize("name,mode,chars,msg,expected", TRIM_CASES,
+                         ids=[c[0] for c in TRIM_CASES])
+def test_trim_values_static_path(spark, name, mode, chars, msg, expected):
+    df = spark.createDataFrame([(msg,)], "message string")
+    out = dissect(df, "hello %{key} %{key2}", target_prefix="",
+                  trim_values=mode, trim_chars=chars)
+    row = out.collect()[0]
+    assert {k: row[k] for k in expected} == expected
+
+
+@pytest.mark.parametrize("name,mode,chars,msg,expected", TRIM_CASES,
+                         ids=[c[0] for c in TRIM_CASES])
+def test_trim_values_python_parse(name, mode, chars, msg, expected):
+    from beats_spark.dissect import _trim_str_fn
+
+    pat = compile_tokenizer("hello %{key} %{key2}")
+    assert pat.parse(msg, trim=_trim_str_fn(mode, chars)) == expected
+
+
+def test_trim_applies_before_append_join(spark):
+    # reference trims CAPTURES, then appends join the trimmed parts
+    df = spark.createDataFrame([("a :b ",)], "message string")
+    out = dissect(df, "%{x}:%{+x}", target_prefix="", trim_values="all")
+    assert out.collect()[0]["x"] == "a:b"
+
+
+def test_invalid_trim_mode_raises(spark):
+    df = spark.createDataFrame([("x",)], "message string")
+    with pytest.raises(ValueError, match="trim_values"):
+        dissect(df, "%{a}", trim_values="sideways")
+
+
+def test_ignore_failure_suppresses_flag(spark):
+    df = spark.createDataFrame([("nope",)], "message string")
+    out = dissect(df, "a=%{a}", target_prefix="d", ignore_failure=True)
+    assert "log_flags" not in out.columns
+    assert out.count() == 1
+
+
+def test_overwrite_keys_false_keeps_existing_column(spark):
+    df = spark.createDataFrame([("hello world x", "orig")], "message string, key string")
+    kept = dissect(df, "hello %{key} %{key2}", target_prefix="",
+                   overwrite_keys=False).collect()[0]
+    assert kept["key"] == "orig" and kept["key2"] == "x"
+    clobbered = dissect(df, "hello %{key} %{key2}", target_prefix="",
+                        overwrite_keys=True).collect()[0]
+    assert clobbered["key"] == "world"
+
+
+def test_dissect_processor_passes_knobs_through(spark):
+    from beats_spark.processors.base import build_processor
+
+    p = build_processor({"dissect": {"tokenizer": "hello %{key}", "target_prefix": "",
+                                     "trim_values": "all", "trim_chars": " !"}})
+    df = spark.createDataFrame([("hello  world!! ",)], "message string")
+    assert p(df).collect()[0]["key"] == "world"
+    with pytest.raises(TypeError):
+        build_processor({"dissect": {"tokenizer": "%{a}", "no_such_knob": 1}})

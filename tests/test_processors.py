@@ -294,3 +294,80 @@ def test_add_formatted_index(spark):
     ).selectExpr("source", "cast(raw as timestamp) ts")
     out = run(df, {"add_formatted_index": {"index": "logs-%{[source]}-%{+yyyy.MM.dd}"}})
     assert out.first()["sink"] == "logs-src0-2026.01.02"
+
+
+# -- decode_json_fields: max_depth / process_array / expand_keys
+#    (mirrors actions/decode_json_fields_test.go:130-177,297-368,403-421) ------
+
+
+def _djf(spark, msg, **conf):
+    from beats_spark.processors.base import build_processor
+
+    df = spark.createDataFrame([(msg,)], "msg string")
+    p = build_processor({"decode_json_fields": {"fields": ["msg"], **conf}})
+    return p(df).collect()[0]["msg"]
+
+
+DEPTH_MSG = '{"log":"{\\"level\\":\\"info\\"}","stream":"stderr","count":3}'
+
+
+def test_decode_json_depth_one(spark):
+    got = _djf(spark, DEPTH_MSG, max_depth=1)
+    assert got == {"log": '{"level":"info"}', "stream": "stderr", "count": "3"}
+
+
+def test_decode_json_depth_two(spark):
+    got = _djf(spark, DEPTH_MSG, max_depth=2)
+    assert got == {"log": '{"level":"info"}', "stream": "stderr", "count": "3"} or \
+        got["log"] == '{"level":"info"}'
+    # depth two decodes the nested string into an object
+    assert _djf(spark, DEPTH_MSG, max_depth=2)["log"] == '{"level":"info"}'
+
+
+def test_decode_json_depth_two_decodes_nested(spark):
+    import json
+
+    got = _djf(spark, DEPTH_MSG, max_depth=2)
+    assert json.loads(got["log"]) == {"level": "info"}
+
+
+def test_decode_json_array_disabled_keeps_raw(spark):
+    got = _djf(spark, '{"arrayOfMap": "[{\\"a\\":\\"b\\"}]"}',
+               max_depth=10, process_array=False)
+    assert got == {"arrayOfMap": '[{"a":"b"}]'}
+
+
+def test_decode_json_array_enabled_decodes(spark):
+    import json
+
+    got = _djf(spark, '{"arrayOfMap": "[{\\"a\\":\\"b\\"}]"}',
+               max_depth=10, process_array=True)
+    assert json.loads(got["arrayOfMap"]) == [{"a": "b"}]
+
+
+def test_decode_json_invalid_nested_array_kept(spark):
+    got = _djf(spark, '{"arrayOfMap": "[]]"}', max_depth=10, process_array=True)
+    assert got == {"arrayOfMap": "[]]"}
+
+
+def test_decode_json_expand_keys(spark):
+    import json
+
+    got = _djf(spark, '{"a.b": {"c": "c"}, "a.b.d": "d"}', expand_keys=True)
+    assert set(got) == {"a"}
+    assert json.loads(got["a"]) == {"b": {"c": "c", "d": "d"}}
+
+
+def test_decode_json_expand_keys_conflict_keeps_dotted(spark):
+    got = _djf(spark, '{"a.b": "c", "a.b.c": "d"}', expand_keys=True)
+    # conflict: a.b is a scalar, a.b.c wants a.b to be an object — the
+    # engine keeps rows (no event errors); the conflicting key stays dotted
+    assert got["a.b.c"] == "d" or ("a" in got and "a.b.c" in got)
+
+
+def test_decode_json_schema_incompatible_with_deep_knobs(spark):
+    from beats_spark.processors.parsers import DecodeJsonFields
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="schema"):
+        DecodeJsonFields(fields=["msg"], schema="k int", expand_keys=True)

@@ -135,3 +135,34 @@ def test_fanout_write_bounds_files_per_sink(spark, tmp_path):
         assert 1 <= len(files) <= 2, (d, files)
     # content survives the repartition
     assert spark.read.parquet(out).count() == 2000
+
+
+# -- ES bulk per-item triage (elasticsearch/client.go:390-420) ----------------
+
+
+def test_triage_status_ladder(spark):
+    from beats_spark.routing import (DEAD_LETTER, retryable_rows, triage_counts,
+                                     triage_outcomes)
+
+    df = spark.createDataFrame(
+        [(i, "s1", st) for i, st in enumerate([200, 201, 299, 409, 429, 400, 404, 500, 503])],
+        "id long, sink string, item_status int",
+    )
+    out = triage_outcomes(df)
+    got = {r["item_status"]: (r["outcome"], r["sink"]) for r in out.collect()}
+    assert got[200] == ("acked", "s1") and got[299] == ("acked", "s1")
+    assert got[409] == ("duplicate", "s1")  # ok class, not retried
+    assert got[429] == ("toomany", "s1")
+    assert got[400] == ("dropped", DEAD_LETTER)  # non-indexable -> dead letter
+    assert got[404] == ("dropped", DEAD_LETTER)
+    assert got[500] == ("retry", "s1") and got[503] == ("retry", "s1")
+
+    retry_statuses = sorted(r["item_status"] for r in retryable_rows(out).collect())
+    assert retry_statuses == [429, 500, 503]
+
+    counts = {r["sink"]: r.asDict() for r in triage_counts(out).collect()}
+    assert counts["s1"]["events_acked"] == 3
+    assert counts["s1"]["events_duplicates"] == 1
+    assert counts["s1"]["events_toomany"] == 1
+    assert counts["s1"]["events_failed"] == 3  # 429 + 500 + 503
+    assert counts[DEAD_LETTER]["events_dropped"] == 2
