@@ -26,21 +26,33 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 Resolver = Callable[[str], Column]
 
-#: Named network ranges → IPv4 CIDRs (reference: libbeat/conditions/network.go).
+#: Named network ranges → CIDRs, both families (reference:
+#: libbeat/conditions/network.go:33-63 — the Go net.IP.Is* predicates
+#: expressed as the CIDR sets they test).
 NAMED_NETWORKS: dict[str, list[str]] = {
-    "loopback": ["127.0.0.0/8"],
-    "unicast": ["0.0.0.0/0"],
-    "multicast": ["224.0.0.0/4"],
-    "link_local_unicast": ["169.254.0.0/16"],
-    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
+    "loopback": ["127.0.0.0/8", "::1/128"],
+    "unicast": ["0.0.0.0/0", "::/0"],
+    "multicast": ["224.0.0.0/4", "ff00::/8"],
+    "link_local_unicast": ["169.254.0.0/16", "fe80::/10"],
+    "link_local_multicast": ["224.0.0.0/24", "ff02::/16"],
+    "interface_local_multicast": ["ff01::/16"],
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fc00::/7"],
     "public": [],  # complement of private+loopback+link_local — handled specially
-    "unspecified": ["0.0.0.0/32"],
+    "unspecified": ["0.0.0.0/32", "::/128"],
 }
+
+#: isLocalOrPrivate (network.go:211-226) — what "public" excludes.
+_LOCAL_OR_PRIVATE = [
+    "10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "127.0.0.0/8",
+    "169.254.0.0/16", "fc00::/7", "::1/128", "fe80::/10",
+]
 
 _IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
 
@@ -78,13 +90,16 @@ def _is_array_field(df: DataFrame | None, path: str) -> bool:
 
 
 def _ip_to_long(col: Column) -> Column:
-    """IPv4 dotted-quad string → uint32 as bigint (pure JVM expression)."""
+    """IPv4 dotted-quad string → uint32 as bigint (pure JVM expression).
+    try_cast: under ANSI mode a plain cast throws on non-numeric input
+    even when AND-guarded by the dotted-quad rlike (codegen does not
+    short-circuit across vectorized batches)."""
     parts = F.split(col, r"\.")
     return (
-        parts.getItem(0).cast("long") * F.lit(16777216)
-        + parts.getItem(1).cast("long") * F.lit(65536)
-        + parts.getItem(2).cast("long") * F.lit(256)
-        + parts.getItem(3).cast("long")
+        parts.getItem(0).try_cast("long") * F.lit(16777216)
+        + parts.getItem(1).try_cast("long") * F.lit(65536)
+        + parts.getItem(2).try_cast("long") * F.lit(256)
+        + parts.getItem(3).try_cast("long")
     )
 
 
@@ -105,27 +120,61 @@ def _cidr_match(col: Column, cidr: str) -> Column:
     )
 
 
+def _ipv6_match_udf(cidrs: list[str], public: bool):
+    """Arrow-batched IPv6 membership (stdlib ipaddress): real parse of
+    compressed/expanded forms, not a heuristic. Only IPv6 addresses can
+    match (IPv4 goes through the JVM bitmask path); ``public`` matches
+    any valid v6 address NOT in the local/private set."""
+
+    @pandas_udf("boolean")
+    def match(s: pd.Series) -> pd.Series:
+        import ipaddress
+
+        nets = [ipaddress.ip_network(c) for c in cidrs]
+        negs = [ipaddress.ip_network(c) for c in _LOCAL_OR_PRIVATE
+                if ":" in c] if public else []
+
+        def one(v):
+            if v is None or ":" not in v:
+                return False
+            try:
+                ip = ipaddress.ip_address(v)
+            except ValueError:
+                return False
+            if ip.version != 6:
+                return False
+            if public:
+                return not any(ip in n for n in negs)
+            return any(ip in n for n in nets)
+
+        return s.map(one)
+
+    return match
+
+
 def _network_cond(col: Column, spec) -> Column:
     specs = spec if isinstance(spec, list) else [spec]
     cidrs: list[str] = []
-    negate_cidrs: list[str] = []
+    public = False
     for s in specs:
         if s == "public":
-            negate_cidrs.extend(
-                NAMED_NETWORKS["private"]
-                + NAMED_NETWORKS["loopback"]
-                + NAMED_NETWORKS["link_local_unicast"]
-            )
+            public = True
         elif s in NAMED_NETWORKS:
             cidrs.extend(NAMED_NETWORKS[s])
         else:
             cidrs.append(s)
-    conds = [_cidr_match(col, c) for c in cidrs]
-    if negate_cidrs:
-        pub = col.rlike(_IPV4_RE)
-        for c in negate_cidrs:
-            pub = pub & ~_cidr_match(col, c)
-        conds.append(pub)
+    v4 = [c for c in cidrs if ":" not in c]
+    v6 = [c for c in cidrs if ":" in c]
+    conds = [_cidr_match(col, c) for c in v4]
+    if v6:
+        conds.append(_ipv6_match_udf(v6, public=False)(col))
+    if public:
+        # v4 public: valid dotted-quad not in the local/private v4 set
+        pub4 = col.rlike(_IPV4_RE)
+        for c in (c for c in _LOCAL_OR_PRIVATE if ":" not in c):
+            pub4 = pub4 & ~_cidr_match(col, c)
+        conds.append(pub4)
+        conds.append(_ipv6_match_udf([], public=True)(col))
     out = conds[0]
     for c in conds[1:]:
         out = out | c

@@ -69,10 +69,40 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", target: str = "predicted_lang") -> DataFrame:
+class LangScorer:
+    """Pluggable language-ID model interface: ``predict`` maps a pandas
+    Series of texts to a Series of language codes. Production models
+    (fastText lid.176, CLD3, …) wrap their batch predict here; the
+    engine runs it Arrow-batched via a pandas UDF — never per-row. The
+    default marker heuristic stays the (oracle-checkable) fallback."""
+
+    def predict(self, texts: "pd.Series") -> "pd.Series":  # pragma: no cover
+        raise NotImplementedError
+
+
+def lang_id_scored(df: DataFrame, scorer: LangScorer, text_col: str = "text",
+                   target: str = "predicted_lang") -> DataFrame:
+    """Language ID via a pluggable :class:`LangScorer` (Arrow-batched)."""
+    import pandas as pd  # noqa: F401 (signature type only)
+    from pyspark.sql.functions import pandas_udf
+
+    predict = scorer.predict
+
+    @pandas_udf("string")
+    def score(texts):
+        return predict(texts)
+
+    return df.withColumn(target, score(F.col(text_col)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", target: str = "predicted_lang",
+            scorer: LangScorer | None = None) -> DataFrame:
     """Marker-word language ID heuristic: score = count of tokens in the
     language's marker list; argmax with fixed tie order (en, de, fr, es,
-    zh); all-zero → 'und'."""
+    zh); all-zero → 'und'. Pass ``scorer`` to swap in a real model
+    (see :class:`LangScorer`)."""
+    if scorer is not None:
+        return lang_id_scored(df, scorer, text_col, target)
     toks = word_tokens(F.col(text_col))
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))

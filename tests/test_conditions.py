@@ -90,3 +90,70 @@ def test_attrs_fallback(spark):
         [(1, {"env": "prod"}), (2, {"env": "dev"})], "id int, attrs map<string,string>"
     )
     assert ids(df, {"equals": {"env": "prod"}}) == [1]
+
+
+# -- IPv6 network conditions (conditions/network.go:33-63,211-226) ------------
+
+
+def _ips(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "ip string")
+
+
+def _match(spark, spec, vals):
+    from beats_spark.conditions import compile_condition
+
+    df = _ips(spark, vals)
+    out = df.withColumn("m", compile_condition({"network": {"ip": spec}}, df))
+    return {r["ip"]: bool(r["m"]) for r in out.collect()}
+
+
+def test_network_ipv6_named_ranges(spark):
+    got = _match(spark, "loopback", ["::1", "127.0.0.1", "fe80::1", "2001:db8::1"])
+    assert got == {"::1": True, "127.0.0.1": True, "fe80::1": False,
+                   "2001:db8::1": False}
+    got = _match(spark, "link_local_unicast",
+                 ["fe80::4240:30ff:feb0:21c0", "169.254.3.4", "fe00::1"])
+    assert got == {"fe80::4240:30ff:feb0:21c0": True, "169.254.3.4": True,
+                   "fe00::1": False}
+    got = _match(spark, "private", ["fd00::1", "fc00::2", "10.1.2.3", "2001:db8::1"])
+    assert got == {"fd00::1": True, "fc00::2": True, "10.1.2.3": True,
+                   "2001:db8::1": False}
+
+
+def test_network_ipv6_explicit_cidr(spark):
+    got = _match(spark, "2001:db8::/32",
+                 ["2001:db8::1", "2001:db8:ffff::9", "2001:db9::1", "junk", "10.0.0.1"])
+    assert got == {"2001:db8::1": True, "2001:db8:ffff::9": True,
+                   "2001:db9::1": False, "junk": False, "10.0.0.1": False}
+
+
+def test_network_ipv6_compressed_forms_parse(spark):
+    # real parse, not a contains(':') heuristic: equivalent forms match,
+    # malformed colon-strings don't
+    got = _match(spark, "fe80::/10",
+                 ["fe80:0000:0000:0000:0000:0000:0000:0001", "fe80::1", "fe80:::1", "::"])
+    assert got == {"fe80:0000:0000:0000:0000:0000:0000:0001": True,
+                   "fe80::1": True, "fe80:::1": False, "::": False}
+
+
+def test_network_public_both_families(spark):
+    got = _match(spark, "public",
+                 ["8.8.8.8", "10.0.0.1", "127.0.0.1", "169.254.1.1",
+                  "2001:db8::1", "fd00::1", "::1", "fe80::1", "junk"])
+    assert got == {"8.8.8.8": True, "10.0.0.1": False, "127.0.0.1": False,
+                   "169.254.1.1": False, "2001:db8::1": True, "fd00::1": False,
+                   "::1": False, "fe80::1": False, "junk": False}
+
+
+def test_network_mixed_family_list(spark):
+    got = _match(spark, ["192.168.0.0/16", "fe80::/10"],
+                 ["192.168.9.9", "fe80::2", "10.0.0.1", "2001:db8::1"])
+    assert got == {"192.168.9.9": True, "fe80::2": True, "10.0.0.1": False,
+                   "2001:db8::1": False}
+
+
+def test_network_unspecified_and_multicast_v6(spark):
+    got = _match(spark, "unspecified", ["::", "0.0.0.0", "::1"])
+    assert got == {"::": True, "0.0.0.0": True, "::1": False}
+    got = _match(spark, "multicast", ["ff02::1", "224.0.0.5", "fe80::1"])
+    assert got == {"ff02::1": True, "224.0.0.5": True, "fe80::1": False}

@@ -267,3 +267,23 @@ def test_frame_sample_video_only(spark):
     # only doc_id=2 is video; 204 bytes → floor(204/64)=3 → frames 0..3
     assert [f[0] for f in frames] == ["2"] * 4
     assert [f[2] for f in frames] == [0, 64, 128, 192]
+
+
+def test_lang_id_pluggable_scorer(spark):
+    """A model drops into the LangScorer interface; the engine runs it
+    Arrow-batched and the default heuristic is untouched."""
+    import pandas as pd
+
+    from beats_spark.corpus.textstats import LangScorer, lang_id
+
+    class FakeModel(LangScorer):
+        def predict(self, texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: "xx" if t and "zz" in t else "en")
+
+    df = spark.createDataFrame([(1, "hello zz world"), (2, "plain text")],
+                               "doc_id long, text string")
+    got = dict(rows(lang_id(df, scorer=FakeModel()), "doc_id", "predicted_lang"))
+    assert got == {1: "xx", 2: "en"}
+    # default path unaffected
+    base = dict(rows(lang_id(df), "doc_id", "predicted_lang"))
+    assert set(base.values()) <= {"en", "de", "fr", "es", "zh", "und"}

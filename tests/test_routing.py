@@ -166,3 +166,65 @@ def test_triage_status_ladder(spark):
     assert counts["s1"]["events_toomany"] == 1
     assert counts["s1"]["events_failed"] == 3  # 429 + 500 + 503
     assert counts[DEAD_LETTER]["events_dropped"] == 2
+
+
+# -- kafka sink shape (outputs/kafka: kafka.go:52, partition.go:64-138) -------
+
+
+def test_kafka_frame_shape_and_routing(spark):
+    import json
+
+    from beats_spark.kafka_sink import kafka_frame
+
+    df = spark.createDataFrame(
+        [("error", 7, "2026-01-02 03:00:00"), ("info", 9, "2026-01-02 04:00:00")],
+        "level string, uid long, ts_s string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts_s")).drop("ts_s")
+    frame = kafka_frame(
+        df,
+        topics={"indices": [
+            {"topic": "alerts-%{[level]}", "when": {"equals": {"level": "error"}}}],
+            "default": "logs"},
+        key="%{[uid]}",
+    )
+    assert [f.name for f in frame.schema.fields] == ["key", "value", "topic"]
+    types = {f.name: f.dataType.typeName() for f in frame.schema.fields}
+    assert types == {"key": "binary", "value": "binary", "topic": "string"}
+    rows_ = {r["topic"]: r for r in frame.collect()}
+    assert set(rows_) == {"alerts-error", "logs"}
+    assert bytes(rows_["alerts-error"]["key"]) == b"7"
+    payload = json.loads(bytes(rows_["alerts-error"]["value"]))
+    assert payload["level"] == "error" and payload["uid"] == 7
+
+
+def test_kafka_hash_fields_key_and_writer_options(spark):
+    from beats_spark.kafka_sink import kafka_frame, write_kafka
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "src string, part long")
+    frame = kafka_frame(df, topics={"default": "t"}, hash_fields=["src", "part"])
+    keys = sorted(bytes(r["key"]) for r in frame.collect())
+    assert keys == [b"a|1", b"b|2"]  # partition.hash.hash joined fields
+
+    from beats_spark.kafka_sink import kafka_writer_options
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    writer = write_kafka(df, "broker:9092", topics={"default": "t"},
+                         key="%{[src]}", options={"kafka.acks": "all"})
+    # code-complete, not executed (no broker in sandbox): the writer is
+    # configured and ready for save()
+    assert isinstance(writer, DataFrameWriter)
+    opts = kafka_writer_options("broker:9092", {"kafka.acks": "all"})
+    assert opts == {"kafka.bootstrap.servers": "broker:9092", "kafka.acks": "all"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="strategy"):
+        write_kafka(df, "b:9092", topics={"default": "t"}, partition_strategy="zigzag")
+
+
+def test_kafka_round_robin_drops_key(spark):
+    from beats_spark.kafka_sink import kafka_frame, write_kafka
+
+    df = spark.createDataFrame([("a", 1)], "src string, part long")
+    w = write_kafka(df, "b:9092", topics={"default": "t"}, key="%{[src]}",
+                    partition_strategy="round_robin")
+    assert w is not None  # plan builds; key nulled for broker-side spreading
