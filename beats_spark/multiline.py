@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,14 +44,31 @@ def multiline_pattern(
     order_col: str = "offset",
     line_col: str = "message",
     separator: str = "\n",
+    merge: str = "agg",
 ) -> DataFrame:
     """Merge lines into multiline events; one output row per event.
 
     Output: partition cols + ``offset`` (first line's order value),
     ``message`` (joined), ``n_lines`` (pre-cap line count).
+
+    ``merge`` picks the second phase (the window phase is shared):
+
+    - ``"agg"`` (default, oracle path): groupBy(stream, group) +
+      ordered ``collect_list`` — a SECOND shuffle on the compound key
+      (the window's hash partitioning on the stream key alone does not
+      satisfy the aggregate's requirement).
+    - ``"stream"`` (scale path, identical rows): the window output is
+      already hash-partitioned by the stream key AND sorted by
+      (stream, order), so events are contiguous within partitions —
+      one ``mapInPandas`` pass merges them with NO second shuffle,
+      carrying the open group across Arrow batches. At 10^12 rows this
+      halves the shuffled bytes; use it when the window phase is
+      already the plan's dominant exchange.
     """
     if match not in ("after", "before"):
         raise ValueError(f"match must be after|before, got {match!r}")
+    if merge not in ("agg", "stream"):
+        raise ValueError(f"merge must be agg|stream, got {merge!r}")
 
     w = Window.partitionBy(*partition_cols).orderBy(order_col)
     m = F.col(line_col).rlike(pattern)
@@ -74,7 +92,8 @@ def multiline_pattern(
     grouped = df.withColumn(
         "_ml_group", F.sum(is_start.cast("long")).over(w)
     )
-    return _merge_groups(
+    merger = _merge_groups_stream if merge == "stream" else _merge_groups
+    return merger(
         grouped, partition_cols, order_col, line_col, separator, max_lines, "_ml_group"
     )
 
@@ -96,6 +115,74 @@ def multiline_count(
     return _merge_groups(
         grouped, partition_cols, order_col, line_col, separator, max_lines, "_ml_group"
     )
+
+
+def _merge_groups_stream(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    line_col: str,
+    separator: str,
+    max_lines: int,
+    group_col: str,
+) -> DataFrame:
+    """Shuffle-free merge: the window already leaves each physical
+    partition holding whole streams, sorted by (stream, order) — so a
+    group's lines are contiguous and one forward pass merges them.
+    ``sortWithinPartitions`` re-states the ordering contract; the
+    planner elides the sort because the window's output ordering
+    already satisfies it. The open group carries across Arrow batches
+    (a group can span any number of batches) and flushes at
+    end-of-partition."""
+    pcols = list(partition_cols)
+    df = df.sortWithinPartitions(*pcols, order_col)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in pcols]
+        + [f"{order_col} {fields[order_col]}", f"{line_col} string", "n_lines bigint"]
+    )
+    gcols = pcols + [group_col]
+
+    def runner(batches):
+        carry: tuple | None = None  # (key, order, lines, n)
+
+        def finish(c):
+            key, order, lines, n = c
+            return (*key[:-1], order, separator.join(lines[:max_lines]), n)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            agg = (
+                pdf.groupby(gcols, sort=False)
+                .agg(
+                    o=(order_col, "min"),
+                    n=(order_col, "size"),
+                    m=(line_col, list),
+                )
+                .reset_index()
+            )[[*gcols, "o", "n", "m"]]
+            nk = len(gcols)
+            for tup in agg.itertuples(index=False, name=None):
+                key, (o, n, m) = tup[:nk], tup[nk:]
+                if carry is not None and carry[0] == key:
+                    carry = (key, carry[1], carry[2] + m, carry[3] + n)
+                else:
+                    if carry is not None:
+                        out.append(finish(carry))
+                    carry = (key, o, list(m), int(n))
+            # hold back the open tail group; emit the closed ones
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[*pcols, order_col, line_col, "n_lines"]
+                )
+        if carry is not None:
+            yield pd.DataFrame(
+                [finish(carry)], columns=[*pcols, order_col, line_col, "n_lines"]
+            )
+
+    return df.mapInPandas(runner, schema=out_schema)
 
 
 def _merge_groups(

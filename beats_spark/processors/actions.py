@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from beats_spark.conditions import compile_condition, _cidr_match, NAMED_NETWORKS
+from beats_spark.conditions import compile_condition
 from beats_spark.fmtstr import compile_fmtstr
 from beats_spark.processors.base import FilterProc, Project, register
 
@@ -551,13 +551,11 @@ class AddNetworkDirection(Project):
         self.networks = internal_networks or ["private"]
 
     def _internal(self, col: Column) -> Column:
-        cidrs: list[str] = []
-        for n in self.networks:
-            cidrs.extend(NAMED_NETWORKS.get(n, [n]))
-        cond = _cidr_match(col, cidrs[0])
-        for c in cidrs[1:]:
-            cond = cond | _cidr_match(col, c)
-        return cond
+        # family-aware: v4 via JVM bitmask, v6 via the Arrow matcher
+        # (conditions._network_cond handles named ranges + mixed lists)
+        from beats_spark.conditions import _network_cond
+
+        return _network_cond(col, list(self.networks))
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
         src_int = self._internal(F.col(self.source))

@@ -99,6 +99,36 @@ def run_pipeline_throughput(spark) -> tuple[float, int, list[float]]:
     return PIPELINE_ROWS / best, PIPELINE_ROWS, rep_secs
 
 
+def run_multiline_scale(spark, n_rows: int) -> dict:
+    """Multiline merge at scale, both second-phase strategies (the
+    window phase is shared): 'agg' re-shuffles on the compound group
+    key, 'stream' merges in-partition with no second shuffle. Min-of-2
+    after an untimed warm-up, per the stall-resistant protocol."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.datagen import generate_events
+    from beats_spark.multiline import multiline_pattern
+
+    ev = generate_events(spark, n_rows).select(
+        "source", "part_id", "offset",
+        F.when(F.pmod("offset", 4) != 0, F.concat(F.lit("  at frame "), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("ERR "), F.col("message")))
+        .alias("message"),
+    )
+    out: dict = {"rows": n_rows}
+    for mode in ("agg", "stream"):
+        df = multiline_pattern(ev, pattern=r"^\s+at ", match="after", merge=mode)
+        materialize(df)
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            materialize(df)
+            reps.append(round(time.time() - t0, 3))
+        out[f"{mode}_seconds"] = min(reps)
+        out[f"{mode}_events_per_sec"] = round(n_rows / min(reps))
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -121,6 +151,9 @@ def main() -> None:
         times[name] = round(min(reps), 3)
 
     eps, nrows, rep_secs = run_pipeline_throughput(spark)
+    ml_scale = run_multiline_scale(
+        spark, int(os.environ.get("BENCH_MULTILINE_ROWS", "8000000"))
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -132,6 +165,7 @@ def main() -> None:
         "pipeline_events_per_sec": round(eps),
         "pipeline_rows": nrows,
         "pipeline_rep_seconds": rep_secs,
+        "multiline_scale": ml_scale,
         "cpus": int(cpus),
     }
 

@@ -4,6 +4,7 @@ libbeat/reader/multiline/pattern.go + multiline_test.go model)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from beats_spark.multiline import multiline_count, multiline_pattern
 from tests.conftest import rows
@@ -86,3 +87,46 @@ def test_count_mode(spark):
     out = multiline_count(df, lines_count=2)
     got = rows(out, "offset", "message", "n_lines")
     assert got == [(0, "l0\nl1", 2), (2, "l2\nl3", 2), (4, "l4", 1)]
+
+
+def test_stream_merge_matches_agg_merge(spark):
+    """merge='stream' (single-shuffle mapInPandas) must produce exactly
+    the rows of merge='agg', including groups that span Arrow batches
+    (forced tiny batch size)."""
+    from beats_spark.datagen import generate_events
+    from beats_spark.multiline import multiline_pattern
+    from tests.conftest import rows
+
+    ev = generate_events(spark, 3000).select(
+        "source", "part_id", "offset",
+        F.when(F.pmod("offset", 4) != 0, F.concat(F.lit("  at "), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("ERR "), F.col("message")))
+        .alias("message"),
+    )
+    cols = ("source", "part_id", "offset", "message", "n_lines")
+    kw = dict(pattern=r"^\s+at ", match="after")
+    want = sorted(rows(multiline_pattern(ev, **kw), *cols))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        got = sorted(rows(multiline_pattern(ev, merge="stream", **kw), *cols))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want
+    assert len(got) > 100
+
+
+def test_stream_merge_max_lines_cap(spark):
+    from beats_spark.multiline import multiline_pattern
+    from tests.conftest import rows
+
+    lines = spark.createDataFrame(
+        [("s", 0, i, "start" if i == 0 else "  cont") for i in range(6)],
+        "source string, part_id int, offset long, message string",
+    )
+    got = rows(
+        multiline_pattern(lines, pattern=r"^\s+cont", match="after",
+                          max_lines=3, merge="stream"),
+        "offset", "message", "n_lines",
+    )
+    assert got == [(0, "start\n  cont\n  cont", 6)]
