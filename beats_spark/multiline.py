@@ -51,19 +51,20 @@ def multiline_pattern(
     Output: partition cols + ``offset`` (first line's order value),
     ``message`` (joined), ``n_lines`` (pre-cap line count).
 
-    ``merge`` picks the second phase (the window phase is shared):
+    ``merge`` picks the second phase (the window phase is shared).
+    BOTH are single-shuffle plans — the window's hash partitioning on
+    the stream key satisfies the compound-key aggregate's clustered
+    distribution, so no second exchange exists (verified in the
+    physical plan; bench.py ``multiline_scale`` measures both):
 
-    - ``"agg"`` (default, oracle path): groupBy(stream, group) +
-      ordered ``collect_list`` — a SECOND shuffle on the compound key
-      (the window's hash partitioning on the stream key alone does not
-      satisfy the aggregate's requirement).
-    - ``"stream"`` (scale path, identical rows): the window output is
-      already hash-partitioned by the stream key AND sorted by
-      (stream, order), so events are contiguous within partitions —
-      one ``mapInPandas`` pass merges them with NO second shuffle,
-      carrying the open group across Arrow batches. At 10^12 rows this
-      halves the shuffled bytes; use it when the window phase is
-      already the plan's dominant exchange.
+    - ``"agg"`` (default): groupBy(stream, group) + ordered
+      ``collect_list`` — ObjectHashAggregate in place, pure JVM, the
+      faster mode in-sandbox (no Arrow round-trip).
+    - ``"stream"``: one ``mapInPandas`` forward pass over the window's
+      (stream, order)-sorted output, carrying the open group across
+      Arrow batches. Same rows; trades the JVM object agg for an
+      Arrow pass — an alternative when collect_list's per-group struct
+      arrays pressure executor memory on pathological group sizes.
     """
     if match not in ("after", "before"):
         raise ValueError(f"match must be after|before, got {match!r}")

@@ -48,7 +48,7 @@ def materialize(df) -> int:
     return 0
 
 
-PIPELINE_REPS = int(os.environ.get("BENCH_PIPELINE_REPS", "4"))
+PIPELINE_REPS = int(os.environ.get("BENCH_PIPELINE_REPS", "3"))
 
 
 def run_pipeline_throughput(spark) -> tuple[float, int, list[float]]:
@@ -162,7 +162,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # in-process measurement — superseded below by the pinned
+        # spark-submit steady-state run when the scaling section runs
+        # (the shared in-process JVM suffers the host's stalls far more
+        # than a fresh taskset-pinned one; both are reported)
         "pipeline_events_per_sec": round(eps),
+        "pipeline_measurement": "in-process min-of-reps",
         "pipeline_rows": nrows,
         "pipeline_rep_seconds": rep_secs,
         "multiline_scale": ml_scale,
@@ -197,6 +202,22 @@ def main() -> None:
             ratio = high / low
             eff = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio
             ceiling = (cal_hi / cal_lo) / ratio
+            # the headline throughput: the SAME pipeline via spark-submit
+            # at full cores, taskset-pinned, steady-state (min of reps
+            # 2+) — a fresh pinned JVM dodges the shared-JVM host stalls
+            # that randomize the in-process reps above
+            full_cores = int(cpus)
+            full = run_once(full_cores, rows, zip_path, reps=reps)
+            f_steady = full.get("rep_seconds") or [full["seconds"]]
+            f_best = min(f_steady[1:] or f_steady)
+            out["pipeline_events_per_sec_inprocess"] = out["pipeline_events_per_sec"]
+            out["pipeline_events_per_sec"] = round(rows / f_best)
+            out["pipeline_measurement"] = (
+                f"spark-submit local[{full_cores}] taskset-pinned, "
+                f"steady-state min of reps 2-{len(f_steady)}"
+            )
+            out["pipeline_rows"] = rows
+            out["pipeline_rep_seconds"] = f_steady
             out["scaling"] = {
                 "rows": rows,
                 "low_cores": low,

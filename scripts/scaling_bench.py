@@ -73,12 +73,14 @@ def run_once(cores: int, rows: int, zip_path: str, driver_mem: str = "24g",
     )
 
 
-def calibrate(cores: int, n: int = 20_000_000_000) -> float:
+def calibrate(cores: int, n: int = 20_000_000_000, reps: int = 3) -> float:
     """Machine scaling ceiling: a pure-CPU whole-stage-codegen loop
     (range → xxhash64 → max; no strings, no shuffle, no Python). What
     this job loses going N→4N is lost to the host (vCPU oversubscription,
     clock scaling), not to our pipeline; pipeline efficiency should be
-    judged against this ceiling. Returns rows/sec at `cores`."""
+    judged against this ceiling. Returns best-of-``reps`` rows/sec at
+    `cores` (single reps get stall-garbled on this host just like the
+    pipeline reps — min time is the estimator throughout)."""
     code = (
         "import time\n"
         "from pyspark.sql import SparkSession, functions as F\n"
@@ -89,9 +91,12 @@ def calibrate(cores: int, n: int = 20_000_000_000) -> float:
         f"q = lambda n: spark.range(0, n, numPartitions={cores})"
         ".select(F.max(F.xxhash64('id'))).collect()\n"
         f"q({n})\n"  # warmup at full size (same literal -> same codegen class)
-        "t0 = time.time()\n"
-        f"q({n})\n"
-        f"print('CAL', {n} / (time.time() - t0))\n"
+        "best = 1e18\n"
+        f"for _ in range({reps}):\n"
+        "    t0 = time.time()\n"
+        f"    q({n})\n"
+        "    best = min(best, time.time() - t0)\n"
+        f"print('CAL', {n} / best)\n"
         "spark.stop()\n"
     )
     proc = subprocess.run(

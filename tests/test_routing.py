@@ -228,3 +228,25 @@ def test_kafka_round_robin_drops_key(spark):
     w = write_kafka(df, "b:9092", topics={"default": "t"}, key="%{[src]}",
                     partition_strategy="round_robin")
     assert w is not None  # plan builds; key nulled for broker-side spreading
+
+
+def test_redis_frame_shape(spark):
+    import json
+
+    from beats_spark.redis_sink import redis_frame, write_redis
+
+    df = spark.createDataFrame([("error", 1), ("info", 2)], "level string, uid long")
+    frame = redis_frame(df, key={"indices": [
+        {"key": "hot-%{[level]}", "when": {"equals": {"level": "error"}}}],
+        "default": "logs"})
+    got = {r["key"]: json.loads(r["value"]) for r in frame.collect()}
+    assert set(got) == {"hot-error", "logs"}
+    assert got["hot-error"]["uid"] == 1
+
+    # bare format-string key (the reference's key: "%{[f]:fallback}")
+    frame2 = redis_frame(df, key="queue")
+    assert [r["key"] for r in frame2.collect()] == ["queue", "queue"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="data_type"):
+        write_redis(df, "h", 6379, key="q", data_type="zset")
