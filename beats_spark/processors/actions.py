@@ -174,11 +174,19 @@ class TruncateFields(Project):
         self.fields = fields
         self.max_characters = max_characters
         self.max_bytes = max_bytes
+        self.ignore_missing = ignore_missing
+        # fail_on_error: a null/non-string value truncates to null (row
+        # kept) in both modes — no event-rollback in the columnar model.
+
+    def _present(self, df: DataFrame) -> list[str]:
+        if self.ignore_missing:
+            return [f for f in self.fields if f in df.columns]
+        return list(self.fields)
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
         if self.max_characters is not None:
             n = self.max_characters
-            return {f: F.substring(F.col(f), 1, n) for f in self.fields}
+            return {f: F.substring(F.col(f), 1, n) for f in self._present(df)}
 
         nbytes = self.max_bytes
 
@@ -190,7 +198,7 @@ class TruncateFields(Project):
                 else v.encode("utf-8")[:nbytes].decode("utf-8", errors="ignore")
             )
 
-        return {f: cut(F.col(f)) for f in self.fields}
+        return {f: cut(F.col(f)) for f in self._present(df)}
 
 
 @register("extract_field")
@@ -217,9 +225,16 @@ class UrlDecode(Project):
 
     def __init__(self, fields: list[dict], ignore_missing: bool = False, fail_on_error: bool = True):
         self.fields = fields
+        self.ignore_missing = ignore_missing
+        # fail_on_error: try_url_decode yields null on bad escapes (row
+        # kept) in both modes — no event-rollback in the columnar model.
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
-        return {p.get("to", p["from"]): F.try_url_decode(F.col(p["from"])) for p in self.fields}
+        return {
+            p.get("to", p["from"]): F.try_url_decode(F.col(p["from"]))
+            for p in self.fields
+            if not (self.ignore_missing and p["from"] not in df.columns)
+        }
 
 
 @register("decode_base64_field")
@@ -228,8 +243,12 @@ class DecodeBase64Field(Project):
 
     def __init__(self, field: dict, ignore_missing: bool = False, fail_on_error: bool = True):
         self.field = field
+        self.ignore_missing = ignore_missing
+        # fail_on_error: invalid base64 decodes to null (row kept).
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
+        if self.ignore_missing and self.field["from"] not in df.columns:
+            return {}
         return {
             self.field.get("to", self.field["from"]): F.unbase64(
                 F.col(self.field["from"])
@@ -244,8 +263,12 @@ class DecompressGzipField(Project):
 
     def __init__(self, field: dict, ignore_missing: bool = False, fail_on_error: bool = True):
         self.field = field
+        self.ignore_missing = ignore_missing
+        # fail_on_error: a corrupt stream decompresses to null (row kept).
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
+        if self.ignore_missing and self.field["from"] not in df.columns:
+            return {}
         src = self.field["from"]
         is_binary = any(
             f.name == src and f.dataType.typeName() == "binary" for f in df.schema.fields
@@ -357,8 +380,13 @@ class Timestamp(Project):
         self.layouts = layouts
         self.target = target
         self.timezone = timezone
+        self.ignore_missing = ignore_missing
+        # ignore_failure: an unparseable value yields a null timestamp
+        # (row kept) in both modes — no event-abort in the columnar model.
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
+        if self.ignore_missing and self.field not in df.columns:
+            return {}
         c = F.col(self.field)
         attempts = []
         for layout in self.layouts:
@@ -378,13 +406,29 @@ class Timestamp(Project):
 
 @register("add_locale")
 class AddLocale(Project):
-    """Add the configured timezone (ref: add_locale/add_locale.go:89)."""
+    """Add the configured timezone (ref: add_locale/add_locale.go:89).
+    format="offset" renders the zone's current UTC offset (+HH:MM, the
+    reference default); "abbreviation" renders the zone name. The value
+    is process-static in the reference (host locale at startup), so a
+    driver-computed literal is the faithful analogue."""
 
     def __init__(self, format: str = "offset", timezone: str = "UTC"):
+        if format not in ("offset", "abbreviation"):
+            raise ValueError(f"add_locale format must be offset|abbreviation, got {format!r}")
+        self.format = format
         self.timezone = timezone
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
-        return {"event_timezone": F.lit(self.timezone)}
+        if self.format == "abbreviation":
+            return {"event_timezone": F.lit(self.timezone)}
+        from datetime import datetime, timezone as _tz
+        from zoneinfo import ZoneInfo
+
+        off = datetime.now(_tz.utc).astimezone(ZoneInfo(self.timezone)).utcoffset()
+        total = int(off.total_seconds())
+        sign = "+" if total >= 0 else "-"
+        hh, mm = divmod(abs(total) // 60, 60)
+        return {"event_timezone": F.lit(f"{sign}{hh:02d}:{mm:02d}")}
 
 
 @register("add_id")
@@ -411,11 +455,19 @@ class Fingerprint(Project):
     methods: md5/sha1/sha256/sha384/sha512/xxhash (xxhash → xxhash64
     bigint rendered as hex). Ref: fingerprint/fingerprint.go:66."""
 
+    ENCODINGS = ("hex", "base64", "base32")
+
     def __init__(self, fields: list[str], method: str = "sha256",
                  target_field: str = "fingerprint", encoding: str = "hex"):
+        if encoding not in self.ENCODINGS:
+            raise ValueError(
+                f"fingerprint encoding must be one of {self.ENCODINGS}, "
+                f"got {encoding!r}"
+            )
         self.fields = fields
         self.method = method
         self.target = target_field
+        self.encoding = encoding
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
         joined = F.concat_ws("|", *[F.col(f).cast("string") for f in self.fields])
@@ -429,6 +481,17 @@ class Fingerprint(Project):
             col = F.lower(F.hex(F.xxhash64(joined)))
         else:
             raise ValueError(f"unknown fingerprint method {self.method!r}")
+        # encode.go: hex (default) / base64 / base32 over the raw digest
+        if self.encoding == "base64":
+            col = F.base64(F.unhex(col))
+        elif self.encoding == "base32":
+            @pandas_udf(T.StringType())
+            def b32(hexes: pd.Series) -> pd.Series:
+                return hexes.map(
+                    lambda h: None if h is None
+                    else _b64.b32encode(bytes.fromhex(h)).decode("ascii")
+                )
+            col = b32(col)
         return {self.target: col}
 
 
@@ -475,8 +538,16 @@ class DropFields(Project):
 
     def __init__(self, fields: list[str], ignore_missing: bool = True):
         self.fields = fields
+        self.ignore_missing = ignore_missing
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
+        if not self.ignore_missing:
+            missing = [
+                f for f in self.fields
+                if f not in df.columns and ATTRS not in df.columns
+            ]
+            if missing:
+                raise ValueError(f"drop_fields: missing fields {missing!r}")
         attr_keys = [f for f in self.fields if f not in df.columns and ATTRS in df.columns]
         if not attr_keys:
             return {}

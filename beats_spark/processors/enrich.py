@@ -33,11 +33,18 @@ class LookupJoin(DFProc):
         self.dim_key = dim_key or on
         self.prefix = prefix
         self.fields = fields
+        self.overwrite = overwrite
 
     def transform(self, df: DataFrame) -> DataFrame:
         dim = self.dim
         cols = self.fields or [c for c in dim.columns if c != self.dim_key]
         renames = {c: f"{self.prefix}{c}" if self.prefix else c for c in cols}
+        if not self.overwrite:
+            # add_host_metadata replace_fields=false: keep pre-existing
+            # event fields instead of the looked-up values
+            renames = {c: n for c, n in renames.items() if n not in df.columns}
+            if not renames:
+                return df
         sel = [F.col(self.dim_key).alias("_lk_key")] + [
             F.col(c).alias(n) for c, n in renames.items()
         ]

@@ -135,6 +135,7 @@ class DecodeJsonFields(Project):
             )
         self.fields = fields
         self.target = target
+        self.overwrite_keys = overwrite_keys
         self.schema = schema or T.MapType(T.StringType(), T.StringType())
         self.max_depth = max_depth
         self.expand_keys = expand_keys
@@ -175,6 +176,12 @@ class DecodeJsonFields(Project):
         fn = self._deep_udf() if deep else None
         for f in self.fields:
             tgt = self.target if self.target is not None else f
+            # overwrite_keys=False keeps a DISTINCT existing target column
+            # (decoding in place, tgt == f, is inherently an overwrite —
+            # the reference's flag guards merging into existing event
+            # keys, jsontransform WriteJSONKeys overwriteKeys)
+            if not self.overwrite_keys and tgt != f and tgt in df.columns:
+                continue
             valid = F.try_parse_json(F.col(f)).isNotNull()
             if deep:
                 parsed = fn(F.col(f))
@@ -202,6 +209,21 @@ class DecodeCsvFields(Project):
         self.fields = fields
         self.separator = separator
         self.quoted = quoted
+        self.ignore_missing = ignore_missing
+        self.overwrite_keys = overwrite_keys
+        # fail_on_error's revert-the-event semantics have no columnar
+        # analogue: malformed CSV yields a null cell either way (the
+        # row survives; we never abort), which matches fail_on_error=
+        # False. The True mode's "error.message + rollback" is a
+        # per-event mutation model — documented, not silently dropped.
+
+    def _targets(self, df: DataFrame):
+        for src, dst in self.fields.items():
+            if self.ignore_missing and src not in df.columns:
+                continue  # decode_csv_fields.go IgnoreMissing
+            if not self.overwrite_keys and dst != src and dst in df.columns:
+                continue
+            yield src, dst
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
         out: dict[str, Column] = {}
@@ -209,7 +231,7 @@ class DecodeCsvFields(Project):
         if not self.quoted:
             import re as _re
 
-            for src, dst in self.fields.items():
+            for src, dst in self._targets(df):
                 out[dst] = F.split(F.col(src), _re.escape(sep))
             return out
 
@@ -225,7 +247,7 @@ class DecodeCsvFields(Project):
 
             return s.map(one)
 
-        for src, dst in self.fields.items():
+        for src, dst in self._targets(df):
             out[dst] = parse_csv(F.col(src))
         return out
 
@@ -242,8 +264,14 @@ class DecodeXml(Project):
         self.field = field
         self.target = target_field or self.field
         self.to_lower = to_lower
+        self.ignore_missing = ignore_missing
+        # ignore_failure: malformed XML yields null (row kept) in both
+        # modes — the columnar model has no event-abort to suppress;
+        # documented rather than silently dropped.
 
     def assigns(self, df: DataFrame) -> dict[str, Column]:
+        if self.ignore_missing and self.field not in df.columns:
+            return {}  # decode_xml.go IgnoreMissing
         to_lower = self.to_lower
 
         @pandas_udf(T.MapType(T.StringType(), T.StringType()))
@@ -278,7 +306,10 @@ class DecodeXml(Project):
 
 @register("extract_array")
 class ExtractArray(Project):
-    """Map array elements to named fields (ref: extract_array/extract_array.go:115)."""
+    """Map array elements to named fields (ref: extract_array/extract_array.go:115).
+    fail_on_error: an out-of-range index yields null in both modes
+    (getItem is total); the reference's event-rollback has no columnar
+    analogue — documented, not silently dropped."""
 
     def __init__(self, field: str, mappings: dict[str, int],
                  fail_on_error: bool = True, omit_empty: bool = False):
