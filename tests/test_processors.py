@@ -371,3 +371,95 @@ def test_decode_json_schema_incompatible_with_deep_knobs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="schema"):
         DecodeJsonFields(fields=["msg"], schema="k int", expand_keys=True)
+
+
+# -- knob sweep: every accepted config option does something ------------------
+
+
+def test_fingerprint_encodings(spark):
+    import base64
+    import hashlib
+
+    from beats_spark.processors.base import build_processor
+
+    df = spark.createDataFrame([("x",)], "f string")
+    digest = hashlib.sha256(b"x").digest()
+    for enc, want in [
+        ("hex", digest.hex()),
+        ("base64", base64.b64encode(digest).decode()),
+        ("base32", base64.b32encode(digest).decode()),
+    ]:
+        p = build_processor({"fingerprint": {"fields": ["f"], "method": "sha256",
+                                             "target_field": "fp", "encoding": enc}})
+        assert p(df).collect()[0]["fp"] == want, enc
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="encoding"):
+        build_processor({"fingerprint": {"fields": ["f"], "encoding": "rot13"}})
+
+
+def test_add_locale_formats(spark):
+    from beats_spark.processors.base import build_processor
+
+    df = spark.createDataFrame([(1,)], "id int")
+    off = build_processor({"add_locale": {"timezone": "UTC"}})(df).collect()[0]
+    assert off["event_timezone"] == "+00:00"
+    abbr = build_processor({"add_locale": {"format": "abbreviation",
+                                           "timezone": "UTC"}})(df).collect()[0]
+    assert abbr["event_timezone"] == "UTC"
+
+
+def test_ignore_missing_skips(spark):
+    from beats_spark.processors.base import build_processor
+
+    df = spark.createDataFrame([("a b",)], "present string")
+    # each processor with ignore_missing=True must be a no-op on a
+    # missing source field instead of an analysis error
+    for conf in [
+        {"truncate_fields": {"fields": ["absent"], "max_characters": 2,
+                             "ignore_missing": True}},
+        {"urldecode": {"fields": [{"from": "absent"}], "ignore_missing": True}},
+        {"decode_base64_field": {"field": {"from": "absent"}, "ignore_missing": True}},
+        {"decompress_gzip_field": {"field": {"from": "absent"}, "ignore_missing": True}},
+        {"timestamp": {"field": "absent", "layouts": ["ISO8601"],
+                       "ignore_missing": True}},
+        {"decode_xml": {"field": "absent", "ignore_missing": True}},
+        {"decode_csv_fields": {"fields": {"absent": "cells"}, "ignore_missing": True}},
+    ]:
+        out = build_processor(conf)(df)
+        assert out.columns == ["present"], conf
+        assert out.count() == 1
+
+
+def test_drop_fields_strict_mode(spark):
+    from beats_spark.processors.base import build_processor
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="missing"):
+        build_processor({"drop_fields": {"fields": ["ghost"],
+                                         "ignore_missing": False}})(df)
+    # default tolerates missing
+    assert build_processor({"drop_fields": {"fields": ["ghost"]}})(df).count() == 1
+
+
+def test_lookup_join_no_overwrite(spark):
+    from beats_spark.processors.enrich import LookupJoin
+
+    df = spark.createDataFrame([("s1", "keep-me")], "source string, host_env string")
+    dim = spark.createDataFrame([("s1", "prod", "linux")],
+                                "source string, env string, os string")
+    out = LookupJoin(dim, on="source", prefix="host_", overwrite=False)(df)
+    row = out.collect()[0]
+    assert row["host_env"] == "keep-me"  # pre-existing field preserved
+    assert row["host_os"] == "linux"     # non-conflicting field still joined
+
+
+def test_decode_csv_no_overwrite_distinct_target(spark):
+    from beats_spark.processors.base import build_processor
+
+    df = spark.createDataFrame([("a,b", ["orig"])], "line string, cells array<string>")
+    out = build_processor({"decode_csv_fields": {"fields": {"line": "cells"},
+                                                 "overwrite_keys": False}})(df)
+    assert out.collect()[0]["cells"] == ["orig"]
+    out2 = build_processor({"decode_csv_fields": {"fields": {"line": "cells"},
+                                                  "overwrite_keys": True}})(df)
+    assert out2.collect()[0]["cells"] == ["a", "b"]
