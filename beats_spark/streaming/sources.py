@@ -59,3 +59,57 @@ def stream_parquet_dir(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
+
+
+def stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    message_schema=None,
+    message_key: str = "message",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Kafka input shape (``filebeat/input/kafka/input.go``): a
+    ``readStream.format("kafka")`` whose value decodes into the event
+    schema. Code-complete and plan-buildable; EXECUTING it needs a
+    reachable broker plus the spark-sql-kafka package, neither present
+    in this sandbox (documented non-goal — the returned stream slots
+    into ``StreamingLogPipeline.start`` unchanged on a real cluster).
+
+    With ``message_schema`` the JSON value parses into typed columns;
+    without it the raw value lands as the ``message`` string column
+    (the reference's default: one event per kafka message) plus kafka
+    lineage columns (topic → source, partition → part_id,
+    offset → offset) mapping straight onto the harvester identity.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return kafka_events(reader.load(), message_schema, message_key)
+
+
+def kafka_events(raw: DataFrame, message_schema=None,
+                 message_key: str = "message") -> DataFrame:
+    """Map a kafka-shaped frame (topic/partition/offset/timestamp/value)
+    onto the event schema — the lineage mapping is exactly the
+    harvester identity: topic → source, partition → part_id,
+    offset → offset. Split out from :func:`stream_kafka` so the
+    projection is testable without a broker."""
+    base = raw.select(
+        F.col("topic").alias("source"),
+        F.col("partition").alias("part_id"),
+        F.col("offset"),
+        F.col("timestamp").alias("ts"),
+        F.col("value").cast("string").alias(message_key),
+    )
+    if message_schema is not None:
+        return base.withColumn(
+            "_parsed", F.from_json(F.col(message_key), message_schema)
+        ).select("source", "part_id", "offset", "ts", "_parsed.*")
+    return base

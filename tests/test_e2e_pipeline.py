@@ -165,3 +165,78 @@ def test_rerun_same_run_id_is_idempotent(spark, events, dim, tmp_path):
     n1 = spark.read.parquet(sink_dir).count()
     pipeline.run_batch(spark, events, sink_dir, run_id="rX")  # crash-replay
     assert spark.read.parquet(sink_dir).count() == n1
+
+
+# -- durable spool (disk-queue analogue, publisher/queue/diskqueue) -----------
+
+
+def test_spool_enqueue_drain_commit_vacuum(spark, tmp_path):
+    from beats_spark.spool import Spool
+
+    sp = Spool(str(tmp_path / "spool"))
+    df1 = spark.range(0, 10).withColumnRenamed("id", "offset")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "offset")
+    sp.enqueue(df1, "b001")
+    sp.enqueue(df2, "b002")
+    assert sp.pending() == ["b001", "b002"]
+
+    # single-plan drain with batch lineage
+    got = sp.read_pending(spark)
+    assert got.count() == 15
+    per_batch = {r["_spool_batch"]: r["n"] for r in
+                 got.groupBy("_spool_batch").agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")).collect()}
+    assert per_batch == {"b001": 10, "b002": 5}
+
+    # idempotent re-enqueue (producer retry) does not duplicate
+    sp.enqueue(df1, "b001")
+    assert sp.read_pending(spark).count() == 15
+
+    # ack one batch -> only the other remains pending
+    sp.commit(["b001"])
+    assert sp.pending() == ["b002"]
+    assert sp.read_pending(spark).count() == 5
+
+    # segment cleanup removes only acked data
+    assert sp.vacuum() == ["b001"]
+    assert sp.pending() == ["b002"]
+    sp.commit(["b002"])
+    sp.vacuum()
+    assert sp.read_pending(spark) is None
+
+
+def test_spool_crash_replay_is_effectively_once(spark, tmp_path):
+    """Crash between sink write and spool commit: the batch replays,
+    but the idempotent per-run_id sink write absorbs it (ACK ordering
+    contract of run_batch)."""
+    from beats_spark.app import LogPipeline
+    from beats_spark.spool import Spool
+
+    ev = (
+        generate_events(spark, 200)
+        .select("source", "part_id", "offset", "message", "ts")
+    )
+    sp = Spool(str(tmp_path / "spool"))
+    sp.enqueue(ev, "b1")
+
+    pipe = LogPipeline(
+        processors=[{"add_fields": {"fields": {"env": "prod"},
+                                    "fields_under_root": True}}],
+        routing={"indices": [], "default": "logs-%{[source]}"},
+    )
+    sinks = str(tmp_path / "sinks")
+
+    # consumer run 1: process pending, sink write succeeds... then CRASH
+    # before commit (no sp.commit call)
+    batch = sp.read_pending(spark).drop("_spool_batch")
+    pipe.run_batch(spark, batch, sinks, run_id="b1")
+
+    # restart: batch still pending -> replay, same run_id, then commit
+    assert sp.pending() == ["b1"]
+    batch = sp.read_pending(spark).drop("_spool_batch")
+    pipe.run_batch(spark, batch, sinks, run_id="b1")
+    sp.commit(["b1"])
+
+    out = spark.read.parquet(sinks)
+    n = pipe.routed(ev).count()
+    assert out.count() == n  # no duplication across the replay
+    assert sp.pending() == []

@@ -274,3 +274,27 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 200
     assert got.select("doc_id").distinct().count() == 200
+
+
+def test_kafka_events_projection(spark):
+    """kafka input shape (no broker in-sandbox): the value→event
+    projection maps kafka lineage onto harvester identity and parses
+    JSON values when a schema is given."""
+    from beats_spark.streaming.sources import kafka_events
+
+    raw = spark.createDataFrame(
+        [("logs", 2, 57, "2026-01-02 03:00:00", 'level=info msg="ok"'),
+         ("logs", 2, 58, "2026-01-02 03:00:01", '{"level":"warn","k":9}')],
+        "topic string, partition int, offset long, ts_s string, value string",
+    ).selectExpr("topic", "partition", "offset",
+                 "cast(ts_s as timestamp) as timestamp", "cast(value as binary) as value")
+
+    plain = kafka_events(raw)
+    assert plain.columns == ["source", "part_id", "offset", "ts", "message"]
+    r = {x["offset"]: x for x in plain.collect()}
+    assert r[57]["source"] == "logs" and r[57]["part_id"] == 2
+    assert r[57]["message"] == 'level=info msg="ok"'
+
+    typed = kafka_events(raw, message_schema="level string, k int")
+    row = {x["offset"]: x for x in typed.collect()}[58]
+    assert row["level"] == "warn" and row["k"] == 9
