@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from beats_spark.corpus.hashing import h32, shingles, word_tokens
+from beats_spark.corpus.hashing import MERSENNE31, h32, mh_params, shingles, word_tokens
 
 
 def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
@@ -41,22 +41,34 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: ``sig[i] = min over shingles of
-    h32(i, shingle)``. Docs with < shingle_k tokens are dropped (no
-    shingles → no signature).
+    """Per-doc MinHash signature via ONE md5 per shingle + a universal
+    hash family: ``base = h32(shingle) mod 2^31−1``, ``sig[i] = min of
+    (a_i·base + b_i) mod 2^31−1``. Docs with < shingle_k tokens are
+    dropped (no shingles → no signature).
 
-    Relational formulation: explode shingles → ``num_hashes`` hash
-    columns per shingle → hash-aggregate mins per doc. The groupBy is a
-    partial+final hash aggregate (map-side combine shrinks the shuffle
-    to one row per doc), and every md5 is computed exactly once — the
-    nested-lambda alternative re-evaluates the shingle array per seed.
+    One md5 per shingle instead of ``num_hashes`` seeded md5s is a 16×
+    cut of the dominant hash cost; the (a, b) family is md5-derived and
+    the modulus keeps every product exact in both Spark longs and
+    DuckDB BIGINTs, so the oracle regenerates identical signatures.
+    The groupBy is a partial+final hash aggregate (map-side combine
+    shrinks the shuffle to one row per doc); ``base`` is materialized
+    through its own projection so the md5 is evaluated once, not once
+    per derived hash.
     """
+    params = mh_params(num_hashes)
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(word_tokens(F.col(text_col)), shingle_k)).alias("s"),
     )
-    hashed = sh.select(
-        "doc_id", *[h32(F.col("s"), seed=str(i)).alias(f"h{i}") for i in range(num_hashes)]
+    based = sh.select(
+        "doc_id", F.pmod(h32(F.col("s")), F.lit(MERSENNE31)).alias("hb")
+    )
+    hashed = based.select(
+        "doc_id",
+        *[
+            F.pmod(F.lit(a) * F.col("hb") + F.lit(b), F.lit(MERSENNE31)).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ],
     )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]

@@ -152,13 +152,26 @@ _SHINGLE_SQL = """
   )
 """
 
-_MINH_SQL = (
-    """
+def _minh_sql(num_hashes: int = 16) -> str:
+    """Universal-hash MinHash oracle: one md5 per shingle mod 2^31−1,
+    then (a·hb + b) mod 2^31−1 per seed — the same md5-derived (a, b)
+    family as the engine (hashing.mh_params), regenerated here so the
+    two sides cannot drift."""
+    from beats_spark.corpus.hashing import MERSENNE31, mh_params
+
+    seed_rows = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(mh_params(num_hashes))
+    )
+    return f"""
+  hb AS (
+    SELECT doc_id, ({H32_SQL.format(expr='s')} % {MERSENNE31}) AS hb FROM sh
+  ),
+  seeds(seed, a, b) AS (VALUES
+    {seed_rows}
+  ),
   minh AS (
-    SELECT doc_id, seed, min("""
-    + H32_SQL.format(expr="seed || ':' || s")
-    + """) AS mh
-    FROM sh, (SELECT unnest(range(0, 16)) AS seed)
+    SELECT doc_id, seed, min((a * hb + b) % {MERSENNE31}) AS mh
+    FROM hb, seeds
     GROUP BY doc_id, seed
   ),
   sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM minh GROUP BY doc_id),
@@ -173,7 +186,9 @@ _MINH_SQL = (
     WHERE a.doc_id < b.doc_id
   )
 """
-)
+
+
+_MINH_SQL = _minh_sql()
 
 
 def q_minhash_neardup(spark, sf_dir):

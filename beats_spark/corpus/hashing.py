@@ -10,8 +10,29 @@ where no oracle parity is needed.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: 2^31−1 (Mersenne prime) — the universal-hash modulus. Chosen so
+#: a·h + b stays < 2^62: exact in Spark longs AND in DuckDB BIGINTs
+#: (which ERROR on 64-bit overflow instead of wrapping — a larger
+#: modulus would silently diverge the two engines).
+MERSENNE31 = 2147483647
+
+
+def mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    ``h_i(x) = (a_i·x + b_i) mod 2^31−1`` — md5-derived like every
+    other constant here, so an independent SQL oracle regenerates the
+    identical family."""
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh_a{i}".encode()).hexdigest()[:8], 16) % (MERSENNE31 - 1) + 1
+        b = int(hashlib.md5(f"mh_b{i}".encode()).hexdigest()[:8], 16) % MERSENNE31
+        out.append((a, b))
+    return out
 
 
 def h32(col: Column | str, seed: str | None = None, fast: bool = False) -> Column:
