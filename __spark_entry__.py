@@ -558,6 +558,53 @@ FROM f GROUP BY 1
 """
 
 
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-3164 syslog parse (§2.1/2.4): render events as syslog lines
+    → one-regex parse → priority/severity/facility + labels, host,
+    program[pid], timestamp (year supplied), message."""
+    from beats_spark.processors.syslog import syslog_rfc3164
+
+    ev = _t(spark, sf_dir, "events")
+    pri = F.pmod("user_id", F.lit(191))
+    line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">"),
+        F.date_format("ts", "MMM d HH:mm:ss"),
+        F.lit(" h"), F.pmod("user_id", F.lit(5)).cast("string"),
+        F.lit(" app"), F.lit("["), F.pmod("event_id", F.lit(10000)).cast("string"),
+        F.lit("]: action="), F.col("event_type"),
+    )
+    # testdata events live in 2024; RFC-3164 lines carry no year, so
+    # the parser is told which one to assume (input.go applies the
+    # host clock year the same way)
+    out = syslog_rfc3164(ev.withColumn("message", line), assume_year=2024)
+    return out.select(
+        "event_id", "syslog_priority", "event_severity", "syslog_severity_label",
+        "syslog_facility", "syslog_facility_label", "syslog_ts", "hostname",
+        "process_program", "process_pid", "syslog_message",
+    )
+
+
+def _syslog_parse_sql() -> str:
+    from beats_spark.processors.syslog import FACILITY_LABELS, SEVERITY_LABELS
+
+    sev_list = ", ".join(f"'{x}'" for x in SEVERITY_LABELS)
+    fac_list = ", ".join(f"'{x}'" for x in FACILITY_LABELS)
+    return f"""
+SELECT event_id,
+       (user_id % 191)::INT AS syslog_priority,
+       ((user_id % 191) % 8)::INT AS event_severity,
+       ([{sev_list}])[((user_id % 191) % 8)::INT + 1] AS syslog_severity_label,
+       ((user_id % 191) // 8)::INT AS syslog_facility,
+       ([{fac_list}])[((user_id % 191) // 8)::INT + 1] AS syslog_facility_label,
+       date_trunc('second', ts) AS syslog_ts,
+       'h' || (user_id % 5) AS hostname,
+       'app' AS process_program,
+       (event_id % 10000)::INT AS process_pid,
+       'action=' || event_type AS syslog_message
+FROM events
+"""
+
+
 def q_sink_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bulk per-item triage (§2.7): status → outcome ladder
     (elasticsearch/client.go:390-420), dropped class diverted to the
@@ -815,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_fields": q_codec_fields,
         "convert_timestamp": q_convert_timestamp,
         "network_direction": q_network_direction,
+        "syslog_parse": q_syslog_parse,
         "sink_triage": q_sink_triage,
         "window_agg": q_window_agg,
         "csv_extract": q_csv_extract,
@@ -845,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "codec_fields": _Q_CODEC_FIELDS_SQL,
         "convert_timestamp": _Q_CONVERT_TIMESTAMP_SQL,
         "network_direction": _Q_NETWORK_DIRECTION_SQL,
+        "syslog_parse": _syslog_parse_sql(),
         "sink_triage": _Q_SINK_TRIAGE_SQL,
         "window_agg": _Q_WINDOW_AGG_SQL,
         "csv_extract": _Q_CSV_EXTRACT_SQL,

@@ -463,3 +463,51 @@ def test_decode_csv_no_overwrite_distinct_target(spark):
     out2 = build_processor({"decode_csv_fields": {"fields": {"line": "cells"},
                                                   "overwrite_keys": True}})(df)
     assert out2.collect()[0]["cells"] == ["a", "b"]
+
+
+# -- syslog RFC-3164 parse (filebeat/input/syslog) ----------------------------
+
+
+def test_syslog_rfc3164_full_line(spark):
+    from beats_spark.processors.syslog import syslog_rfc3164
+
+    df = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick",),
+         ("<13>Feb  5 17:32:18 host-7 app: simple note",),
+         ("Oct 11 22:14:15 nohost prog: no priority line",),
+         ("totally not syslog",)],
+        "message string",
+    )
+    out = {r["message"][:6]: r for r in
+           syslog_rfc3164(df, assume_year=2003).collect()}
+    r = out["<34>Oc"]
+    assert r["syslog_priority"] == 34
+    assert r["event_severity"] == 2 and r["syslog_severity_label"] == "Critical"
+    assert r["syslog_facility"] == 4
+    assert r["syslog_facility_label"] == "security/authorization"
+    assert r["hostname"] == "mymachine"
+    assert r["process_program"] == "su" and r["process_pid"] == 230
+    assert r["syslog_message"] == "'su root' failed for lonvick"
+    assert str(r["syslog_ts"]) == "2003-10-11 22:14:15"
+
+    r = out["<13>Fe"]  # double-space single-digit day form
+    assert str(r["syslog_ts"]) == "2003-02-05 17:32:18"
+    assert r["process_pid"] is None and r["process_program"] == "app"
+
+    r = out["Oct 11"]  # priority-less line still parses
+    assert r["syslog_priority"] is None and r["hostname"] == "nohost"
+    assert r["syslog_message"] == "no priority line"
+
+    r = out["totall"]  # unparseable: raw line kept, fields null
+    assert r["syslog_priority"] is None and r["hostname"] is None
+    assert r["syslog_message"] == "totally not syslog"
+
+
+def test_syslog_registry_name(spark):
+    from beats_spark.processors.base import build_processor
+
+    df = spark.createDataFrame(
+        [("<165>Aug 24 05:34:00 box local4d: hello",)], "message string")
+    out = build_processor({"syslog": {"assume_year": 1987}})(df).collect()[0]
+    assert out["syslog_facility_label"] == "local4"
+    assert out["event_severity"] == 5
