@@ -358,7 +358,8 @@ def q_ann_ivf_sqrtn(spark, sf_dir):
     return similarity.ann_ivf_topk(_emb(spark, sf_dir), k=1, n_cells=45, dim=64)
 
 
-def _ann_ivf_sql(n_cells: int = 8, dim: int = 64) -> str:
+def _ann_ivf_sql(n_cells: int = 8, dim: int = 64, nprobe: int = 1,
+                 k: int = 1) -> str:
     cents = similarity.ivf_centroids(n_cells, dim)
     rows = ",\n    ".join(
         f"({i}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
@@ -379,20 +380,28 @@ assign AS (
     FROM e, cents c)
 ),
 cells AS (SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rn <= {nprobe}),
 p AS (
   SELECT a.vec_id, b.vec_id AS nid,
          list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / (a.nrm * b.nrm) AS cos
-  FROM cells a JOIN cells b ON a.cell = b.cell
+  FROM probes a JOIN cells b ON a.cell = b.cell
   WHERE a.vec_id != b.vec_id
 )
 SELECT vec_id, nid, cos,
        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid ASC)::INT AS rank
 FROM p
-QUALIFY rank <= 1
+QUALIFY rank <= {k}
 """
 
 
 # -- multimodal --------------------------------------------------------------
+
+
+def q_ann_ivf_nprobe(spark, sf_dir):
+    """Multi-probe IVF (nprobe=3 of 45 cells): the recall lever — each
+    query searches its 3 nearest cells; candidates stay an equi-join."""
+    return similarity.ann_ivf_topk(_emb(spark, sf_dir), k=1, n_cells=45, dim=64,
+                                   nprobe=3)
 
 
 def q_media_features(spark, sf_dir):
@@ -452,6 +461,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_sqrtn": q_ann_ivf_sqrtn,
+        "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
     }
@@ -474,6 +484,7 @@ def corpus_oracles() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_sqrtn": _ann_ivf_sql(45),
+        "ann_ivf_nprobe": _ann_ivf_sql(45, nprobe=3),
         "media_features": _MEDIA_FEATURES_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
     }

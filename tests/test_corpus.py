@@ -287,3 +287,37 @@ def test_lang_id_pluggable_scorer(spark):
     # default path unaffected
     base = dict(rows(lang_id(df), "doc_id", "predicted_lang"))
     assert set(base.values()) <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """nprobe == n_cells degenerates to exact brute force: every query
+    probes every cell, so the result must equal cosine_topk row for row."""
+    import numpy as _np
+
+    vecs = [[float(_np.cos(i * 0.9 + d * 0.3)) for d in range(6)] for i in range(30)]
+    df = _emb(spark, vecs)
+    cols = ("vec_id", "nid", "cos", "rank")
+    want = sorted(rows(similarity.cosine_topk(df, k=2), *cols))
+    got = sorted(rows(
+        similarity.ann_ivf_topk(df, k=2, n_cells=5, dim=6, nprobe=5), *cols))
+    assert got == want
+
+
+def test_ivf_nprobe_improves_recall(spark):
+    """Recall(nprobe=3) >= recall(nprobe=1) against the exact answer,
+    and multi-probe candidates are a superset per query."""
+    import numpy as _np
+
+    vecs = [[float(_np.sin(i * 1.7 + d * 0.4)) for d in range(8)] for i in range(60)]
+    df = _emb(spark, vecs)
+    exact = dict(rows(similarity.cosine_topk(df, k=1), "vec_id", "nid"))
+
+    def recall(nprobe):
+        got = dict(rows(similarity.ann_ivf_topk(df, k=1, n_cells=12, dim=8,
+                                                nprobe=nprobe), "vec_id", "nid"))
+        hit = sum(1 for v, n in exact.items() if got.get(v) == n)
+        return hit / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 > 0.5  # 3 of 12 cells probed finds most true neighbors
