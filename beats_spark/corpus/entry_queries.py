@@ -123,6 +123,76 @@ FROM documents
 """
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints: char 5-gram
+    hashes, window-of-4 minima, distinct."""
+    return textstats.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
+_WINNOW_FP_SQL = f"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN length(t) - 4 >= 1 THEN
+           list_transform(range(1, (length(t) - 4)::INT + 1),
+                          i -> {H32_SQL.format(expr="substr(t, i::INT, 5)")})
+         ELSE [] END AS h
+  FROM n
+), sel AS (
+  SELECT doc_id,
+         CASE WHEN len(h) - 3 >= 1 THEN
+           list_transform(range(1, (len(h) - 3)::INT + 1),
+                          i -> list_min(list_slice(h, i::INT, i::INT + 3)))
+         WHEN len(h) >= 1 THEN [list_min(h)]
+         ELSE [] END AS fps
+  FROM g
+)
+SELECT doc_id, list_sort(list_distinct(fps)) AS fps FROM sel
+"""
+
+
+def q_winnow_neardup(spark, sf_dir):
+    """min_shared=80: the synthetic corpus draws from a small shared
+    vocabulary, so incidental 5-gram fingerprint overlap is high
+    (median 23 shared fps between RANDOM doc pairs); 80 isolates the
+    true near-dup groups (real corpora use longer k for the same
+    effect)."""
+    return textstats.winnow_neardup_pairs(_docs(spark, sf_dir), k=5, w=4,
+                                          min_shared=80)
+
+
+_WINNOW_NEARDUP_SQL = f"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN length(t) - 4 >= 1 THEN
+           list_transform(range(1, (length(t) - 4)::INT + 1),
+                          i -> {H32_SQL.format(expr="substr(t, i::INT, 5)")})
+         ELSE [] END AS h
+  FROM n
+), sel AS (
+  SELECT doc_id,
+         CASE WHEN len(h) - 3 >= 1 THEN
+           list_transform(range(1, (len(h) - 3)::INT + 1),
+                          i -> list_min(list_slice(h, i::INT, i::INT + 3)))
+         WHEN len(h) >= 1 THEN [list_min(h)]
+         ELSE [] END AS fps
+  FROM g
+), ex AS (
+  SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM sel
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM ex a JOIN ex b ON a.fp = b.fp
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 80
+"""
+
+
 def q_simhash(spark, sf_dir):
     return textstats.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -450,6 +520,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fp": q_winnow_fp,
+        "winnow_neardup": q_winnow_neardup,
         "simhash": q_simhash,
         "minhash_neardup": q_minhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -473,6 +545,8 @@ def corpus_oracles() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "winnow_fp": _WINNOW_FP_SQL,
+        "winnow_neardup": _WINNOW_NEARDUP_SQL,
         "simhash": _SIMHASH_SQL,
         "minhash_neardup": _MINHASH_NEARDUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -136,6 +136,75 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", target: str = "fp") -
     return df.withColumn(target, F.md5(norm))
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash scheme): hash every character k-gram of the
+    normalized text, slide a window of ``w`` consecutive k-gram hashes,
+    keep each window's minimum (rightmost on ties, per the paper) — the
+    distinct selected hashes are the document's fingerprints.
+    Guarantee: any shared substring of length ≥ w + k − 1 between two
+    documents yields at least one shared fingerprint.
+
+    Spark-first: k-grams and window minima are both built from SHIFTED
+    SLICES folded with ``zip_with`` (the :func:`~beats_spark.corpus.
+    hashing.shingles` pattern) — NOT ``transform(sequence(...), i ->
+    slice(arr, i, w))``: an array referenced inside a position-indexed
+    lambda is re-evaluated per element (positions differ, so codegen's
+    common-subexpression elimination can't collapse them), an O(n²)
+    blowup; identical whole-array references across slices CSE to one
+    evaluation. Each k-gram is hashed exactly once. Returns (doc_id,
+    fps array<bigint>) — explode + equi-join on the hash for candidate
+    pairs (:func:`winnow_neardup_pairs`)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    chars = F.split(norm, "")
+
+    def shifted_fold(arr: Column, width: int, combine) -> Column:
+        n = F.greatest(F.size(arr) - (width - 1), F.lit(0))
+        out = F.slice(arr, 1, n)
+        for j in range(1, width):
+            out = F.zip_with(out, F.slice(arr, j + 1, n), combine)
+        return out
+
+    grams = shifted_fold(chars, k, lambda a, b: F.concat(a, b))
+    h = F.transform(grams, lambda g: h32(g))
+    prepped = df.select(F.col(id_col).alias("doc_id"), h.alias("_h"))
+    harr = F.col("_h")
+    # window minimum: the winnowing tie rule (rightmost) only affects
+    # which POSITION is recorded; the selected hash VALUE is identical,
+    # and fingerprints are the value set
+    mins = shifted_fold(harr, w, lambda a, b: F.least(a, b))
+    # 1 ≤ |h| < w → one partial window; |h| = 0 (doc shorter than k
+    # chars) → no fingerprints, empty array (never null)
+    fewer = F.when(F.size(harr) > 0, F.array(F.array_min(harr))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    fps = F.when(F.size(harr) - (w - 1) >= 1, mins).otherwise(fewer)
+    return prepped.select(
+        "doc_id", F.array_sort(F.array_distinct(fps)).alias("fps")
+    )
+
+
+def winnow_neardup_pairs(df: DataFrame, k: int = 5, w: int = 4,
+                         min_shared: int = 2, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints:
+    explode → equi-join on the fingerprint hash (never all-pairs) →
+    count shared fingerprints per pair. ``min_shared`` filters
+    incidental single-hash collisions."""
+    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", target: str = "simhash",
             bits: int = 32) -> DataFrame:
     """SimHash over word tokens: per-token 32-bit hash votes ±1 on each

@@ -321,3 +321,38 @@ def test_ivf_nprobe_improves_recall(spark):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 > 0.5  # 3 of 12 cells probed finds most true neighbors
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint; identical docs share
+    all of them; short docs still emit one fingerprint."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(spark, [
+        f"AAAA {shared} BBBB",
+        f"CCCCCCC {shared} DDDD",
+        "completely different words here entirely",
+        f"AAAA {shared} BBBB",  # exact dup of doc 0
+        "tinydoc",               # >= k chars but fewer than one full window
+        "abc",                   # shorter than k: no fingerprints
+    ])
+    fps = {r["doc_id"]: set(r["fps"])
+           for r in textstats.winnow_fingerprints(docs, k=5, w=4).collect()}
+    assert fps[0] & fps[1], "shared substring must yield a shared fingerprint"
+    assert fps[0] == fps[3], "identical docs share all fingerprints"
+    assert len(fps[4]) == 1, "short doc emits its single minimum"
+    assert fps[5] == set(), "sub-k doc has no fingerprints (empty, not null)"
+    assert not (fps[2] & fps[0]) or len(fps[2] & fps[0]) < 3
+
+
+def test_winnow_neardup_pairs_finds_dups(spark):
+    docs = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight nine",
+    ])
+    got = rows(textstats.winnow_neardup_pairs(docs, k=5, w=4, min_shared=3),
+               "doc_a", "doc_b", "shared_fps")
+    pairs = {(a, b) for a, b, _ in got}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
