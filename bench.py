@@ -40,7 +40,7 @@ HEADLINE = [
     "csv_extract",
 ]
 
-PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "2000000"))
+PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "1000000"))
 
 
 def materialize(df) -> int:
@@ -155,7 +155,7 @@ def main() -> None:
 
     eps, nrows, rep_secs = run_pipeline_throughput(spark)
     ml_scale = run_multiline_scale(
-        spark, int(os.environ.get("BENCH_MULTILINE_ROWS", "4000000"))
+        spark, int(os.environ.get("BENCH_MULTILINE_ROWS", "2000000"))
     )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -207,9 +207,9 @@ def main() -> None:
                 r["events_per_sec"] = round(rows / r["seconds"])
                 return r
 
-            cal_lo = calibrate(low, n=5_000_000_000)
+            cal_lo = calibrate(low, n=3_000_000_000, reps=2)
             lo = steady(run_once(low, rows, zip_path, reps=reps))
-            cal_hi = calibrate(high, n=5_000_000_000)
+            cal_hi = calibrate(high, n=3_000_000_000, reps=2)
             hi = steady(run_once(high, rows, zip_path, reps=reps))
             ratio = high / low
             eff = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio
