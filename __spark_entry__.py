@@ -641,22 +641,27 @@ WITH routed AS (
               WHEN event_id % 20 = 19 THEN 503
               ELSE 201 END AS status
   FROM events
-), triaged AS (
-  SELECT CASE WHEN status < 300 THEN 'acked'
+), classed AS (
+  SELECT sink0,
+         CASE WHEN status < 300 THEN 'acked'
               WHEN status = 409 THEN 'duplicate'
               WHEN status = 429 THEN 'toomany'
               WHEN status < 500 THEN 'dropped'
-              ELSE 'retry' END AS outcome,
-         CASE WHEN status >= 400 AND status < 500 AND status NOT IN (409, 429)
-              THEN '_dead_letter' ELSE sink0 END AS sink
+              ELSE 'retry' END AS outcome
   FROM routed
+), triaged AS (
+  -- dead-letter diversion keys off the OUTCOME class (the engine's
+  -- triage_outcomes rule), so 3xx 'dropped' items divert too
+  SELECT outcome,
+         CASE WHEN outcome = 'dropped' THEN '_dead_letter' ELSE sink0 END AS sink
+  FROM classed
 )
 SELECT sink,
-       sum(CASE WHEN outcome = 'acked' THEN 1 ELSE 0 END) AS events_acked,
-       sum(CASE WHEN outcome = 'duplicate' THEN 1 ELSE 0 END) AS events_duplicates,
-       sum(CASE WHEN outcome = 'toomany' THEN 1 ELSE 0 END) AS events_toomany,
-       sum(CASE WHEN outcome = 'dropped' THEN 1 ELSE 0 END) AS events_dropped,
-       sum(CASE WHEN outcome IN ('toomany', 'retry') THEN 1 ELSE 0 END) AS events_failed
+       count(*) FILTER (WHERE outcome = 'acked') AS events_acked,
+       count(*) FILTER (WHERE outcome = 'duplicate') AS events_duplicates,
+       count(*) FILTER (WHERE outcome = 'toomany') AS events_toomany,
+       count(*) FILTER (WHERE outcome = 'dropped') AS events_dropped,
+       count(*) FILTER (WHERE outcome IN ('toomany', 'retry')) AS events_failed
 FROM triaged GROUP BY sink
 """
 

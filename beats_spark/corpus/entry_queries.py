@@ -125,8 +125,11 @@ FROM documents
 
 def q_winnow_fp(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints: char 5-gram
-    hashes, window-of-4 minima, distinct."""
-    return textstats.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+    hashes, window-of-4 minima, distinct — exploded to one scalar
+    (doc_id, fp) row per selected hash (the natural shape for the
+    downstream candidate equi-join; also driver-hashable)."""
+    fps = textstats.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
 _WINNOW_FP_SQL = f"""
@@ -149,7 +152,7 @@ WITH n AS (
          ELSE [] END AS fps
   FROM g
 )
-SELECT doc_id, list_sort(list_distinct(fps)) AS fps FROM sel
+SELECT doc_id, unnest(list_distinct(fps))::BIGINT AS fp FROM sel
 """
 
 
