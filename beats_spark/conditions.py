@@ -48,10 +48,13 @@ NAMED_NETWORKS: dict[str, list[str]] = {
     "unspecified": ["0.0.0.0/32", "::/128"],
 }
 
-#: isLocalOrPrivate (network.go:211-226) — what "public" excludes.
+#: isLocalOrPrivate (network.go:225-232) — what "public" excludes:
+#: private + loopback + unspecified + IPv4 broadcast + link-local
+#: unicast + link-local multicast + interface-local multicast.
 _LOCAL_OR_PRIVATE = [
     "10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "127.0.0.0/8",
-    "169.254.0.0/16", "fc00::/7", "::1/128", "fe80::/10",
+    "169.254.0.0/16", "0.0.0.0/32", "255.255.255.255/32", "224.0.0.0/24",
+    "fc00::/7", "::1/128", "fe80::/10", "::/128", "ff01::/16", "ff02::/16",
 ]
 
 _IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"

@@ -435,21 +435,26 @@ def _ann_ivf_sql(n_cells: int = 8, dim: int = 64, nprobe: int = 1,
                  k: int = 1) -> str:
     cents = similarity.ivf_centroids(n_cells, dim)
     rows = ",\n    ".join(
-        f"({i}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        f"({i}, [{', '.join(repr(x) for x in row)}]::DOUBLE[], "
+        f"{similarity._seq_sq_norm(row)!r})"
         for i, row in enumerate(cents)
     )
     return f"""
 WITH {_EMB_PREP_SQL},
-cents(cid, c) AS (VALUES
+cents(cid, c, cn) AS (VALUES
     {rows}
 ),
 assign AS (
   SELECT vec_id, v, nrm, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
   FROM (
+    -- expanded |v|^2 + |c|^2 - 2*v.c: the same quantity (and the same
+    -- precomputed |c|^2 literal) the engine's ivf_cell / ivf_cell_assign
+    -- compute, so near-tie rounding is comparable across engines
     SELECT e.vec_id, e.v, e.nrm, c.cid,
-           list_sum(list_transform(list_zip(e.v, c.c),
-                                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+           list_sum(list_transform(e.v, x -> x * x)) + c.cn
+           - 2.0 * list_sum(list_transform(list_zip(e.v, c.c),
+                                           x -> x[1] * x[2])) AS dist
     FROM e, cents c)
 ),
 cells AS (SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rn = 1),

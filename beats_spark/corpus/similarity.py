@@ -258,20 +258,29 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
 
 
 def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
-    """Nearest-centroid cell id (min squared L2; ties → lower cell id).
+    """Nearest-centroid cell id (min squared L2; ties → lower cell id),
+    computed in the expanded form ``|v|² + |c|² − 2·v·c`` — the same
+    quantity :func:`ivf_cell_assign` and the DuckDB oracle compute, so
+    near-tie distances round comparably across all three paths (the
+    ``|c|²`` term is a Python-precomputed literal on every side).
 
     Distances land in ONE array column and the argmin is
     ``array_position(dists, array_min(dists))`` — a chained
     ``when(d < best, ...)`` fold would copy each aggregate
     expression exponentially (see the nested-lambda re-evaluation
     blowups fixed in the minhash/simhash operators)."""
+    vn = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
     dists = F.array(
         *[
-            F.aggregate(
+            vn + F.lit(_seq_sq_norm(row))
+            - F.lit(2.0) * F.aggregate(
                 F.zip_with(
                     vec,
                     F.array(*[F.lit(x) for x in row]),
-                    lambda x, y: (x - y) * (x - y),
+                    lambda x, y: x * y,
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
@@ -324,6 +333,22 @@ def _incell_topk(p: DataFrame, key_col: str, k: int) -> DataFrame:
     )
 
 
+def _seq_sq_norm(row) -> float:
+    """Sequential left-to-right |x|² fold — the accumulation order of
+    Spark's ``F.aggregate`` and DuckDB's ``list_sum``, so the expanded
+    distance ``|v|² + |c|² − 2·v·c`` rounds identically across engines
+    on the norm terms (the GEMM dot term is the one residual ulp)."""
+    acc = 0.0
+    for x in row:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _seq_sq_rows(V: np.ndarray) -> np.ndarray:
+    """Row-wise sequential |v|² via cumulative (left-to-right) adds."""
+    return np.add.accumulate(V * V, axis=1)[:, -1]
+
+
 def ivf_cell_assign(cents: list[list[float]]):
     """Arrow-batched nearest-centroid assignment: ONE numpy matmul per
     batch against the (n_cells × dim) centroid matrix shipped in the UDF
@@ -333,18 +358,22 @@ def ivf_cell_assign(cents: list[list[float]]):
     (one fold expression per centroid); it remains for tiny centroid
     sets and as the oracle-parity reference.
 
-    argmin over ``|c|² − 2·v·c`` (the ``|v|²`` term is constant per row)
-    with numpy's first-min tie-break = the lower cell id, matching
-    ``ivf_cell``'s ``array_position(dists, array_min(dists))``."""
+    argmin over ``|v|² + |c|² − 2·v·c`` — the SAME expanded quantity
+    :func:`ivf_cell` and the DuckDB oracle compute (adding the per-row
+    ``|v|²`` constant doesn't change the argmin mathematically, but
+    computing a *different* quantity made near-tie centroid distances
+    round differently across engines); numpy's first-min tie-break =
+    the lower cell id, matching ``ivf_cell``'s
+    ``array_position(dists, array_min(dists))``."""
     C = np.asarray(cents, dtype=np.float64)  # (n_cells, dim)
-    Cn = (C * C).sum(axis=1)  # (n_cells,)
+    Cn = np.array([_seq_sq_norm(row) for row in cents])  # |c|², seq fold
 
     @pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
         if vs.empty:
             return pd.Series([], dtype="int32")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        scores = Cn - 2.0 * (V @ C.T)
+        scores = _seq_sq_rows(V)[:, None] + Cn - 2.0 * (V @ C.T)
         return pd.Series(np.argmin(scores, axis=1).astype("int32"))
 
     return assign
@@ -355,7 +384,7 @@ def ivf_probe_assign(cents: list[list[float]], nprobe: int):
     (ascending distance; stable ties → lower cell id), as one GEMM +
     argsort per Arrow batch."""
     C = np.asarray(cents, dtype=np.float64)
-    Cn = (C * C).sum(axis=1)
+    Cn = np.array([_seq_sq_norm(row) for row in cents])
     p = min(nprobe, len(cents))
 
     @pandas_udf("array<int>")
@@ -363,7 +392,7 @@ def ivf_probe_assign(cents: list[list[float]], nprobe: int):
         if vs.empty:
             return pd.Series([], dtype=object)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        scores = Cn - 2.0 * (V @ C.T)
+        scores = _seq_sq_rows(V)[:, None] + Cn - 2.0 * (V @ C.T)
         idx = np.argsort(scores, axis=1, kind="stable")[:, :p].astype("int32")
         return pd.Series(list(idx))
 

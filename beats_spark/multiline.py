@@ -156,7 +156,9 @@ def _merge_groups_stream(
                 continue
             out = []
             agg = (
-                pdf.groupby(gcols, sort=False)
+                # dropna=False: null partition keys must form a group,
+                # matching merge='agg' (Spark groupBy keeps null keys)
+                pdf.groupby(gcols, sort=False, dropna=False)
                 .agg(
                     o=(order_col, "min"),
                     n=(order_col, "size"),

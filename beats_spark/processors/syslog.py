@@ -81,7 +81,12 @@ def syslog_rfc3164(
         v = F.substring(v, 2, 2**30) if g == 1 else v
         return F.when(v != "", v)  # empty capture = absent optional part
 
-    pri = F.when(ok, grp(1).try_cast("int"))
+    # the reference validates priority <= 191 (severity 0-7 × facility
+    # 0-23) and treats the whole line as unparseable otherwise
+    # (parser.rl priority machine); <999> must not parse as pri=999
+    pri0 = grp(1).try_cast("int")
+    ok = ok & (pri0.isNull() | (pri0 <= 191))
+    pri = F.when(ok, pri0)
     ts = F.when(
         ok,
         F.to_timestamp(

@@ -152,6 +152,18 @@ def test_network_mixed_family_list(spark):
                    "2001:db8::1": False}
 
 
+def test_network_public_excludes_special_ranges(spark):
+    # isLocalOrPrivate (network.go:225-232) also excludes unspecified,
+    # IPv4 broadcast, link-local multicast, interface-local multicast
+    got = _match(spark, "public",
+                 ["0.0.0.0", "255.255.255.255", "224.0.0.5", "224.0.1.1",
+                  "::", "ff01::1", "ff02::1", "ff05::1", "8.8.8.8"])
+    assert got == {"0.0.0.0": False, "255.255.255.255": False,
+                   "224.0.0.5": False, "224.0.1.1": True,
+                   "::": False, "ff01::1": False, "ff02::1": False,
+                   "ff05::1": True, "8.8.8.8": True}
+
+
 def test_network_unspecified_and_multicast_v6(spark):
     got = _match(spark, "unspecified", ["::", "0.0.0.0", "::1"])
     assert got == {"::": True, "0.0.0.0": True, "::1": False}

@@ -116,6 +116,27 @@ def test_stream_merge_matches_agg_merge(spark):
     assert len(got) > 100
 
 
+def test_stream_merge_keeps_null_partition_keys(spark):
+    """Null partition-key rows form a group (pandas dropna=False),
+    matching merge='agg' (Spark groupBy keeps null keys)."""
+    from beats_spark.multiline import multiline_pattern
+    from tests.conftest import rows
+
+    lines = spark.createDataFrame(
+        [(None, None, 0, "start"), (None, None, 1, "  cont"),
+         ("s", 0, 0, "start"), ("s", 0, 1, "  cont")],
+        "source string, part_id int, offset long, message string",
+    )
+    kw = dict(pattern=r"^\s+cont", match="after")
+    cols = ("source", "part_id", "offset", "message", "n_lines")
+    want = sorted(rows(multiline_pattern(lines, **kw), *cols),
+                  key=lambda r: str(r))
+    got = sorted(rows(multiline_pattern(lines, merge="stream", **kw), *cols),
+                 key=lambda r: str(r))
+    assert got == want
+    assert len(got) == 2  # one merged event per (null,null) and ('s',0)
+
+
 def test_stream_merge_max_lines_cap(spark):
     from beats_spark.multiline import multiline_pattern
     from tests.conftest import rows

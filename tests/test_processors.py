@@ -503,6 +503,28 @@ def test_syslog_rfc3164_full_line(spark):
     assert r["syslog_message"] == "totally not syslog"
 
 
+def test_syslog_priority_over_191_is_unparseable(spark):
+    """The reference's parser validates priority <= 191; <999> is not a
+    syslog line — raw message kept, all syslog fields null."""
+    from beats_spark.processors.syslog import syslog_rfc3164
+
+    df = spark.createDataFrame(
+        [("<999>Oct 11 22:14:15 mymachine su[230]: msg",),
+         ("<192>Oct 11 22:14:15 mymachine su[230]: msg",),
+         ("<191>Oct 11 22:14:15 mymachine su[230]: msg",)],
+        "message string",
+    )
+    out = {r["message"][:5]: r for r in syslog_rfc3164(df).collect()}
+    for bad in ("<999>", "<192>"):
+        r = out[bad]
+        assert r["syslog_priority"] is None and r["hostname"] is None
+        assert r["syslog_facility_label"] is None
+        assert r["syslog_message"] == f"{bad}Oct 11 22:14:15 mymachine su[230]: msg"
+    r = out["<191>"]
+    assert r["syslog_priority"] == 191 and r["hostname"] == "mymachine"
+    assert r["syslog_facility"] == 23 and r["event_severity"] == 7
+
+
 def test_syslog_registry_name(spark):
     from beats_spark.processors.base import build_processor
 
