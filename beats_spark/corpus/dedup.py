@@ -214,3 +214,107 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def neardup_resolve(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate near-dup PAIRS into clusters — the last mile of
+    an actual training-data dedup run (pair emission alone leaves the
+    keep-one decision to the caller; exact dedup already has it via
+    :func:`exact_dedup`).
+
+    Iterative hash-min connected components over the pair graph, pure
+    joins + aggregates (no GraphFrames, no driver-side graph): every
+    node starts labeled with its own id; each round a node's label drops
+    to the minimum label in its closed neighborhood; fixpoint = every
+    node labeled with the smallest id reachable from it (the cluster's
+    canonical id). Rounds needed = graph diameter — near-dup clusters
+    are shallow (a template and its copies form a near-clique), so this
+    converges in a handful of rounds; ``max_iter`` bounds the loop and a
+    non-converged graph raises rather than returning wrong clusters.
+
+    Scale: each round is one equi-join of the edge list against the
+    current labels plus a min-aggregate — both shuffle on uniformly
+    hashed ids. ``localCheckpoint`` truncates the growing lineage each
+    round (on a production cluster with lossy executors, point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
+    to ``checkpoint`` — the plan is identical). The per-round
+    convergence check is a count() action, not a collect of labels.
+
+    Returns (doc_id, canonical_id): one row per node of the pair graph;
+    if ``docs`` is given, every document appears (singletons map to
+    themselves).
+    """
+    e = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "lab")
+        )
+        new_labels = (
+            labels.select("id", "lab").union(neigh)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_resolve did not converge in {max_iter} iterations"
+        )
+
+    clusters = labels.select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("canonical_id")
+    )
+    if docs is None:
+        return clusters
+    d = docs.select(F.col(id_col).alias("doc_id"))
+    return d.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("canonical_id", "doc_id").alias("canonical_id")
+    )
+
+
+def neardup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Keep-one-per-cluster survivor set: resolve pairs into clusters,
+    keep each cluster's canonical (smallest-id) document plus all
+    singletons — the output an LLM training-data dedup pass feeds
+    downstream."""
+    clusters = neardup_resolve(pairs, docs, id_col, a_col, b_col, max_iter)
+    surv = clusters.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        F.col("doc_id").alias("__surv_id")
+    )
+    return docs.join(surv, docs[id_col] == F.col("__surv_id"), "leftsemi")

@@ -522,6 +522,61 @@ FROM (SELECT media_id, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no FROM 
 """
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution (the keep-one endpoint): MinHash+LSH
+    candidate pairs → iterative hash-min connected components →
+    (doc_id, canonical_id) for EVERY document (singletons map to
+    themselves). Oracle: DuckDB WITH RECURSIVE transitive closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs).select("doc_a", "doc_b")
+    return dedup.neardup_resolve(pairs, docs)
+
+
+_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_SQL}, {_MINH_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labs AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+SELECT d.doc_id, coalesce(l.lab, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN labs l ON l.id = d.doc_id
+"""
+
+
+def q_neardup_survivors(spark, sf_dir):
+    """Survivor set after near-dup resolution: each cluster's canonical
+    document + all singletons (what a dedup pass feeds downstream)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs).select("doc_a", "doc_b")
+    return dedup.neardup_survivors(docs, pairs).select("doc_id")
+
+
+_NEARDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_SQL}, {_MINH_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labs AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+SELECT d.doc_id
+FROM documents d LEFT JOIN labs l ON l.id = d.doc_id
+WHERE l.lab IS NULL OR l.lab = d.doc_id
+"""
+
+
 def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -532,6 +587,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup": q_winnow_neardup,
         "simhash": q_simhash,
         "minhash_neardup": q_minhash_neardup,
+        "neardup_clusters": q_neardup_clusters,
+        "neardup_survivors": q_neardup_survivors,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_neardup": q_simhash_neardup,
         "embedding_topk": q_embedding_topk,
@@ -557,6 +614,8 @@ def corpus_oracles() -> dict[str, str]:
         "winnow_neardup": _WINNOW_NEARDUP_SQL,
         "simhash": _SIMHASH_SQL,
         "minhash_neardup": _MINHASH_NEARDUP_SQL,
+        "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
+        "neardup_survivors": _NEARDUP_SURVIVORS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "simhash_neardup": _SIMHASH_NEARDUP_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,

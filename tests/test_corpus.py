@@ -356,3 +356,58 @@ def test_winnow_neardup_pairs_finds_dups(spark):
     pairs = {(a, b) for a, b, _ in got}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_neardup_resolve_transitive_chain(spark):
+    """A~B~C with A!~C must still land in ONE cluster (transitivity via
+    connected components), D~E a second cluster, F a singleton."""
+    from beats_spark.corpus.dedup import neardup_resolve
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (99,)], "doc_id long"
+    )
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in neardup_resolve(pairs, docs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_neardup_resolve_long_path_and_order(spark):
+    """Hash-min needs diameter rounds: a 7-node path given in the worst
+    label order still converges; pairs-only mode returns graph nodes."""
+    from beats_spark.corpus.dedup import neardup_resolve
+
+    # path 7-6-5-4-3-2-1: min label (1) must travel 6 hops
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, 7)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in neardup_resolve(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_neardup_resolve_max_iter_raises(spark):
+    from beats_spark.corpus.dedup import neardup_resolve
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, 7)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        neardup_resolve(pairs, max_iter=2)
+
+
+def test_neardup_survivors_keep_one(spark):
+    from beats_spark.corpus.dedup import neardup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    surv = sorted(r["doc_id"] for r in neardup_survivors(docs, pairs).collect())
+    assert surv == [1, 10, 99]
