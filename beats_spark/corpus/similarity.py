@@ -79,14 +79,33 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     return half.select(both.alias("p")).select("p.vec_id", "p.nid", "p.cos")
 
 
+#: below this row count the cross-join + per-pair fold is cheaper than
+#: spinning up Arrow cogroups; above it the blocked GEMM path wins and
+#: the cross join stops being viable long before it stops being correct
+SMALL_N_CROSSJOIN = 1000
+
+
 def cosine_topk(df: DataFrame, k: int = 1, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding", mode: str = "auto",
+                n_blocks: int = 8,
+                small_n: int = SMALL_N_CROSSJOIN) -> DataFrame:
     """Exact top-k neighbors per vector (ties broken by neighbor id).
 
-    This is the small-n exactness baseline (cross join + per-pair
-    fold). For anything beyond ~10^5 vectors use
-    :func:`cosine_topk_blocked` (identical rows, GEMM candidates, no
-    cross join) or the ``ann_*`` approximate paths."""
+    ``mode='auto'`` (default) gates on the input row count — one cheap
+    count() action (parquet footer metadata) at plan build: at or below
+    ``small_n`` rows the cross-join + per-pair fold runs (less overhead
+    than Arrow cogroups at tiny n); above it the plan delegates to
+    :func:`cosine_topk_blocked` — identical rows by construction (GEMM
+    candidate generation, fold-cos re-rank, so emitted doubles are the
+    same sequential fold), no cartesian product. ``mode='crossjoin'``
+    forces the O(n²) baseline — the ≤10⁵-row exactness oracle for
+    tests, never the scale path."""
+    if mode == "auto":
+        mode = "crossjoin" if df.count() <= small_n else "blocked"
+    if mode == "blocked":
+        return cosine_topk_blocked(df, k, n_blocks, id_col, vec_col)
+    if mode != "crossjoin":
+        raise ValueError(f"mode must be auto|blocked|crossjoin, got {mode!r}")
     pairs = cosine_pairs(df, id_col, vec_col)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -98,8 +117,18 @@ def cosine_topk(df: DataFrame, k: int = 1, id_col: str = "vec_id",
 
 def embedding_neardup_pairs(df: DataFrame, threshold: float,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
-    """Unordered near-dup pairs with cosine ≥ threshold."""
+                            vec_col: str = "embedding", mode: str = "auto",
+                            n_blocks: int = 8,
+                            small_n: int = SMALL_N_CROSSJOIN) -> DataFrame:
+    """Unordered near-dup pairs with cosine ≥ threshold. Same row-count
+    gate as :func:`cosine_topk`: above ``small_n`` the blocked GEMM
+    path runs (identical rows, no cartesian product)."""
+    if mode == "auto":
+        mode = "crossjoin" if df.count() <= small_n else "blocked"
+    if mode == "blocked":
+        return embedding_neardup_blocked(df, threshold, n_blocks, id_col, vec_col)
+    if mode != "crossjoin":
+        raise ValueError(f"mode must be auto|blocked|crossjoin, got {mode!r}")
     pairs = cosine_pairs(df, id_col, vec_col)
     return pairs.filter(
         (F.col("vec_id") < F.col("nid")) & (F.col("cos") >= threshold)

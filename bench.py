@@ -26,19 +26,33 @@ HEADLINE = [
     "rate_limit",
     "enrich_lookup",
     "window_agg",
+    "syslog_parse",
     "fingerprint",
     "dedup_exact",
     "text_stats",
     "simhash",
     "minhash_neardup",
+    "winnow_neardup",
+    "neardup_clusters",
     "embedding_topk",
     "embedding_topk_blocked",
     "embedding_neardup_blocked",
     "ann_lsh",
     "ann_ivf",
     "ann_ivf_sqrtn",
+    "ann_ivf_nprobe",
     "csv_extract",
 ]
+
+#: deliberately scale-UNSAFE exactness baselines, timed once and
+#: reported OUTSIDE the headline total (the headline tracks only paths
+#: that survive 100x scale-up; embedding_topk itself is the gated API
+#: and delegates to the blocked GEMM path above the small-n gate)
+BASELINES = {
+    "embedding_topk_crossjoin": lambda similarity, emb: similarity.cosine_topk(
+        emb, k=3, mode="crossjoin"
+    ),
+}
 
 PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "1000000"))
 
@@ -142,16 +156,25 @@ def main() -> None:
     qs = entry.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
         reps = []
-        # min-of-2 (the host stalls runs at random); the cross-join
-        # exactness baseline runs once — it alone costs ~14 s and its
-        # blocked twin carries the measured exact path
-        for _ in range(1 if name == "embedding_topk" else 2):
+        for _ in range(2):  # min-of-2: the host stalls runs at random
+            # build INSIDE the timer: eager operators (the connected-
+            # components loop, the auto-gate count) do real work at
+            # plan-build time and must be charged
             t0 = time.time()
-            materialize(df)
+            materialize(qs[name](spark, sf_dir))
             reps.append(time.time() - t0)
         times[name] = round(min(reps), 3)
+
+    # scale-unsafe exactness baselines: timed once, outside the headline
+    from beats_spark.corpus import similarity as _sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    baselines: dict[str, float] = {}
+    for name, build in BASELINES.items():
+        t0 = time.time()
+        materialize(build(_sim, emb))
+        baselines[name] = round(time.time() - t0, 3)
 
     eps, nrows, rep_secs = run_pipeline_throughput(spark)
     ml_scale = run_multiline_scale(
@@ -164,6 +187,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "baselines": baselines,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # in-process measurement — superseded below by the pinned
         # spark-submit steady-state run when the scaling section runs

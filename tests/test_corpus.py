@@ -411,3 +411,29 @@ def test_neardup_survivors_keep_one(spark):
     )
     surv = sorted(r["doc_id"] for r in neardup_survivors(docs, pairs).collect())
     assert surv == [1, 10, 99]
+
+
+def test_cosine_topk_auto_gate_delegates_to_blocked(spark):
+    """mode='auto' above the small-n gate must produce exactly the
+    cross-join rows (blocked GEMM is identical by construction) and
+    must not have a cartesian product in the plan."""
+    from beats_spark.corpus.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted(map(tuple, cosine_topk(emb, k=2, mode="crossjoin").collect()))
+    auto = cosine_topk(emb, k=2, mode="auto", small_n=10)  # force blocked
+    got = sorted(map(tuple, auto.collect()))
+    assert got == want
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_auto_gate(spark):
+    from beats_spark.corpus.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted(map(tuple, embedding_neardup_pairs(
+        emb, threshold=0.45, mode="crossjoin").collect()))
+    got = sorted(map(tuple, embedding_neardup_pairs(
+        emb, threshold=0.45, mode="auto", small_n=10).collect()))
+    assert got == want
