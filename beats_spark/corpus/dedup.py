@@ -19,10 +19,40 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from beats_spark.corpus.hashing import MERSENNE31, h32, mh_params, shingles, word_tokens
+
+
+def _cap_hot_buckets(
+    banded: DataFrame, keys: Sequence[str], max_bucket: int | None, metric: str
+) -> DataFrame:
+    """Skip LSH buckets holding more than ``max_bucket`` members before
+    the candidate self-join: one boilerplate-heavy bucket of k docs
+    emits k² candidate pairs out of the equi-join — AQE's skew split
+    handles the SHUFFLE, not the pair-count blowup. Dropping is never
+    silent: the row count landing in skipped buckets is attached as an
+    ``observe`` metric named ``metric`` (read it from the
+    QueryExecutionListener / ``Observation`` after the action), and the
+    cut is by WHOLE bucket — a bucket that big is boilerplate, not a
+    near-dup cluster you wanted (a real pipeline routes those to an
+    exact-dedup pass on the bucket key instead).
+
+    The window count partitions on the same keys as the downstream
+    join, so the planner reuses one exchange for both."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    sized = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+    sized = sized.observe(
+        metric,
+        F.sum(
+            F.when(F.col("_bucket_n") > max_bucket, 1).otherwise(0)
+        ).alias("rows_in_dropped_buckets"),
+        F.max("_bucket_n").alias("max_bucket_size"),
+    )
+    return sized.filter(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
 
 
 def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
@@ -86,13 +116,17 @@ def minhash_neardup_pairs(
     shingle_k: int = 3,
     bands: int = 4,
     min_matches: int = 0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash near-dup candidates with signature agreement counts.
 
     Returns (doc_a, doc_b, sig_matches): all LSH candidate pairs (any
     shared band) with the number of agreeing signature positions;
     ``min_matches`` filters weak candidates (estimated Jaccard ≈
-    sig_matches / num_hashes).
+    sig_matches / num_hashes). ``max_bucket`` skips whole band buckets
+    above that size before the self-join (see :func:`_cap_hot_buckets`
+    — the boilerplate-bucket k² pair-blowup guard; drop counts surface
+    via the ``minhash_bucket_cap`` observe metric).
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -120,6 +154,9 @@ def minhash_neardup_pairs(
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
+    banded = _cap_hot_buckets(
+        banded, ("band", "band_key"), max_bucket, "minhash_bucket_cap"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -177,10 +214,13 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup: byte-banding the 32-bit sketch (equal byte in
     any of the 4 positions → candidate), exact Hamming check after.
-    Returns (doc_a, doc_b, hamming)."""
+    Returns (doc_a, doc_b, hamming). ``max_bucket`` skips whole byte
+    buckets above that size before the self-join (drop counts on the
+    ``simhash_bucket_cap`` observe metric)."""
     from beats_spark.corpus.textstats import simhash as _simhash
 
     s = _simhash(df.select(F.col(id_col).alias("doc_id"), text_col), text_col)
@@ -200,6 +240,9 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _cap_hot_buckets(
+        banded, ("band", "key"), max_bucket, "simhash_bucket_cap"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -522,6 +522,81 @@ FROM (SELECT media_id, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no FROM 
 """
 
 
+_QF_INT_COLS = [
+    "n_words", "word_chars", "n_symbol_marks", "n_lines", "n_bullet_lines",
+    "n_ellipsis_lines", "n_alpha_words", "n_stop_distinct", "n_2grams",
+    "n_dup_2grams",
+]
+_QF_FLAG_COLS = [
+    "f_word_count", "f_mean_word_len", "f_symbol_ratio", "f_bullet_lines",
+    "f_ellipsis_lines", "f_alpha_words", "f_stopwords", "f_dup_2grams",
+    "passes_quality",
+]
+
+
+def q_quality_filters(spark, sf_dir):
+    """C4/Gopher training-data quality rules: integer metrics + one
+    flag per rule + the conjunction, all pure column expressions."""
+    out = textstats.quality_filters(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in _QF_INT_COLS],
+        *_QF_FLAG_COLS,
+    )
+
+
+def _quality_filters_sql() -> str:
+    from beats_spark.corpus.textstats import QUALITY_RULES, STOPWORDS
+
+    r = QUALITY_RULES
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return rf"""
+WITH s AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_words,
+    COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT AS word_chars,
+    ((length(text) - length(replace(text, '#', '')))
+     + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_symbol_marks,
+    len(lines)::BIGINT AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::BIGINT AS n_bullet_lines,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::BIGINT AS n_ellipsis_lines,
+    len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))::BIGINT AS n_alpha_words,
+    len(list_intersect(toks, [{stop}]))::BIGINT AS n_stop_distinct,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)::INT),
+                             i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS g2
+  FROM s
+), g AS (
+  SELECT *, len(g2)::BIGINT AS n_2grams,
+         (len(g2) - len(list_distinct(g2)))::BIGINT AS n_dup_2grams
+  FROM m
+), f AS (
+  SELECT *,
+    (n_words >= {r["min_words"]} AND n_words <= {r["max_words"]}) AS f_word_count,
+    (word_chars >= {r["min_mean_word_len"]} * n_words
+     AND word_chars <= {r["max_mean_word_len"]} * n_words) AS f_mean_word_len,
+    (n_symbol_marks * 100 <= {r["max_symbol_word_pct"]} * n_words) AS f_symbol_ratio,
+    (n_bullet_lines * 100 <= {r["max_bullet_line_pct"]} * n_lines) AS f_bullet_lines,
+    (n_ellipsis_lines * 100 <= {r["max_ellipsis_line_pct"]} * n_lines) AS f_ellipsis_lines,
+    (n_alpha_words * 100 >= {r["min_alpha_word_pct"]} * n_words) AS f_alpha_words,
+    (n_stop_distinct >= {r["min_distinct_stopwords"]}) AS f_stopwords,
+    (n_dup_2grams * 100 <= {r["max_dup_2gram_pct"]} * greatest(n_2grams, 1)) AS f_dup_2grams
+  FROM g
+)
+SELECT doc_id, {", ".join(_QF_INT_COLS)}, {", ".join(_QF_FLAG_COLS[:-1])},
+       (f_word_count AND f_mean_word_len AND f_symbol_ratio AND f_bullet_lines
+        AND f_ellipsis_lines AND f_alpha_words AND f_stopwords
+        AND f_dup_2grams) AS passes_quality
+FROM f
+"""
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Near-dup cluster resolution (the keep-one endpoint): MinHash+LSH
     candidate pairs → iterative hash-min connected components →
@@ -581,6 +656,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "quality_filters": q_quality_filters,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fp": q_winnow_fp,
@@ -608,6 +684,7 @@ def corpus_oracles() -> dict[str, str]:
     return {
         "dedup_exact": _DEDUP_EXACT_SQL,
         "text_stats": _text_stats_sql(),
+        "quality_filters": _quality_filters_sql(),
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "winnow_fp": _WINNOW_FP_SQL,

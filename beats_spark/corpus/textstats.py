@@ -239,3 +239,101 @@ def simhash(df: DataFrame, text_col: str = "text", target: str = "simhash",
         lambda acc, x: acc + x,
     )
     return df.withColumn(target, packed)
+
+
+#: Gopher-rule defaults (Rae et al. 2021 §A1.1, "quality filtering"),
+#: expressed so every ratio check cross-multiplies to integers — exact
+#: on any engine, no float thresholds to drift.
+QUALITY_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3,   # word_chars >= 3 * n_words
+    "max_mean_word_len": 10,  # word_chars <= 10 * n_words
+    "max_symbol_word_pct": 10,     # (n_hash + n_ellipsis) * 100 <= 10 * n_words
+    "max_bullet_line_pct": 90,     # bullet-start lines <= 90% of lines
+    "max_ellipsis_line_pct": 30,   # ellipsis-end lines <= 30% of lines
+    "min_alpha_word_pct": 80,      # words containing a letter >= 80%
+    "min_distinct_stopwords": 2,
+    "max_dup_2gram_pct": 20,       # duplicate word-2grams <= 20% of 2grams
+}
+
+
+def quality_filters(df: DataFrame, text_col: str = "text",
+                    **overrides) -> DataFrame:
+    """C4/Gopher-style training-data quality rules — ALL pure column
+    expressions (split / filter / aggregate lambdas stay inside
+    WholeStageCodegen; narrow, no shuffle, linear at 100 TB).
+
+    Emits the integer metrics, one boolean flag per rule, and the
+    conjunction ``passes_quality``. Thresholds come from
+    :data:`QUALITY_RULES`, overridable by keyword.
+
+    Rules (the Gopher repetition/format set, C4 line heuristics):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ``...``), bullet-start / ellipsis-end line ratios,
+    alphabetic-word fraction, distinct-stopword presence, duplicate
+    word-2gram fraction."""
+    from beats_spark.corpus.hashing import shingles
+
+    r = {**QUALITY_RULES, **overrides}
+    c = F.col(text_col)
+    toks = word_tokens(c)
+    lines = F.split(c, "\n")
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_ellipsis = n_ellipsis.cast("long")
+    n_lines = F.size(lines)
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop_distinct = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS]))
+    )
+    g2 = shingles(toks, 2)
+    n_2grams = F.size(g2)
+    n_dup_2grams = n_2grams - F.size(F.array_distinct(g2))
+
+    flags = {
+        "f_word_count": (n_words >= r["min_words"]) & (n_words <= r["max_words"]),
+        "f_mean_word_len": (word_chars >= r["min_mean_word_len"] * n_words)
+        & (word_chars <= r["max_mean_word_len"] * n_words),
+        "f_symbol_ratio": (n_hash + n_ellipsis) * 100
+        <= F.lit(r["max_symbol_word_pct"]) * n_words,
+        "f_bullet_lines": n_bullet_lines * 100
+        <= F.lit(r["max_bullet_line_pct"]) * n_lines,
+        "f_ellipsis_lines": n_ellipsis_lines * 100
+        <= F.lit(r["max_ellipsis_line_pct"]) * n_lines,
+        "f_alpha_words": n_alpha_words * 100
+        >= F.lit(r["min_alpha_word_pct"]) * n_words,
+        "f_stopwords": n_stop_distinct >= r["min_distinct_stopwords"],
+        "f_dup_2grams": n_dup_2grams * 100
+        <= F.lit(r["max_dup_2gram_pct"]) * F.greatest(n_2grams, F.lit(1)),
+    }
+    out = {
+        "n_words": n_words,
+        "word_chars": word_chars,
+        "n_symbol_marks": (n_hash + n_ellipsis).cast("long"),
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet_lines,
+        "n_ellipsis_lines": n_ellipsis_lines,
+        "n_alpha_words": n_alpha_words,
+        "n_stop_distinct": n_stop_distinct,
+        "n_2grams": n_2grams,
+        "n_dup_2grams": n_dup_2grams,
+        **flags,
+    }
+    passes = None
+    for f in flags.values():
+        passes = f if passes is None else (passes & f)
+    out["passes_quality"] = passes
+    return df.withColumns(out)

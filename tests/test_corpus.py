@@ -437,3 +437,83 @@ def test_embedding_neardup_auto_gate(spark):
     got = sorted(map(tuple, embedding_neardup_pairs(
         emb, threshold=0.45, mode="auto", small_n=10).collect()))
     assert got == want
+
+
+def test_minhash_hot_bucket_cap_bounds_pairs(spark):
+    """A boilerplate-heavy corpus: 40 identical docs share every band
+    bucket -> 40*39/2 = 780 candidate pairs uncapped. max_bucket below
+    40 skips those buckets entirely (whole-bucket cut, no silent
+    partial sampling) while distinct small groups are untouched."""
+    from beats_spark.corpus.dedup import minhash_neardup_pairs
+
+    boiler = [(i, "the same boilerplate header text repeated verbatim here")
+              for i in range(40)]
+    pair = [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    uncapped = minhash_neardup_pairs(docs).count()
+    assert uncapped >= 780
+    capped = minhash_neardup_pairs(docs, max_bucket=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert all(a >= 100 for a, _ in got)  # boilerplate pairs gone
+    assert (100, 101) in got  # small groups untouched
+
+
+def test_simhash_hot_bucket_cap(spark):
+    from beats_spark.corpus.dedup import simhash_neardup_pairs
+
+    boiler = [(i, "identical boilerplate words all over this text block")
+              for i in range(30)]
+    docs = spark.createDataFrame(boiler, "doc_id long, text string")
+    assert simhash_neardup_pairs(docs).count() == 30 * 29 // 2
+    assert simhash_neardup_pairs(docs, max_bucket=5).count() == 0
+
+
+def test_quality_filters_rule_by_rule(spark):
+    """One crafted doc per rule: fails exactly that rule (plus any rule
+    it necessarily implicates), a clean doc passes everything."""
+    from beats_spark.corpus.textstats import quality_filters
+
+    base = ("the quick brown fox jumps over a lazy dog and then it runs "
+            "far away to find some food for its hungry family members "
+            "while birds sing in that old tree near this quiet river "
+            "bank just before sunset light fades out over these hills "
+            "and the evening wind carries distant voices from town")
+    docs = [
+        (1, base),                                     # clean: passes
+        (2, "too few words here"),                     # word count
+        (3, " ".join(["a"] * 60)),                     # mean word len low
+        (4, base + " " + "#" * 1 + " #### ### ## # ... ... ... ..."),  # symbols
+        (5, "\n".join(["- bullet line the a of and to in is it that for"] * 10)),  # bullets
+        (6, "\n".join([f"the line number {i} trails off..." for i in range(10)])),  # ellipsis lines
+        (7, " ".join(["12345"] * 30) + " the a of and to in is it"),   # alpha words
+        (8, " ".join([f"w{i}" for i in range(60)])),   # no stopwords
+        (9, "the a " + " ".join(["spam eggs"] * 40)),  # dup 2-grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_filters(df).collect()}
+
+    assert out[1]["passes_quality"]
+    assert not out[2]["f_word_count"]
+    assert not out[3]["f_mean_word_len"]
+    assert not out[4]["f_symbol_ratio"]
+    assert not out[5]["f_bullet_lines"]
+    assert not out[6]["f_ellipsis_lines"]
+    assert not out[7]["f_alpha_words"]
+    assert not out[8]["f_stopwords"]
+    assert not out[9]["f_dup_2grams"]
+    for i in range(2, 10):
+        assert not out[i]["passes_quality"], i
+
+
+def test_quality_filters_metrics(spark):
+    from beats_spark.corpus.textstats import quality_filters
+
+    df = spark.createDataFrame(
+        [(1, "- one...\n* two\nthe end...")], "doc_id long, text string")
+    r = quality_filters(df).collect()[0]
+    assert r["n_lines"] == 3
+    assert r["n_bullet_lines"] == 2
+    assert r["n_ellipsis_lines"] == 2
+    assert r["n_symbol_marks"] == 2  # two '...' runs, no '#'
