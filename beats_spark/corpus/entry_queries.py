@@ -652,6 +652,30 @@ WHERE l.lab IS NULL OR l.lab = d.doc_id
 """
 
 
+def q_media_embed(spark, sf_dir):
+    """EmbedModel hook end-to-end: the deterministic fake encoder over
+    the synthetic media table; oracle re-derives the md5-byte embedding
+    in SQL. Exploded to scalar rows for the driver hasher."""
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    out = multimodal.embed_media(media, multimodal.FakeEmbedModel(dim=8))
+    return out.select(
+        "media_id",
+        F.posexplode("embedding").alias("pos", "component"),
+    )
+
+
+_MEDIA_EMBED_SQL = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         md5(['IMG0', 'AUD0', 'VID0'][(doc_id % 3) + 1] || text) AS hx
+  FROM documents
+)
+SELECT media_id, pos::INT AS pos,
+       (('0x' || substr(hx, (pos % 16) * 2 + 1, 2))::INT / 255.0) AS component
+FROM m, (SELECT unnest(range(0, 8)) AS pos)
+"""
+
+
 def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -676,6 +700,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_sqrtn": q_ann_ivf_sqrtn,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "media_features": q_media_features,
+        "media_embed": q_media_embed,
         "frame_sample": q_frame_sample,
     }
 
@@ -704,5 +729,6 @@ def corpus_oracles() -> dict[str, str]:
         "ann_ivf_sqrtn": _ann_ivf_sql(45),
         "ann_ivf_nprobe": _ann_ivf_sql(45, nprobe=3),
         "media_features": _MEDIA_FEATURES_SQL,
+        "media_embed": _MEDIA_EMBED_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
     }

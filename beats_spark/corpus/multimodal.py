@@ -100,28 +100,85 @@ def synth_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column."""
+    """Arrow-batched feature extraction over the binary column.
+
+    Column-wise pandas ``map`` per batch for the vectorizable parts
+    (sha / sniff / length); only the decode itself is per-blob by
+    nature (a real PIL/ffmpeg call is per-item regardless)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["data"]) if r["data"] is not None else b""
-                dims = decode_media(data, fake=fake_decode) if data else {}
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "n_bytes": len(data),
-                        "sha": hashlib.sha256(data).hexdigest(),
-                        "sniffed_format": sniff_format(data),
-                        "width": dims.get("width"),
-                        "height": dims.get("height"),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            data = pdf["data"].map(lambda d: bytes(d) if d is not None else b"")
+            dims = data.map(
+                lambda d: decode_media(d, fake=fake_decode) if d else {}
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": data.map(len).astype("int64"),
+                    "sha": data.map(lambda d: hashlib.sha256(d).hexdigest()),
+                    "sniffed_format": data.map(sniff_format),
+                    "width": dims.map(lambda m: m.get("width")),
+                    "height": dims.map(lambda m: m.get("height")),
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+class EmbedModel:
+    """Pluggable media/text embedding hook (the CLIP-shaped seam,
+    mirroring :class:`~beats_spark.corpus.textstats.LangScorer`): a real
+    encoder subclasses this and implements :meth:`embed_batch`; the
+    engine never imports a model library itself.
+
+    ``embed_media(media, model)`` runs the model Arrow-batch-wise over
+    the binary column and emits (media_id, embedding array<double>) —
+    the shape the similarity/ANN operators consume directly."""
+
+    dim: int = 8
+
+    def embed_batch(self, blobs: "pd.Series") -> "pd.Series":
+        """bytes Series → Series of list[float] (len == self.dim)."""
+        raise NotImplementedError
+
+
+class FakeEmbedModel(EmbedModel):
+    """Deterministic stand-in: md5-derived unit-free components, so the
+    distributed plumbing (batching, schema, downstream ANN joins) is
+    exercised end-to-end without a model library."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def embed_batch(self, blobs: pd.Series) -> pd.Series:
+        def one(d: bytes) -> list[float]:
+            h = hashlib.md5(d or b"").digest()
+            return [h[i % 16] / 255.0 for i in range(self.dim)]
+
+        return blobs.map(one)
+
+
+def embed_media(media: DataFrame, model: EmbedModel) -> DataFrame:
+    """(media_id, embedding): run ``model`` over the blob column in
+    Arrow batches; output feeds the cosine/ANN operators as-is."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["data"].map(lambda d: bytes(d) if d is not None else b"")
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "embedding": model.embed_batch(blobs)}
+            )
+
+    return media.mapInPandas(run, schema=schema)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,

@@ -517,3 +517,24 @@ def test_quality_filters_metrics(spark):
     assert r["n_bullet_lines"] == 2
     assert r["n_ellipsis_lines"] == 2
     assert r["n_symbol_marks"] == 2  # two '...' runs, no '#'
+
+
+def test_embed_media_fake_model(spark):
+    """EmbedModel hook: a fake encoder plugs in, output shape feeds the
+    ANN operators directly (media_id + array<double> of model.dim)."""
+    from beats_spark.corpus.multimodal import FakeEmbedModel, embed_media, synth_media
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synth_media(docs.limit(20))
+    out = embed_media(media, FakeEmbedModel(dim=6))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r["embedding"]) == 6 for r in rows)
+    # deterministic: same blob -> same embedding
+    again = {r["media_id"]: r["embedding"] for r in out.collect()}
+    assert all(again[r["media_id"]] == r["embedding"] for r in rows)
+    # composes with the similarity operators
+    from beats_spark.corpus.similarity import cosine_topk
+    emb = out.withColumn("vec_id", F.col("media_id").cast("long"))
+    top = cosine_topk(emb, k=1, mode="crossjoin")
+    assert top.count() == 20
