@@ -113,3 +113,55 @@ def kafka_events(raw: DataFrame, message_schema=None,
             "_parsed", F.from_json(F.col(message_key), message_schema)
         ).select("source", "part_id", "offset", "ts", "_parsed.*")
     return base
+
+
+def socket_events(raw: DataFrame, host: str, port: int,
+                  message_key: str = "message") -> DataFrame:
+    """Map a socket-shaped frame (``value`` [, ``timestamp``]) onto the
+    event schema. Lineage mirrors the reference's tcp/udp inputs
+    (``filebeat/input/tcp/input.go:1-142``, ``udp/input.go:1-122``):
+    each line is one event, ``source`` = the peer address
+    (``log.source.address``), and — exactly like the reference, whose
+    socket inputs keep NO registrar state — there is no replayable
+    offset (``offset`` is null; delivery on restart re-reads the live
+    stream, not history). Split out from :func:`stream_socket` so the
+    projection is testable without a live socket."""
+    ts = (
+        F.col("timestamp") if "timestamp" in raw.columns else F.current_timestamp()
+    )
+    return raw.select(
+        F.lit(f"tcp://{host}:{port}").alias("source"),
+        F.lit(0).alias("part_id"),
+        F.lit(None).cast("long").alias("offset"),
+        ts.alias("ts"),
+        F.col("value").alias(message_key),
+    )
+
+
+def stream_socket(
+    spark: SparkSession,
+    host: str = "localhost",
+    port: int = 9999,
+    message_key: str = "message",
+) -> DataFrame:
+    """TCP line-stream input (the reference's tcp/udp/syslog-listener
+    family) on ``readStream.format("socket")``: newline-delimited text,
+    one event per line, straight into the same line → multiline →
+    processor → route chain as every other source.
+
+    Direction note: Spark's socket source CONNECTS to ``host:port``
+    (the test/dev harness runs the listener); the reference's inputs
+    LISTEN. The event semantics — line framing, per-event source
+    address, no offset state — are identical, and a production
+    deployment fronts either with the same load-balancer-to-port
+    topology. For true listen-side ingestion at scale the kafka source
+    (``stream_kafka``) is the recommended path; a socket hop is not a
+    100 TB ingest plan in either system."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .option("includeTimestamp", "true")
+        .load()
+    )
+    return socket_events(raw, host, port, message_key)

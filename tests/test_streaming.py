@@ -298,3 +298,83 @@ def test_kafka_events_projection(spark):
     typed = kafka_events(raw, message_schema="level string, k int")
     row = {x["offset"]: x for x in typed.collect()}[58]
     assert row["level"] == "warn" and row["k"] == 9
+
+
+def test_socket_events_projection(spark):
+    """Socket frame → event schema without a live socket (the testable
+    projection seam, like kafka_events)."""
+    from beats_spark.streaming.sources import socket_events
+
+    raw = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 h su: hi", "2026-01-01 00:00:00")],
+        "value string, timestamp string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    r = socket_events(raw, "localhost", 12345).collect()[0]
+    assert r["source"] == "tcp://localhost:12345"
+    assert r["offset"] is None  # socket inputs keep no registrar state
+    assert r["message"].startswith("<34>")
+
+
+def test_stream_socket_end_to_end(spark, tmp_path):
+    """A real local TCP listener streams lines; the socket source runs
+    them through condition routing; routed per-sink counts match the
+    lines sent."""
+    import socket
+    import threading
+
+    from beats_spark.routing import add_sink_column
+    from beats_spark.streaming.sources import stream_socket
+
+    lines = [f"ERR boom {i}" if i % 5 == 0 else f"INFO ok {i}" for i in range(100)]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        stop.wait(30)  # keep the connection open until the test is done
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    ev = stream_socket(spark, "127.0.0.1", port)
+    routing = {
+        "indices": [
+            {"index": "errors", "when": {"regexp": {"message": "^ERR "}}},
+        ],
+        "default": "main",
+    }
+    routed = add_sink_column(ev, routing)
+    q = (
+        routed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sock_routed")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM sock_routed").first()["n"]
+            if n >= len(lines):
+                break
+            time.sleep(0.5)
+        got = {
+            r["sink"]: r["n"]
+            for r in spark.sql(
+                "SELECT sink, count(*) AS n FROM sock_routed GROUP BY sink"
+            ).collect()
+        }
+        assert got == {"errors": 20, "main": 80}
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
