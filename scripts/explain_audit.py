@@ -50,7 +50,47 @@ AUDITED = {
     "sink_triage": dict(),
     "dns_enrich": dict(broadcast=True),
     "csv_extract": dict(),
+    # round-3 additions
+    "syslog_parse": dict(),
+    "winnow_fp": dict(),
+    "winnow_neardup": dict(),
+    "quality_filters": dict(),
+    "neardup_clusters": dict(),
+    "neardup_survivors": dict(),
+    "ann_ivf_nprobe": dict(),
+    "media_embed": dict(),
+    "media_features": dict(),
+    "frame_sample": dict(),
+    # gated exact APIs: at the audit sf (0.01, 500 vectors) the auto
+    # gate picks the cross join — the deliberate small-n fast path; the
+    # blocked twins above prove the scale plan is cartesian-free
+    "embedding_neardup": dict(allow_cartesian=True),
 }
+
+
+def extra_frames(spark, sf_dir):
+    """Plan-audit targets that are not driver queries: the spool drain
+    read and the streaming fan-out per-batch count function (the
+    foreachBatch body is a batch plan — audit it as one)."""
+    import tempfile
+
+    from beats_spark.datagen import generate_events
+    from beats_spark.routing import add_sink_column, fanout_counts
+    from beats_spark.spool import Spool
+
+    ev = generate_events(spark, 1000)
+    routing = {"indices": [{"index": "errors",
+                            "when": {"equals": {"level": "error"}}}],
+               "default": "main"}
+    routed = add_sink_column(ev, routing)
+    frames = {"streaming_fanout_batch_fn": (fanout_counts(routed), dict())}
+    d = tempfile.mkdtemp(prefix="audit_spool_")
+    sp = Spool(d)
+    sp.enqueue(ev, "b1")
+    pending = sp.read_pending(spark)
+    if pending is not None:
+        frames["spool_drain"] = (pending, dict())
+    return frames
 
 
 def plan_text(df) -> str:
@@ -91,8 +131,9 @@ def main() -> None:
     qs = entry.queries()
 
     results: dict[str, tuple[list[str], str]] = {}
-    for name, opts in AUDITED.items():
-        df = qs[name](spark, sf_dir)
+    targets = {n: (qs[n](spark, sf_dir), o) for n, o in AUDITED.items()}
+    targets.update(extra_frames(spark, sf_dir))
+    for name, (df, opts) in targets.items():
         text = plan_text(df)
         results[name] = (audit(name, text, opts.get("broadcast", False),
                        opts.get("allow_cartesian", False)), text)
@@ -118,6 +159,8 @@ def main() -> None:
         f.write("\n".join(out) + "\n")
     bad = {n: p for n, (p, _) in results.items() if p}
     print("PLANS.md written;", "ALL OK" if not bad else f"issues: {bad}")
+    if bad:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
