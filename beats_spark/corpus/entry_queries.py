@@ -701,6 +701,11 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "media_features": q_media_features,
         "media_embed": q_media_embed,
+        "pack_sequences": q_pack_sequences,
+        "pack_sequences_sig": q_pack_sequences_sig,
+        "split_assign": q_split_assign,
+        "vocab_histogram": q_vocab_histogram,
+        "token_bigrams": q_token_bigrams,
         "frame_sample": q_frame_sample,
     }
 
@@ -730,5 +735,133 @@ def corpus_oracles() -> dict[str, str]:
         "ann_ivf_nprobe": _ann_ivf_sql(45, nprobe=3),
         "media_features": _MEDIA_FEATURES_SQL,
         "media_embed": _MEDIA_EMBED_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
+        "pack_sequences_sig": _PACK_SEQUENCES_SIG_SQL,
+        "split_assign": _SPLIT_ASSIGN_SQL,
+        "vocab_histogram": _VOCAB_HISTOGRAM_SQL,
+        "token_bigrams": _TOKEN_BIGRAMS_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
     }
+
+
+# -- token-sequence operators (training-data layout) ---------------------------
+
+from beats_spark.corpus import tokens as toks  # noqa: E402
+
+_TOKVOCAB = 50257
+_TOKENIZE_SQL = f"""
+  tk AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '),
+                          w -> ({H32_SQL.format(expr='w')} % {_TOKVOCAB}))
+           AS toks
+    FROM documents
+  )
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing to max_len=128, exploded to
+    bit-checkable (seq_no, pos_in_seq, token_id) rows."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    out = toks.pack_sequences(t, max_len=128, emit="exploded")
+    return out.select("seq_no", "pos_in_seq", F.col("token_id").cast("long").alias("token_id"))
+
+
+_PACK_SEQUENCES_SQL = f"""
+WITH {_TOKENIZE_SQL},
+o AS (
+  SELECT doc_id, toks,
+         coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM tk
+),
+ex AS (
+  SELECT strt + i AS pos, toks[i::INT + 1] AS token_id
+  FROM (SELECT strt, toks, unnest(range(0, len(toks))) AS i FROM o)
+)
+SELECT (pos // 128)::BIGINT AS seq_no, (pos % 128)::BIGINT AS pos_in_seq,
+       token_id::BIGINT AS token_id
+FROM ex
+"""
+
+
+def q_pack_sequences_sig(spark, sf_dir):
+    """Packed-sequence ARRAY shape, verified via a per-sequence content
+    signature (md5 of the comma-joined token ids) — the driver-hashable
+    face of the array output."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    out = toks.pack_sequences(t, max_len=128, emit="arrays")
+    return out.select(
+        "seq_no",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))).alias("sig"),
+    )
+
+
+_PACK_SEQUENCES_SIG_SQL = f"""
+WITH {_TOKENIZE_SQL},
+o AS (
+  SELECT doc_id, toks,
+         coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM tk
+),
+ex AS (
+  SELECT strt + i AS pos, toks[i::INT + 1] AS token_id
+  FROM (SELECT strt, toks, unnest(range(0, len(toks))) AS i FROM o)
+)
+SELECT (pos // 128)::BIGINT AS seq_no, count(*)::BIGINT AS n_tok,
+       md5(string_agg(token_id::VARCHAR, ',' ORDER BY pos)) AS sig
+FROM ex GROUP BY 1
+"""
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split by id hash (90/5/5)."""
+    out = toks.split_assign(_docs(spark, sf_dir))
+    return out.select("doc_id", "split")
+
+
+_SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ({H32_SQL.format(expr="'split:' || doc_id::VARCHAR")} % 100) AS b
+      FROM documents)
+"""
+
+
+def q_vocab_histogram(spark, sf_dir):
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    out = toks.vocab_histogram(t)
+    return out.select(F.col("token_id").cast("long").alias("token_id"), "n")
+
+
+_VOCAB_HISTOGRAM_SQL = f"""
+WITH {_TOKENIZE_SQL}
+SELECT token_id::BIGINT AS token_id, count(*)::BIGINT AS n
+FROM (SELECT unnest(toks) AS token_id FROM tk)
+GROUP BY 1
+"""
+
+
+def q_token_bigrams(spark, sf_dir):
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    out = toks.token_bigrams(t, min_count=2)
+    return out.select(
+        F.col("t1").cast("long").alias("t1"),
+        F.col("t2").cast("long").alias("t2"), "n",
+    )
+
+
+_TOKEN_BIGRAMS_SQL = f"""
+WITH {_TOKENIZE_SQL},
+p AS (
+  SELECT toks[i::INT] AS t1, toks[i::INT + 1] AS t2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)
+)
+SELECT t1::BIGINT AS t1, t2::BIGINT AS t2, count(*)::BIGINT AS n
+FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+"""

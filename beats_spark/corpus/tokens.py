@@ -1,0 +1,132 @@
+"""Token-sequence operators for training-data pipelines: the ops that
+run AFTER text cleaning, over ``(doc_id, tokens:array<int>, n_tok)``
+tables (the north-rule input shape, ``datagen.py``) — sequence packing,
+deterministic dataset splits, vocabulary statistics.
+
+Scale design: packing is two keyed shuffles (a window cumsum over the
+pack key, then the sequence regroup — both on uniform keys); splits are
+a pure hash projection (narrow); vocab/bigram stats are partial+final
+hash aggregates on token ids (uniform by construction). Nothing here
+holds a document's neighbors in memory: the concat-then-chunk packing
+works on exploded (position, token) rows, so a 10^12-token corpus
+streams through."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from beats_spark.corpus.hashing import h32, word_tokens
+
+
+def tokenize_ids(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", vocab: int = 50257) -> DataFrame:
+    """Deterministic word → token-id mapping (md5-derived, portable to
+    any engine): the documents-table bridge to the tokenized shape when
+    a real BPE table isn't attached. Returns (doc_id, tokens, n_tok)."""
+    toks = word_tokens(F.col(text_col))
+    ids = F.transform(toks, lambda w: F.pmod(h32(w), F.lit(vocab)).cast("int"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ids.alias("tokens"),
+        F.size(ids).alias("n_tok"),
+    )
+
+
+def pack_sequences(df: DataFrame, max_len: int = 128,
+                   id_col: str = "doc_id", tokens_col: str = "tokens",
+                   emit: str = "arrays") -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style pretraining
+    layout): documents ordered by ``id_col`` are logically concatenated
+    into one token stream, which is cut into fixed ``max_len`` training
+    sequences; documents may straddle a boundary (an attention mask /
+    EOS token downstream handles that, as in standard LM pipelines).
+
+    Deterministic and reproducible: sequence k holds exactly stream
+    positions [k*max_len, (k+1)*max_len). The running offset is a
+    window cumsum ordered by doc id; chunk assignment is arithmetic on
+    the exploded (position, token) rows; the regroup keys on seq_no —
+    uniform by construction, no skew. ``emit='arrays'`` returns
+    (seq_no, tokens, n_tok); ``emit='exploded'`` returns the flat
+    (seq_no, pos_in_seq, token_id) rows (bit-checkable shape).
+
+    The single global cumsum window is intentional here (determinism
+    across any partitioning); at 10^12 tokens shard the stream first
+    (e.g. per source) and pack within shards — same function applied
+    per group, boundaries then per shard."""
+    w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0))
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t"))
+        .withColumn("_start", start)
+        .select(
+            F.posexplode("_t").alias("_p", "token_id"),
+            (F.col("_start") + F.col("_p")).alias("_pos"),
+        )
+        .select(
+            F.floor(F.col("_pos") / max_len).alias("seq_no"),
+            F.pmod(F.col("_pos"), F.lit(max_len)).alias("pos_in_seq"),
+            "token_id",
+        )
+    )
+    if emit == "exploded":
+        return ex
+    grouped = ex.groupBy("seq_no").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos_in_seq", "token_id"))
+            ),
+            lambda s: s["token_id"],
+        ).alias("tokens")
+    )
+    return grouped.select(
+        "seq_no", "tokens", F.size("tokens").alias("n_tok")
+    )
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id",
+                 train_pct: int = 90, val_pct: int = 5,
+                 salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash (md5-derived — stable across runs, engines, cluster sizes;
+    never RNG). Remaining percent is 'test'."""
+    b = F.pmod(h32(F.col(id_col).cast("string"), seed=salt), F.lit(100))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def vocab_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Token-id frequency over the corpus: explode → ONE partial+final
+    hash aggregate (map-side combine shrinks the shuffle to the vocab
+    size per partition)."""
+    return (
+        df.select(F.explode(tokens_col).alias("token_id"))
+        .groupBy("token_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def token_bigrams(df: DataFrame, tokens_col: str = "tokens",
+                  min_count: int = 1) -> DataFrame:
+    """Adjacent token-pair counts (tokenizer/merge analysis): shifted
+    zip_with pairs each token with its successor in-array (narrow),
+    then one hash aggregate."""
+    t = F.col(tokens_col)
+    n = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(t, 1, n), F.slice(t, 2, n),
+        lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+    )
+    out = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out

@@ -538,3 +538,67 @@ def test_embed_media_fake_model(spark):
     emb = out.withColumn("vec_id", F.col("media_id").cast("long"))
     top = cosine_topk(emb, k=1, mode="crossjoin")
     assert top.count() == 20
+
+
+# -- token-sequence operators --------------------------------------------------
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-then-chunk: sequence k holds exactly stream positions
+    [k*max_len, (k+1)*max_len); docs straddle boundaries; only the tail
+    sequence is short."""
+    from beats_spark.corpus.tokens import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, list(range(0, 5))), (2, list(range(10, 17))), (3, list(range(20, 24)))],
+        "doc_id long, tokens array<int>",
+    )
+    out = {r["seq_no"]: r for r in pack_sequences(docs, max_len=6).collect()}
+    # stream = 0..4, 10..16, 20..23 → 16 tokens → seqs of 6, 6, 4
+    assert out[0]["tokens"] == [0, 1, 2, 3, 4, 10]
+    assert out[1]["tokens"] == [11, 12, 13, 14, 15, 16]
+    assert out[2]["tokens"] == [20, 21, 22, 23]
+    assert [out[k]["n_tok"] for k in (0, 1, 2)] == [6, 6, 4]
+
+
+def test_pack_sequences_exploded_matches_arrays(spark):
+    from beats_spark.corpus.tokens import pack_sequences, tokenize_ids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = tokenize_ids(docs)
+    arrays = pack_sequences(t, max_len=64, emit="arrays")
+    exploded = pack_sequences(t, max_len=64, emit="exploded")
+    n_arr = arrays.selectExpr("sum(n_tok) AS s").first()["s"]
+    assert exploded.count() == n_arr
+    one = arrays.filter(F.col("seq_no") == 0).first()["tokens"]
+    flat = [r["token_id"] for r in
+            exploded.filter(F.col("seq_no") == 0)
+            .orderBy("pos_in_seq").collect()]
+    assert flat == one
+
+
+def test_split_assign_deterministic_proportions(spark):
+    from beats_spark.corpus.tokens import split_assign
+
+    docs = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    out = split_assign(docs)
+    got = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(got["train"] - 9000) < 300
+    assert abs(got["val"] - 500) < 150
+    assert abs(got["test"] - 500) < 150
+    # deterministic: same ids → same assignment on re-run
+    a = {r["doc_id"]: r["split"] for r in out.limit(50).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(docs).limit(50).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_vocab_histogram_and_bigrams(spark):
+    from beats_spark.corpus.tokens import token_bigrams, vocab_histogram
+
+    docs = spark.createDataFrame(
+        [(1, [7, 8, 7, 8]), (2, [7, 9])], "doc_id long, tokens array<int>")
+    hist = {r["token_id"]: r["n"] for r in vocab_histogram(docs).collect()}
+    assert hist == {7: 3, 8: 2, 9: 1}
+    bi = {(r["t1"], r["t2"]): r["n"] for r in token_bigrams(docs).collect()}
+    assert bi == {(7, 8): 2, (8, 7): 1, (7, 9): 1}
