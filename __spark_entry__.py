@@ -338,6 +338,22 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_rate_limit_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe two-phase salted variant (beats_spark.skew) —
+    EXACTLY the same rows as q_rate_limit, proven against the same
+    oracle: per-(key, salt-bucket) top-k superset, then the true
+    per-key rank on the ≤ B·k survivors. The hot-source window never
+    lands in one task."""
+    from beats_spark.processors.base import build_processor
+
+    ev = _t(spark, sf_dir, "events")
+    p = build_processor(
+        {"rate_limit": {"limit": "2/h", "fields": ["event_type"],
+                        "order_col": "event_id", "salt_buckets": 8}}
+    )
+    return p(ev).select("event_id")
+
+
 def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast lookup enrichment (§2.6): two chained dim joins
     (customer → nation), the add_host_metadata/translate shape."""
@@ -860,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_pattern": q_multiline_pattern,
         "multiline_count": q_multiline_count,
         "rate_limit": q_rate_limit,
+        "rate_limit_salted": q_rate_limit_salted,
         "enrich_lookup": q_enrich_lookup,
         "dns_enrich": q_dns_enrich,
         "fingerprint": q_fingerprint,
@@ -891,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "multiline_pattern": _Q_MULTILINE_PATTERN_SQL,
         "multiline_count": _Q_MULTILINE_COUNT_SQL,
         "rate_limit": _Q_RATE_LIMIT_SQL,
+        "rate_limit_salted": _Q_RATE_LIMIT_SQL,
         "enrich_lookup": _Q_ENRICH_LOOKUP_SQL,
         "dns_enrich": _Q_DNS_ENRICH_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,

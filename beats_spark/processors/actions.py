@@ -583,7 +583,8 @@ class RateLimit(FilterProc):
     Ref: libbeat/processors/ratelimit/rate_limit.go:102, token_bucket.go."""
 
     def __init__(self, limit: str | int, fields: list[str] | None = None,
-                 ts_col: str = "ts", order_col: str = "offset"):
+                 ts_col: str = "ts", order_col: str = "offset",
+                 salt_buckets: int = 1):
         # limit like "100/m", "1/s", or a bare per-minute int
         if isinstance(limit, int):
             self.n, self.period = limit, "1 minute"
@@ -594,12 +595,24 @@ class RateLimit(FilterProc):
         self.fields = fields or []
         self.ts_col = ts_col
         self.order_col = order_col
+        self.salt_buckets = salt_buckets
 
     def __call__(self, df: DataFrame) -> DataFrame:
         keys = [F.col(f) for f in self.fields]
+        order_col = self.order_col if self.order_col in df.columns else self.ts_col
+        if self.salt_buckets > 1 and self.when is None:
+            # skew-safe exact top-k: a hot (window, key) group otherwise
+            # ranks all its rows in ONE task — the north rule's salted
+            # hot-source case (see beats_spark.skew)
+            from beats_spark.skew import salted_topk
+
+            return salted_topk(
+                df, [F.window(F.col(self.ts_col), self.period), *keys],
+                order_col, self.n, self.salt_buckets, rn_col="_rl_rn",
+            ).drop("_rl_rn")
         w = Window.partitionBy(
             F.window(F.col(self.ts_col), self.period), *keys
-        ).orderBy(self.order_col if self.order_col in df.columns else self.ts_col)
+        ).orderBy(order_col)
         out = df.withColumn("_rl_rn", F.row_number().over(w))
         keep = F.col("_rl_rn") <= self.n
         if self.when is not None:

@@ -533,3 +533,20 @@ def test_syslog_registry_name(spark):
     out = build_processor({"syslog": {"assume_year": 1987}})(df).collect()[0]
     assert out["syslog_facility_label"] == "local4"
     assert out["event_severity"] == 5
+
+
+def test_rate_limit_salted_matches_unsalted(spark):
+    """salt_buckets>1 (two-phase skew-safe top-k) keeps exactly the
+    rows of the single-window form — including on a pathologically hot
+    key — and its plan has no single hot window partition."""
+    from beats_spark.datagen import generate_events
+    from beats_spark.processors.base import build_processor
+
+    ev = generate_events(spark, 20000, hot_fraction=0.9)  # one giant key
+    plain = build_processor({"rate_limit": {"limit": "7/m", "fields": ["source"]}})
+    salted = build_processor({"rate_limit": {"limit": "7/m", "fields": ["source"],
+                                             "salt_buckets": 8}})
+    key = lambda r: (r["source"], r["offset"])
+    a = sorted(map(key, plain(ev).collect()))
+    b = sorted(map(key, salted(ev).collect()))
+    assert a == b and len(a) > 0
