@@ -136,6 +136,55 @@ def fanout_write(
     writer.partitionBy(sink_col).mode(mode).save(base_dir)
 
 
+def fanout_write_table(
+    df: DataFrame,
+    table: str,
+    sink_col: str = "sink",
+    run_id: str | None = None,
+    provider: str = "iceberg",
+) -> None:
+    """Catalog-table fan-out via the DataFrameWriterV2 API — the north
+    rule's Iceberg sink, executable today: the SAME code path drives
+    any V2 table provider, so in-sandbox tests run it against the
+    session catalog with ``provider="parquet"`` and production points
+    it at an Iceberg catalog (iceberg-spark-runtime jar +
+    ``spark.sql.catalog.<name>`` conf) with ``provider="iceberg"`` —
+    no code change, only configuration.
+
+    Idempotency contract (same as :func:`fanout_write`): with
+    ``run_id``, replays call ``overwritePartitions`` — only the
+    (sink, run_id) partitions present in this batch are replaced, so a
+    retried batch rewrites itself instead of duplicating (Iceberg makes
+    this a snapshot-atomic commit; the reference's analogue is
+    guaranteed-send + dedup-by-identity)."""
+    from pyspark.errors import AnalysisException
+
+    data = df.withColumn("run_id", F.lit(run_id)) if run_id else df
+    parts = [F.col(sink_col)] + ([F.col("run_id")] if run_id else [])
+    spark = data.sparkSession
+    if not spark.catalog.tableExists(table):
+        data.writeTo(table).using(provider).partitionedBy(*parts).create()
+        return
+    ordered = data.select(*spark.table(table).columns)
+    try:
+        if run_id:
+            ordered.writeTo(table).overwritePartitions()
+        else:
+            ordered.writeTo(table).append()
+    except AnalysisException:
+        # V1 session-catalog tables (the in-sandbox parquet stand-in)
+        # reject the V2 write — same partition-replacement semantics
+        # via classic dynamic partition overwrite (insertInto reads the
+        # session conf, not the per-write option)
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf, "static")
+        spark.conf.set(conf, "dynamic")
+        try:
+            ordered.write.mode("overwrite" if run_id else "append").insertInto(table)
+        finally:
+            spark.conf.set(conf, prev)
+
+
 def fanout_counts(df: DataFrame, sink_col: str = "sink") -> DataFrame:
     """Per-sink ACK counts (``libbeat/outputs/metrics.go:53-66`` →
     ``events.acked`` per output)."""

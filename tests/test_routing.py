@@ -250,3 +250,35 @@ def test_redis_frame_shape(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="data_type"):
         write_redis(df, "h", 6379, key="q", data_type="zset")
+
+
+def test_fanout_write_table_v2_idempotent(spark, tmp_path):
+    """DataFrameWriterV2 catalog-table fan-out (the Iceberg sink code
+    path, driven here with the parquet provider): create on first
+    write, overwritePartitions on replay — same run_id rewrites itself,
+    no duplicates; a second run_id appends its partitions."""
+    from beats_spark.routing import add_sink_column, fanout_write_table
+
+    ev = spark.createDataFrame(
+        [(i, "error" if i % 3 == 0 else "info") for i in range(30)],
+        "doc_id long, level string",
+    )
+    routing = {"indices": [{"index": "errors",
+                            "when": {"equals": {"level": "error"}}}],
+               "default": "main"}
+    routed = add_sink_column(ev, routing)
+    table = "spark_catalog.default.fanout_v2_test"
+    try:
+        fanout_write_table(routed, table, run_id="r1", provider="parquet")
+        n1 = spark.table(table).count()
+        assert n1 == 30
+        # replay same run_id: no dup
+        fanout_write_table(routed, table, run_id="r1", provider="parquet")
+        assert spark.table(table).count() == 30
+        # a second batch lands alongside
+        fanout_write_table(routed.limit(5), table, run_id="r2", provider="parquet")
+        assert spark.table(table).count() == 35
+        sinks = {r["sink"] for r in spark.table(table).select("sink").distinct().collect()}
+        assert sinks == {"errors", "main"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
