@@ -128,71 +128,66 @@ def q_winnow_fp(spark, sf_dir):
     hashes, window-of-4 minima, distinct — exploded to one scalar
     (doc_id, fp) row per selected hash (the natural shape for the
     downstream candidate equi-join; also driver-hashable)."""
-    fps = textstats.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
-    return fps.select("doc_id", F.explode("fps").alias("fp"))
+    return textstats.winnow_fingerprints_exploded(_docs(spark, sf_dir), k=5, w=4)
 
 
-_WINNOW_FP_SQL = f"""
-WITH n AS (
+_WINNOW_FP_SQL_TMPL = "WITH {ex} SELECT doc_id, fp::BIGINT AS fp FROM ex"
+
+
+def _winnow_ex_sql(k: int, w: int) -> str:
+    """The exploded (doc_id, fp) winnowing CTE chain for any (k, w) —
+    generated from the same parameters as the engine call so the two
+    sides cannot drift."""
+    return f"""
+n AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
 ), g AS (
   SELECT doc_id,
-         CASE WHEN length(t) - 4 >= 1 THEN
-           list_transform(range(1, (length(t) - 4)::INT + 1),
-                          i -> {H32_SQL.format(expr="substr(t, i::INT, 5)")})
+         CASE WHEN length(t) - {k - 1} >= 1 THEN
+           list_transform(range(1, (length(t) - {k - 1})::INT + 1),
+                          i -> {H32_SQL.format(expr=f"substr(t, i::INT, {k})")})
          ELSE [] END AS h
   FROM n
 ), sel AS (
   SELECT doc_id,
-         CASE WHEN len(h) - 3 >= 1 THEN
-           list_transform(range(1, (len(h) - 3)::INT + 1),
-                          i -> list_min(list_slice(h, i::INT, i::INT + 3)))
-         WHEN len(h) >= 1 THEN [list_min(h)]
-         ELSE [] END AS fps
-  FROM g
-)
-SELECT doc_id, unnest(list_distinct(fps))::BIGINT AS fp FROM sel
-"""
-
-
-def q_winnow_neardup(spark, sf_dir):
-    """min_shared=80: the synthetic corpus draws from a small shared
-    vocabulary, so incidental 5-gram fingerprint overlap is high
-    (median 23 shared fps between RANDOM doc pairs); 80 isolates the
-    true near-dup groups (real corpora use longer k for the same
-    effect)."""
-    return textstats.winnow_neardup_pairs(_docs(spark, sf_dir), k=5, w=4,
-                                          min_shared=80)
-
-
-_WINNOW_NEARDUP_SQL = f"""
-WITH n AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-  FROM documents
-), g AS (
-  SELECT doc_id,
-         CASE WHEN length(t) - 4 >= 1 THEN
-           list_transform(range(1, (length(t) - 4)::INT + 1),
-                          i -> {H32_SQL.format(expr="substr(t, i::INT, 5)")})
-         ELSE [] END AS h
-  FROM n
-), sel AS (
-  SELECT doc_id,
-         CASE WHEN len(h) - 3 >= 1 THEN
-           list_transform(range(1, (len(h) - 3)::INT + 1),
-                          i -> list_min(list_slice(h, i::INT, i::INT + 3)))
+         CASE WHEN len(h) - {w - 1} >= 1 THEN
+           list_transform(range(1, (len(h) - {w - 1})::INT + 1),
+                          i -> list_min(list_slice(h, i::INT, i::INT + {w - 1})))
          WHEN len(h) >= 1 THEN [list_min(h)]
          ELSE [] END AS fps
   FROM g
 ), ex AS (
   SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM sel
-)
+)"""
+
+
+_WINNOW_FP_SQL = _WINNOW_FP_SQL_TMPL.format(ex=_winnow_ex_sql(5, 4))
+
+#: winnow near-dup params: k=20 char-grams make fingerprints RARE on
+#: this small-vocabulary corpus (251k distinct fps at sf0.1 vs 1,002 at
+#: k=5 — k=5's hot fps drove the candidate equi-join to 590M row-pairs,
+#: ~1,100× the k=20 cost). Shared-fp counts are cleanly bimodal at
+#: k=20 (noise ≤ 4, true near-dup groups ≥ 20), so min_shared=20.
+_WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED = 20, 8, 20
+
+
+def q_winnow_neardup(spark, sf_dir):
+    """Winnowing near-dup candidate pairs at scale-sane parameters
+    (see _WINNOW_K note): longer k-grams → rare fingerprints → the
+    explode+equi-join touches candidate pairs only, not hot buckets."""
+    return textstats.winnow_neardup_pairs(
+        _docs(spark, sf_dir), k=_WINNOW_K, w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED)
+
+
+_WINNOW_NEARDUP_SQL = f"""
+WITH {_winnow_ex_sql(_WINNOW_K, _WINNOW_W)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
 FROM ex a JOIN ex b ON a.fp = b.fp
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
-HAVING count(*) >= 80
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
 """
 
 

@@ -147,18 +147,32 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     Guarantee: any shared substring of length ≥ w + k − 1 between two
     documents yields at least one shared fingerprint.
 
-    Spark-first: k-grams and window minima are both built from SHIFTED
-    SLICES folded with ``zip_with`` (the :func:`~beats_spark.corpus.
-    hashing.shingles` pattern) — NOT ``transform(sequence(...), i ->
-    slice(arr, i, w))``: an array referenced inside a position-indexed
-    lambda is re-evaluated per element (positions differ, so codegen's
-    common-subexpression elimination can't collapse them), an O(n²)
-    blowup; identical whole-array references across slices CSE to one
+    Spark-first: k-grams come straight off the MATERIALIZED normalized
+    string — ``transform(sequence(1, n), i -> substr(_norm, i, k))``:
+    per-element re-evaluation of a plain string column reference is
+    free (it's one row value, not a rebuilt array), so gram cost is
+    O(n·k) regardless of k. Building grams by folding k shifted CHAR
+    slices (the first implementation) is O(n·k²) char copies through
+    k−1 intermediate arrays — 19 chained zip_withs and a 4.7 MiB task
+    binary at k=20. Window minima DO use shifted-slice ``zip_with``
+    folds: there the operand is an array, and a position-indexed
+    ``slice(arr, i, w)`` lambda would re-evaluate the whole array per
+    element (no CSE across differing positions) — an O(n²) blowup;
+    identical whole-array references across slices CSE to one
     evaluation. Each k-gram is hashed exactly once. Returns (doc_id,
     fps array<bigint>) — explode + equi-join on the hash for candidate
     pairs (:func:`winnow_neardup_pairs`)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    chars = F.split(norm, "")
+    normed = df.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
+    ng = F.length("_norm") - (k - 1)
+    grams = F.when(
+        ng >= 1,
+        F.transform(F.sequence(F.lit(1), F.greatest(ng, F.lit(1))),
+                    lambda i: F.substr(F.col("_norm"), i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    h = F.transform(grams, lambda g: h32(g))
+    prepped = normed.select("doc_id", h.alias("_h"))
+    harr = F.col("_h")
 
     def shifted_fold(arr: Column, width: int, combine) -> Column:
         n = F.greatest(F.size(arr) - (width - 1), F.lit(0))
@@ -166,11 +180,6 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
         for j in range(1, width):
             out = F.zip_with(out, F.slice(arr, j + 1, n), combine)
         return out
-
-    grams = shifted_fold(chars, k, lambda a, b: F.concat(a, b))
-    h = F.transform(grams, lambda g: h32(g))
-    prepped = df.select(F.col(id_col).alias("doc_id"), h.alias("_h"))
-    harr = F.col("_h")
     # window minimum: the winnowing tie rule (rightmost) only affects
     # which POSITION is recorded; the selected hash VALUE is identical,
     # and fingerprints are the value set
@@ -186,6 +195,28 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     )
 
 
+def winnow_fingerprints_exploded(df: DataFrame, k: int = 5, w: int = 4,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """Exploded (doc_id, fp) winnowing rows — the candidate-join shape.
+
+    The ``localCheckpoint(eager=False)`` between fingerprinting and the
+    explode is load-bearing: Catalyst's CollapseProject folds the fps
+    projection INTO the Generate operator (it also collapses through
+    repartition nodes, so an exchange is no barrier), and a Generate
+    whose generator child is this ~50 KB nested array expression falls
+    out of whole-stage codegen entirely — measured 27 s vs 0.8 s at a
+    mere 500 docs. The checkpoint materializes the small (doc_id, fps)
+    frame once (~1 KB/doc) and the explode reads plain stored arrays;
+    on a production cluster with lossy executors set a durable
+    ``spark.sparkContext.setCheckpointDir`` and swap to checkpoint —
+    same plan shape."""
+    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    return fps.localCheckpoint(eager=False).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+
+
 def winnow_neardup_pairs(df: DataFrame, k: int = 5, w: int = 4,
                          min_shared: int = 2, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
@@ -193,8 +224,7 @@ def winnow_neardup_pairs(df: DataFrame, k: int = 5, w: int = 4,
     explode → equi-join on the fingerprint hash (never all-pairs) →
     count shared fingerprints per pair. ``min_shared`` filters
     incidental single-hash collisions."""
-    fps = winnow_fingerprints(df, k, w, id_col, text_col)
-    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    ex = winnow_fingerprints_exploded(df, k, w, id_col, text_col)
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, "fp")
