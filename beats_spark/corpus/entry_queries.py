@@ -696,6 +696,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "media_features": q_media_features,
         "media_embed": q_media_embed,
+        "dedup_tokens": q_dedup_tokens,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_sig": q_pack_sequences_sig,
         "split_assign": q_split_assign,
@@ -730,6 +731,7 @@ def corpus_oracles() -> dict[str, str]:
         "ann_ivf_nprobe": _ann_ivf_sql(45, nprobe=3),
         "media_features": _MEDIA_FEATURES_SQL,
         "media_embed": _MEDIA_EMBED_SQL,
+        "dedup_tokens": _DEDUP_TOKENS_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "pack_sequences_sig": _PACK_SEQUENCES_SIG_SQL,
         "split_assign": _SPLIT_ASSIGN_SQL,
@@ -752,6 +754,21 @@ _TOKENIZE_SQL = f"""
            AS toks
     FROM documents
   )
+"""
+
+
+def q_dedup_tokens(spark, sf_dir):
+    """Exact dedup keyed on the token ARRAY itself (the north rule's
+    per-row token-array equality, as a dedup key): group identical
+    token sequences, keep the smallest doc id."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return dedup.exact_dedup(t, ["tokens"], "doc_id")
+
+
+_DEDUP_TOKENS_SQL = f"""
+WITH {_TOKENIZE_SQL}
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM tk GROUP BY toks
 """
 
 
