@@ -1,0 +1,128 @@
+"""Corpus-cleaning operators: PII redaction, cross-document line
+dedup, and benchmark decontamination — the standard passes between raw
+scrape and tokenization in an LLM training-data pipeline.
+
+All three are Spark-first: redaction is chained ``regexp_replace``
+column expressions (narrow, whole-stage codegen); line dedup is an
+explode → hash-aggregate → semi-join (two keyed shuffles on uniform
+md5 keys); decontamination is an n-gram hash equi-join against the
+benchmark side (broadcast when the benchmark is small, as it always
+is), never a scan of document pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.corpus.hashing import h32, shingles, word_tokens
+
+#: redaction patterns, applied in order: most-specific first (email
+#: before phone so user@host digits don't half-match; SSN and IP before
+#: phone, whose loose digit-run pattern would swallow both).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               target: str | None = None,
+               patterns: list[tuple[str, str, str]] | None = None) -> DataFrame:
+    """Replace PII spans with typed placeholder tokens (the standard
+    pre-training scrub). Patterns chain as nested ``regexp_replace``
+    calls — one projection, no Python. Adds ``<name>_redactions``
+    count columns (how many spans each rule hit) so the pass is
+    auditable, then the redacted text."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    c: Column = F.col(text_col)
+    out: dict[str, Column] = {}
+    for name, rx, token in pats:
+        # count before replacing: occurrences = how many times the
+        # pattern extracts (regexp_extract_all on the CURRENT text)
+        out[f"{name}_redactions"] = F.size(F.regexp_extract_all(c, F.lit(rx), 0))
+        c = F.regexp_replace(c, rx, token)
+    out[target or text_col] = c
+    return df.withColumns(out)
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_count: int = 2,
+               min_line_chars: int = 8) -> DataFrame:
+    """C4-style cross-document line dedup: any line (trimmed, ≥
+    ``min_line_chars`` chars) occurring in ``min_count`` or more
+    DISTINCT documents is boilerplate — remove it from every document.
+
+    Plan: explode lines (keeping position) → hash-aggregate distinct-doc
+    counts per line hash (map-side combine collapses within-partition
+    repeats) → the boilerplate set joins back by hash — a shuffle join
+    on the uniform md5 key (broadcast if the boilerplate set is small,
+    which AQE decides from its actual size) → surviving lines reassemble
+    in position order. Returns (doc_id, text) with boilerplate lines
+    removed; short lines are exempt (never removed) like C4's rule.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.trim("line")))
+    boiler = (
+        lines.filter(F.length(F.trim("line")) >= min_line_chars)
+        .groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_count)
+        .select("lh")
+    )
+    kept = lines.join(
+        boiler.withColumn("_boiler", F.lit(True)), "lh", "left"
+    ).filter(
+        F.col("_boiler").isNull() | (F.length(F.trim("line")) < min_line_chars)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text")
+        )
+    )
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 13,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """GPT-3-style benchmark decontamination: flag any training
+    document sharing an ``n``-gram (word-level, default 13 per the
+    GPT-3 appendix) with the evaluation/benchmark corpus.
+
+    Plan: both sides reduce to distinct n-gram hashes; contaminated =
+    semi-join of document grams against benchmark grams (the benchmark
+    side is tiny → broadcast). Returns (doc_id, contaminated,
+    n_shared_ngrams) — callers drop or quarantine flagged docs.
+    """
+    def grams(frame: DataFrame, idc: Column, txt: str) -> DataFrame:
+        g = F.explode(
+            F.array_distinct(shingles(word_tokens(F.col(txt)), n))
+        ).alias("gram")
+        return frame.select(idc.alias("_gid"), g).select(
+            "_gid", h32(F.col("gram")).alias("gh")
+        )
+
+    doc_grams = grams(df, F.col(id_col), text_col)
+    bench_grams = grams(benchmark, F.lit(0), bench_text_col).select("gh").distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy("_gid")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return df.select(F.col(id_col).alias("doc_id")).join(
+        hits.withColumnRenamed("_gid", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )

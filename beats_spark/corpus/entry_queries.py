@@ -697,6 +697,9 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_embed": q_media_embed,
         "dedup_tokens": q_dedup_tokens,
+        "pii_redact": q_pii_redact,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_sig": q_pack_sequences_sig,
         "split_assign": q_split_assign,
@@ -732,6 +735,9 @@ def corpus_oracles() -> dict[str, str]:
         "media_features": _MEDIA_FEATURES_SQL,
         "media_embed": _MEDIA_EMBED_SQL,
         "dedup_tokens": _DEDUP_TOKENS_SQL,
+        "pii_redact": _pii_redact_sql(),
+        "line_dedup": _LINE_DEDUP_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "pack_sequences_sig": _PACK_SEQUENCES_SIG_SQL,
         "split_assign": _SPLIT_ASSIGN_SQL,
@@ -876,4 +882,116 @@ p AS (
 )
 SELECT t1::BIGINT AS t1, t2::BIGINT AS t2, count(*)::BIGINT AS n
 FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+# -- corpus cleaning: PII, line dedup, decontamination --------------------------
+
+from beats_spark.corpus import cleaning  # noqa: E402
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over deterministic synthetic PII (the documents table
+    carries none, so the query plants emails/phones/IPs as pure
+    functions of doc_id on BOTH engines, then redacts)."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.7 ph +1415555"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789 :: "), F.col("text"),
+        ).alias("text"),
+    )
+    out = cleaning.pii_redact(planted)
+    return out.select(
+        "doc_id",
+        *[F.col(f"{n}_redactions").cast("long").alias(f"{n}_redactions")
+          for n, _, _ in cleaning.PII_PATTERNS],
+        "text",
+    )
+
+
+def _pii_redact_sql() -> str:
+    sel = ["doc_id"]
+    cur = ("'contact u' || doc_id::VARCHAR || '@mail.example.com or 10.' || "
+           "(doc_id % 256)::VARCHAR || '.0.7 ph +1415555' || "
+           "lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ssn 123-45-6789 :: ' || text")
+    for name, rx, token in cleaning.PII_PATTERNS:
+        rx_sql = rx.replace("'", "''")
+        sel.append(f"len(regexp_extract_all({cur}, '{rx_sql}'))::BIGINT AS {name}_redactions")
+        cur = f"regexp_replace({cur}, '{rx_sql}', '{token}', 'g')"
+    sel.append(f"{cur} AS text")
+    return "SELECT " + ",\n       ".join(sel) + " FROM documents"
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style cross-document line dedup over synthetic multi-line
+    docs: every doc gets a shared boilerplate footer (must vanish) and
+    keeps its unique body line."""
+    docs = _docs(spark, sf_dir)
+    multi = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nshared boilerplate footer line\nuid "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return cleaning.line_dedup(multi)
+
+
+_LINE_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || chr(10) || 'shared boilerplate footer line' || chr(10)
+              || 'uid ' || doc_id::VARCHAR AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, i AS pos, ln[i] AS line, md5(trim(ln[i])) AS lh
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln,
+               unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+        FROM d)
+), boiler AS (
+  SELECT lh FROM l WHERE length(trim(line)) >= 8
+  GROUP BY lh HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS text
+FROM l
+WHERE lh NOT IN (SELECT lh FROM boiler) OR length(trim(line)) < 8
+GROUP BY doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style 13-gram decontamination against a benchmark slice
+    (every 20th document stands in for the eval set)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select("text")
+    return cleaning.decontaminate(docs, bench, n=13)
+
+
+_DECONTAMINATE_SQL = f"""
+WITH dg AS (
+  SELECT DISTINCT doc_id,
+         {H32_SQL.format(expr="array_to_string(list_slice(t, i::INT, i::INT + 12), ' ')")} AS gh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, greatest(len(string_split(text, ' ')) - 11, 1))) AS i
+        FROM documents)
+  WHERE len(t) >= 13
+), bg AS (
+  SELECT DISTINCT {H32_SQL.format(expr="array_to_string(list_slice(t, i::INT, i::INT + 12), ' ')")} AS gh
+  FROM (SELECT string_split(text, ' ') AS t,
+               unnest(range(1, greatest(len(string_split(text, ' ')) - 11, 1))) AS i
+        FROM documents WHERE doc_id % 20 = 0)
+  WHERE len(t) >= 13
+), hits AS (
+  SELECT doc_id, count(*) AS n_shared_ngrams
+  FROM dg JOIN bg USING (gh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_shared_ngrams, 0)::BIGINT AS n_shared_ngrams,
+       coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """

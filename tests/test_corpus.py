@@ -602,3 +602,55 @@ def test_vocab_histogram_and_bigrams(spark):
     assert hist == {7: 3, 8: 2, 9: 1}
     bi = {(r["t1"], r["t2"]): r["n"] for r in token_bigrams(docs).collect()}
     assert bi == {(7, 8): 2, (8, 7): 1, (7, 9): 1}
+
+
+# -- corpus cleaning -------------------------------------------------------------
+
+
+def test_pii_redact(spark):
+    from beats_spark.corpus.cleaning import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or 192.168.0.1 call +1 (415) 555-0199 ssn 123-45-6789"),
+         (2, "no pii here just words")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    r = out[1]
+    assert "<EMAIL>" in r["text"] and "<IP>" in r["text"]
+    assert "<PHONE>" in r["text"] and "<SSN>" in r["text"]
+    assert "@" not in r["text"] and "192.168" not in r["text"]
+    assert r["email_redactions"] == 1 and r["ipv4_redactions"] == 1
+    assert r["ssn_redactions"] == 1
+    r2 = out[2]
+    assert r2["text"] == "no pii here just words"
+    assert r2["email_redactions"] == 0
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    from beats_spark.corpus.cleaning import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"unique body line {i}\ncopyright footer boilerplate\nshort")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    for i in range(5):
+        assert out[i] == f"unique body line {i}\nshort"  # footer gone,
+        # 'short' (< 8 chars) exempt even though shared
+
+
+def test_decontaminate_flags_overlap(spark):
+    from beats_spark.corpus.cleaning import decontaminate
+
+    span = " ".join(f"w{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(1, span + " trailing body words here"),
+         (2, "completely different text with plenty of words to go around town")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(span + " eval continuation",)], "text string")
+    got = {r["doc_id"]: r for r in decontaminate(docs, bench, n=13).collect()}
+    assert got[1]["contaminated"] and got[1]["n_shared_ngrams"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_shared_ngrams"] == 0
