@@ -65,6 +65,15 @@ AUDITED = {
     # gate picks the cross join — the deliberate small-n fast path; the
     # blocked twins above prove the scale plan is cartesian-free
     "embedding_neardup": dict(allow_cartesian=True),
+    "rate_limit_salted": dict(),
+    "dedup_tokens": dict(),
+    "pack_sequences": dict(),
+    "vocab_histogram": dict(),
+    "token_bigrams": dict(),
+    "split_assign": dict(),
+    "pii_redact": dict(),
+    "line_dedup": dict(),
+    "decontaminate": dict(broadcast=True),
 }
 
 
