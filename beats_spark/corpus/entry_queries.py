@@ -698,6 +698,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_embed": q_media_embed,
         "dedup_tokens": q_dedup_tokens,
         "pii_redact": q_pii_redact,
+        "hash_sample": q_hash_sample,
+        "mix_sources": q_mix_sources,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -736,6 +738,8 @@ def corpus_oracles() -> dict[str, str]:
         "media_embed": _MEDIA_EMBED_SQL,
         "dedup_tokens": _DEDUP_TOKENS_SQL,
         "pii_redact": _pii_redact_sql(),
+        "hash_sample": _HASH_SAMPLE_SQL,
+        "mix_sources": _MIX_SOURCES_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
@@ -994,4 +998,32 @@ SELECT d.doc_id,
        coalesce(h.n_shared_ngrams, 0)::BIGINT AS n_shared_ngrams,
        coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 25% id-hash sample (never RNG — reproducible
+    across engines, runs, partitionings)."""
+    return toks.hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id")
+
+
+_HASH_SAMPLE_SQL = f"""
+SELECT doc_id FROM documents
+WHERE ({H32_SQL.format(expr="'sample:' || doc_id::VARCHAR")} % 1000000) < 250000
+"""
+
+
+def q_mix_sources(spark, sf_dir):
+    """Domain-mix downsampling: per-source keep rates, deterministic
+    id-hash cut; unlisted sources dropped."""
+    out = toks.mix_sources(_docs(spark, sf_dir),
+                           {"src0": 0.5, "src1": 1.0, "src2": 0.1})
+    return out.select("doc_id", "source")
+
+
+_MIX_SOURCES_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE ({H32_SQL.format(expr="'mix:' || doc_id::VARCHAR")} % 1000000) <
+      CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 1000000
+                  WHEN 'src2' THEN 100000 ELSE -1 END
 """

@@ -130,3 +130,36 @@ def token_bigrams(df: DataFrame, tokens_col: str = "tokens",
     if min_count > 1:
         out = out.filter(F.col("n") >= min_count)
     return out
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
+                salt: str = "sample") -> DataFrame:
+    """Deterministic content-independent sampling: keep a row iff its
+    id hash lands under ``rate`` (md5-derived — reproducible across
+    runs, engines, partitionings; never RNG, unlike ``df.sample``,
+    whose output depends on partition layout). Rates are quantized to
+    1/10^6 so the cut is integer-exact on any engine."""
+    b = F.pmod(h32(F.col(id_col).cast("string"), seed=salt), F.lit(1_000_000))
+    return df.filter(b < int(round(rate * 1_000_000)))
+
+
+def mix_sources(df: DataFrame, weights: dict[str, float],
+                source_col: str = "source", id_col: str = "doc_id",
+                salt: str = "mix") -> DataFrame:
+    """Domain mixing: downsample each source to its target weight (the
+    training-mix step — e.g. web 0.5, code 0.3, books 0.2 of whatever
+    volume each source has). ``weights`` maps source → keep-rate in
+    [0, 1]; unlisted sources are dropped. Pure projection + filter:
+    the per-source rate joins in as a literal CASE (sources are few),
+    the keep decision is the same deterministic id-hash cut as
+    :func:`hash_sample` — so reruns, retries, and different cluster
+    sizes all keep exactly the same rows."""
+    rate = None
+    for src, w in weights.items():
+        q = int(round(w * 1_000_000))
+        rate = F.when(F.col(source_col) == src, q) if rate is None else (
+            rate.when(F.col(source_col) == src, q)
+        )
+    rate = rate.otherwise(F.lit(-1)) if rate is not None else F.lit(-1)
+    b = F.pmod(h32(F.col(id_col).cast("string"), seed=salt), F.lit(1_000_000))
+    return df.filter(b < rate)

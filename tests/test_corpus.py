@@ -654,3 +654,33 @@ def test_decontaminate_flags_overlap(spark):
     got = {r["doc_id"]: r for r in decontaminate(docs, bench, n=13).collect()}
     assert got[1]["contaminated"] and got[1]["n_shared_ngrams"] >= 1
     assert not got[2]["contaminated"] and got[2]["n_shared_ngrams"] == 0
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    from beats_spark.corpus.tokens import hash_sample
+
+    docs = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    s = hash_sample(docs, 0.25)
+    n = s.count()
+    assert abs(n - 5000) < 400
+    assert s.count() == n  # deterministic across actions
+    # subset property: lower rate yields a subset of higher rate
+    low = {r["doc_id"] for r in hash_sample(docs, 0.1).collect()}
+    high = {r["doc_id"] for r in hash_sample(docs, 0.25).collect()}
+    assert low <= high
+
+
+def test_mix_sources_weights(spark):
+    from beats_spark.corpus.tokens import mix_sources
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else ("code" if i % 4 == 1 else "books"))
+         for i in range(12000)],
+        "doc_id long, source string",
+    )
+    out = mix_sources(docs, {"web": 0.5, "code": 1.0})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "books" not in got          # unlisted → dropped
+    assert got["code"] == 3000         # rate 1.0 keeps all
+    assert abs(got["web"] - 3000) < 300  # half of 6000
