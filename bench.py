@@ -34,6 +34,10 @@ HEADLINE = [
     "minhash_neardup",
     "winnow_neardup",
     "neardup_clusters",
+    "quality_filters",
+    "line_dedup",
+    "decontaminate",
+    "pack_sequences",
     "embedding_topk",
     "embedding_topk_blocked",
     "embedding_neardup_blocked",
