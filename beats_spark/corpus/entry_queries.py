@@ -708,6 +708,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_histogram": q_vocab_histogram,
         "token_bigrams": q_token_bigrams,
         "frame_sample": q_frame_sample,
+        "corpus_pipeline": q_corpus_pipeline,
+        "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
     }
 
 
@@ -748,6 +750,8 @@ def corpus_oracles() -> dict[str, str]:
         "vocab_histogram": _VOCAB_HISTOGRAM_SQL,
         "token_bigrams": _TOKEN_BIGRAMS_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
+        "corpus_pipeline": _corpus_pipeline_sql(),
+        "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
     }
 
 
@@ -1026,4 +1030,107 @@ SELECT doc_id, source FROM documents
 WHERE ({H32_SQL.format(expr="'mix:' || doc_id::VARCHAR")} % 1000000) <
       CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 1000000
                   WHEN 'src2' THEN 100000 ELSE -1 END
+"""
+
+
+# -- end-to-end corpus pipeline (quality → decon → near-dup → tokenize) --------
+
+from beats_spark.corpus import pipeline as cpipe  # noqa: E402
+
+
+def _pipeline_result(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select("text")
+    return cpipe.clean_corpus(docs, bench)
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """The full training-data cleaning composition as one operator:
+    C4/Gopher quality rules → 13-gram benchmark decontamination (bench
+    = every 20th doc) → MinHash near-dup resolution keep-one → token
+    counts of the surviving corpus. Oracle replays the identical chain
+    in SQL (quality CTE → gram semi-join → WITH RECURSIVE closure)."""
+    res = _pipeline_result(spark, sf_dir)
+    return res.tokenized.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok")
+    )
+
+
+def q_corpus_pipeline_funnel(spark, sf_dir):
+    """Stage-by-stage document counts of the cleaning composition —
+    the accounting every real corpus run reports."""
+    res = _pipeline_result(spark, sf_dir)
+    return res.funnel.select(
+        "stage_no", "stage", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
+def _corpus_pipeline_ctes() -> str:
+    """Shared WITH-chain replaying clean_corpus in DuckDB: qf/kept1
+    (quality), dg/bg/cont/kept2 (decontamination), the minhash band
+    chain over kept2, edges/reach/labs (recursive closure), surv."""
+    qf_sql = _quality_filters_sql().strip()
+    shingle_over_kept2 = _SHINGLE_SQL.replace("FROM documents", "FROM kept2")
+    gram = H32_SQL.format(
+        expr="array_to_string(list_slice(t, i::INT, i::INT + 12), ' ')"
+    )
+    return f"""
+qf AS ({qf_sql}),
+kept1 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM qf WHERE passes_quality)
+),
+dg AS (
+  SELECT DISTINCT doc_id, {gram} AS gh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, greatest(len(string_split(text, ' ')) - 11, 1))) AS i
+        FROM kept1)
+  WHERE len(t) >= 13
+),
+bg AS (
+  SELECT DISTINCT {gram} AS gh
+  FROM (SELECT string_split(text, ' ') AS t,
+               unnest(range(1, greatest(len(string_split(text, ' ')) - 11, 1))) AS i
+        FROM documents WHERE doc_id % 20 = 0)
+  WHERE len(t) >= 13
+),
+cont AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gh)),
+kept2 AS (
+  SELECT * FROM kept1 WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+),
+{shingle_over_kept2}, {_MINH_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labs AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+surv AS (
+  SELECT k.doc_id, k.text FROM kept2 k LEFT JOIN labs l ON l.id = k.doc_id
+  WHERE l.lab IS NULL OR l.lab = k.doc_id
+)"""
+
+
+def _corpus_pipeline_sql() -> str:
+    return f"""
+WITH RECURSIVE {_corpus_pipeline_ctes()}
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok FROM surv
+"""
+
+
+def _corpus_pipeline_funnel_sql() -> str:
+    return f"""
+WITH RECURSIVE {_corpus_pipeline_ctes()}
+SELECT 0::INT AS stage_no, 'raw' AS stage, count(*)::BIGINT AS n_docs FROM documents
+UNION ALL
+SELECT 1::INT, 'quality', count(*)::BIGINT FROM kept1
+UNION ALL
+SELECT 2::INT, 'decontaminated', count(*)::BIGINT FROM kept2
+UNION ALL
+SELECT 3::INT, 'neardup_survivors', count(*)::BIGINT FROM surv
 """

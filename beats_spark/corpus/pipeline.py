@@ -1,0 +1,125 @@
+"""End-to-end corpus cleaning pipeline — the composition a training-data
+preparation run actually executes, as ONE operator:
+
+    raw docs → quality rules (C4/Gopher) → benchmark decontamination
+             → near-duplicate resolution (MinHash+LSH → connected
+               components → keep-one survivors) → tokenized output
+
+Every stage is an already-tested operator from this package; the value
+of the composition is (a) the funnel accounting a real run needs (how
+many documents each stage removed) and (b) getting the stage ordering
+and re-materialization right:
+
+- **quality** is a narrow projection (pure column expressions) — it
+  runs fused into the scan, so it goes FIRST: every later stage sees
+  only passing documents and the expensive gram/minhash work shrinks.
+- **decontamination** grams are computed over quality survivors only;
+  the benchmark side is tiny and broadcasts (`cleaning.decontaminate`).
+- **near-dup** candidate pairs come from LSH bands over the already
+  twice-filtered set — at 100 TB this is the dominant stage and the
+  filtering order above is what keeps its input minimal.
+- the twice-filtered set is **materialized once** (`localCheckpoint`)
+  before the near-dup stage consumes it repeatedly (band build,
+  survivor semi-join, tokenize, funnel count); without it the
+  regex-heavy quality lineage would recompute 4×. A production run
+  materializes stage outputs to durable storage instead (the spool,
+  `beats_spark/spool.py`) — same idea, crash-safe.
+
+Scale (SCALE.md conventions): quality is narrow; decon is one
+broadcast semi-join; near-dup is banded equi-joins + the bounded
+hash-min CC loop (`dedup.neardup_resolve`) — no stage is quadratic in
+the corpus and the funnel counts are partial aggregates of a handful
+of rows each.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.corpus import cleaning, dedup, textstats, tokens
+
+#: funnel stage names, in execution order (stage_no = index)
+FUNNEL_STAGES = ["raw", "quality", "decontaminated", "neardup_survivors"]
+
+
+@dataclass
+class CorpusPipelineResult:
+    """Outputs of :func:`clean_corpus`.
+
+    survivors: the input columns, documents surviving every stage;
+    tokenized: (doc_id, tokens, n_tok) for the survivors;
+    funnel:    (stage_no, stage, n_docs) — documents remaining after
+               each stage, one row per :data:`FUNNEL_STAGES` entry.
+    """
+
+    survivors: DataFrame
+    tokenized: DataFrame
+    funnel: DataFrame
+
+
+def _count_stage(df: DataFrame, stage_no: int, stage: str) -> DataFrame:
+    return df.select(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit(stage_no).alias("stage_no"), F.lit(stage).alias("stage"), "n_docs"
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decontam_n: int = 13,
+    materialize: bool = True,
+    quality_overrides: dict | None = None,
+) -> CorpusPipelineResult:
+    """Run the full cleaning composition. ``benchmark`` is the eval
+    corpus to decontaminate against (``bench_text_col`` = ``text``).
+
+    Note: the near-dup stage resolves clusters EAGERLY at call time
+    (the CC loop in :func:`dedup.neardup_resolve` runs bounded
+    localCheckpoint+count rounds), so this function does work, not just
+    plan-building — time the call, not only the materialize.
+    """
+    # 1. quality — narrow, keeps original columns, no join needed
+    kept_q = (
+        textstats.quality_filters(docs, text_col=text_col,
+                                  **(quality_overrides or {}))
+        .filter(F.col("passes_quality"))
+        .select(*docs.columns)
+    )
+
+    # 2. decontamination — grams over quality survivors only
+    decon = cleaning.decontaminate(
+        kept_q, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
+    )
+    clean_ids = decon.filter(~F.col("contaminated")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    kept_d = kept_q.join(clean_ids, id_col, "leftsemi")
+    if materialize:
+        kept_d = kept_d.localCheckpoint(eager=True)
+
+    # 3. near-dup resolution — pairs, clusters, keep-one survivors
+    pairs = dedup.minhash_neardup_pairs(
+        kept_d, id_col=id_col, text_col=text_col
+    ).select("doc_a", "doc_b")
+    survivors = dedup.neardup_survivors(kept_d, pairs, id_col=id_col)
+
+    # 4. tokenize survivors
+    tokenized = tokens.tokenize_ids(survivors, text_col=text_col, id_col=id_col)
+
+    funnel = reduce(
+        DataFrame.unionAll,
+        [
+            _count_stage(frame, i, name)
+            for i, (name, frame) in enumerate(
+                zip(FUNNEL_STAGES, [docs, kept_q, kept_d, survivors])
+            )
+        ],
+    )
+    return CorpusPipelineResult(survivors=survivors, tokenized=tokenized,
+                                funnel=funnel)

@@ -37,6 +37,7 @@ HEADLINE = [
     "quality_filters",
     "line_dedup",
     "decontaminate",
+    "corpus_pipeline",
     "pack_sequences",
     "embedding_topk",
     "embedding_topk_blocked",

@@ -74,6 +74,15 @@ AUDITED = {
     "pii_redact": dict(),
     "line_dedup": dict(),
     "decontaminate": dict(broadcast=True),
+    # composed cleaning pipeline: the decon benchmark broadcast runs
+    # EAGERLY inside the stage materialization (localCheckpoint), so the
+    # audited final plan starts from the checkpointed RDD; its only
+    # remaining join is survivors ⋈ docs on doc_id — correctly a
+    # shuffle join (the survivor set is ~corpus-sized; broadcasting it
+    # would be the 100 TB bug). decontaminate's own broadcast is audited
+    # standalone above.
+    "corpus_pipeline": dict(),
+    "corpus_pipeline_funnel": dict(),
 }
 
 
