@@ -1,0 +1,167 @@
+"""UDP datagram input (the reference's ``filebeat/input/udp/input.go:
+1-122`` and the UDP half of the syslog listener) as a Spark 4 Python
+Data Source — listen-side ingestion, unlike the TCP source whose
+``readStream.format("socket")`` must connect out.
+
+Spark-first design: the Python Data Source API's
+``SimpleDataSourceStreamReader`` is the documented tool for exactly
+this shape — a low-volume, driver-prefetched, non-replayable source.
+A background thread owns the bound socket and appends datagram lines
+to a buffer; each microbatch drains the buffer and advances a
+monotone sequence offset. Rows are retained until their offset is
+COMMITTED by the streaming engine, so a failed batch replays from the
+buffer (``readBetweenOffsets``) — within-run effectively-once, which
+is STRONGER than the reference's UDP input (at-most-once, no state:
+datagrams during downtime are lost in both systems; that is UDP).
+
+Scale note: one listening port is one driver-side ingest point — the
+same single-process bottleneck as the reference's UDP input. This
+source exists for protocol parity and edge collection; the 100 TB
+ingest path is kafka (``sources.stream_kafka``) with a fleet of UDP
+relays in front.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+from collections import deque
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+SCHEMA = "value string, sender string, recv_seq long"
+
+
+class UdpLineDataSource(DataSource):
+    """``spark.readStream.format("udp_lines")`` — options: ``host``
+    (bind address, default 127.0.0.1), ``port`` (required),
+    ``maxBatchSize`` (rows per microbatch, default 10000)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "udp_lines"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema):  # noqa: N802 (API name)
+        return _UdpSimpleReader(self.options)
+
+
+class _UdpSimpleReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options["port"])
+        self.max_batch = int(options.get("maxBatchSize", 10_000) or 10_000)
+        # rows: (value, sender, recv_seq) — SCHEMA order
+        self._buf: deque[tuple[str, str, int]] = deque()
+        self._seq = 0
+        self._lock = threading.Lock()
+        self._sock: socket.socket | None = None
+
+    def __getstate__(self) -> dict:
+        """Spark pickles the reader into the executor-side replay
+        fallback; the live socket, lock, and buffer stay on the driver
+        (the unpickled copy starts empty and never binds — normal
+        microbatches are served from Spark's driver-side prefetch
+        cache, and datagrams that fell out of every cache are gone:
+        UDP is at-most-once, same as the reference input)."""
+        return {k: v for k, v in self.__dict__.items()
+                if k not in ("_sock", "_lock", "_buf")}
+
+    def __setstate__(self, state: dict) -> None:
+        self.__dict__.update(state)
+        self._buf = deque()
+        self._lock = threading.Lock()
+        self._sock = None
+
+    def _ensure_bound(self) -> None:
+        """Bind + start the listener on FIRST read, not construction:
+        Spark instantiates the reader once for plan/schema resolution
+        and again for the running stream — only the running one reads,
+        so only it may own the port."""
+        if self._sock is not None:
+            return
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((self.host, self.port))
+        t = threading.Thread(target=self._listen, daemon=True,
+                             name=f"udp-lines-{self.port}")
+        t.start()
+
+    def _listen(self) -> None:
+        while True:
+            try:
+                data, addr = self._sock.recvfrom(65535)
+            except OSError:  # socket closed at shutdown
+                return
+            text = data.decode("utf-8", errors="replace")
+            sender = f"{addr[0]}:{addr[1]}"
+            with self._lock:
+                # one event per line, like the reference's line-framed
+                # datagram handling; empty datagrams/lines are dropped
+                for line in text.split("\n"):
+                    if line:
+                        self._seq += 1
+                        self._buf.append((line, sender, self._seq))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        self._ensure_bound()
+        s = start["seq"]
+        with self._lock:
+            rows = [r for r in self._buf if r[2] > s][: self.max_batch]
+        end = rows[-1][2] if rows else s
+        return iter(rows), {"seq": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        with self._lock:
+            return iter(
+                [r for r in self._buf if start["seq"] < r[2] <= end["seq"]]
+            )
+
+    def commit(self, end: dict) -> None:
+        with self._lock:
+            while self._buf and self._buf[0][2] <= end["seq"]:
+                self._buf.popleft()
+
+
+def udp_events(raw: DataFrame, message_key: str = "message") -> DataFrame:
+    """Map the udp_lines frame onto the event schema. ``source`` is the
+    per-datagram peer address (the reference's ``log.source.address``);
+    like every socket input, there is no replayable offset — ``offset``
+    is null and ``recv_seq`` (the within-run arrival order) is kept as
+    lineage. Split out so the projection is testable without a bound
+    socket."""
+    return raw.select(
+        F.concat(F.lit("udp://"), F.col("sender")).alias("source"),
+        F.lit(0).alias("part_id"),
+        F.lit(None).cast("long").alias("offset"),
+        F.current_timestamp().alias("ts"),
+        F.col("value").alias(message_key),
+        F.col("recv_seq"),
+    )
+
+
+def stream_udp(
+    spark: SparkSession,
+    port: int,
+    host: str = "127.0.0.1",
+    message_key: str = "message",
+    max_batch: int = 10_000,
+) -> DataFrame:
+    """UDP line-stream input: bind ``host:port``, one event per
+    newline-framed datagram line, into the same multiline → processor
+    → route chain as every other source."""
+    spark.dataSource.register(UdpLineDataSource)
+    raw = (
+        spark.readStream.format("udp_lines")
+        .option("host", host)
+        .option("port", port)
+        .option("maxBatchSize", max_batch)
+        .load()
+    )
+    return udp_events(raw, message_key)

@@ -378,3 +378,89 @@ def test_stream_socket_end_to_end(spark, tmp_path):
         stop.set()
         q.stop()
         srv.close()
+
+
+def test_udp_events_projection(spark):
+    """udp_events maps the raw udp_lines frame onto the event schema
+    without a bound socket (per-datagram sender becomes source)."""
+    from beats_spark.streaming.udp_source import udp_events
+
+    raw = spark.createDataFrame(
+        [("ERR boom", "10.0.0.7:514", 1), ("INFO ok", "10.0.0.8:514", 2)],
+        "value string, sender string, recv_seq long",
+    )
+    out = udp_events(raw).collect()
+    assert [r["source"] for r in out] == ["udp://10.0.0.7:514",
+                                         "udp://10.0.0.8:514"]
+    assert [r["message"] for r in out] == ["ERR boom", "INFO ok"]
+    assert all(r["offset"] is None for r in out)
+    assert [r["recv_seq"] for r in out] == [1, 2]
+
+
+def test_stream_udp_end_to_end(spark):
+    """Real datagrams through the udp_lines Python Data Source: bind a
+    port, send line-framed datagrams, route them, check per-sink
+    DISTINCT message counts (UDP is at-most-once; the sender re-fires
+    the batch until the stream has seen every message)."""
+    import socket
+    import threading
+    import time
+
+    from beats_spark.routing import add_sink_column
+    from beats_spark.streaming.udp_source import stream_udp
+
+    # find a free UDP port
+    probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    lines = [f"ERR boom {i}" if i % 5 == 0 else f"INFO ok {i}"
+             for i in range(50)]
+    stop = threading.Event()
+
+    def send_until_stopped():
+        snd = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        while not stop.is_set():
+            for ln in lines:
+                snd.sendto((ln + "\n").encode(), ("127.0.0.1", port))
+            stop.wait(1.0)
+        snd.close()
+
+    ev = stream_udp(spark, port)
+    routing = {
+        "indices": [
+            {"index": "errors", "when": {"regexp": {"message": "^ERR "}}},
+        ],
+        "default": "main",
+    }
+    routed = add_sink_column(ev, routing)
+    q = (
+        routed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("udp_routed")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    t = threading.Thread(target=send_until_stopped, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql(
+                "SELECT count(DISTINCT message) AS n FROM udp_routed"
+            ).first()["n"]
+            if n >= len(lines):
+                break
+            time.sleep(0.5)
+        got = {
+            r["sink"]: r["n"]
+            for r in spark.sql(
+                "SELECT sink, count(DISTINCT message) AS n FROM udp_routed "
+                "GROUP BY sink"
+            ).collect()
+        }
+        assert got == {"errors": 10, "main": 40}
+    finally:
+        stop.set()
+        q.stop()
