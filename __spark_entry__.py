@@ -621,6 +621,54 @@ FROM events
 """
 
 
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok pattern parse (§2.4 / north-rule parse stage): render events
+    as Apache common-log lines → one-regex %{COMMONAPACHELOG} parse →
+    typed fields (long response/bytes, '-' bytes → null, timestamp
+    re-parsed). Single regexp evaluation per row, JVM-side."""
+    from beats_spark.processors.grok import grok
+
+    ev = _t(spark, sf_dir, "events")
+    status = (F.lit(200) + F.pmod("event_id", F.lit(4)) * 100).cast("string")
+    nbytes = F.when(F.pmod("event_id", F.lit(10)) == 0, F.lit("-")).otherwise(
+        F.pmod("user_id", F.lit(1000)).cast("string")
+    )
+    line = F.concat(
+        F.lit("h"), F.pmod("user_id", F.lit(5)).cast("string"),
+        F.lit(" - u"), F.col("user_id").cast("string"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit("] "),
+        F.lit('"GET /p/'), F.col("event_type"), F.lit(' HTTP/1.1" '),
+        status, F.lit(" "), nbytes,
+    )
+    out = grok(ev.withColumn("message", line), "%{COMMONAPACHELOG}")
+    return out.select(
+        "event_id",
+        F.col("grok.clientip").alias("clientip"),
+        F.col("grok.auth").alias("auth"),
+        F.col("grok.verb").alias("verb"),
+        F.col("grok.request").alias("request"),
+        F.col("grok.httpversion").alias("httpversion"),
+        F.col("grok.response").alias("response"),
+        F.col("grok.bytes").alias("bytes"),
+        F.to_timestamp("grok.timestamp", "dd/MMM/yyyy:HH:mm:ss").alias("req_ts"),
+    )
+
+
+_Q_GROK_PARSE_SQL = """
+SELECT event_id,
+       'h' || (user_id % 5) AS clientip,
+       'u' || user_id AS auth,
+       'GET' AS verb,
+       '/p/' || event_type AS request,
+       '1.1' AS httpversion,
+       (200 + (event_id % 4) * 100)::BIGINT AS response,
+       CASE WHEN event_id % 10 = 0 THEN NULL
+            ELSE (user_id % 1000)::BIGINT END AS bytes,
+       date_trunc('second', ts) AS req_ts
+FROM events
+"""
+
+
 def q_sink_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bulk per-item triage (§2.7): status → outcome ladder
     (elasticsearch/client.go:390-420), dropped class diverted to the
@@ -885,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_timestamp": q_convert_timestamp,
         "network_direction": q_network_direction,
         "syslog_parse": q_syslog_parse,
+        "grok_parse": q_grok_parse,
         "sink_triage": q_sink_triage,
         "window_agg": q_window_agg,
         "csv_extract": q_csv_extract,
@@ -917,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_timestamp": _Q_CONVERT_TIMESTAMP_SQL,
         "network_direction": _Q_NETWORK_DIRECTION_SQL,
         "syslog_parse": _syslog_parse_sql(),
+        "grok_parse": _Q_GROK_PARSE_SQL,
         "sink_triage": _Q_SINK_TRIAGE_SQL,
         "window_agg": _Q_WINDOW_AGG_SQL,
         "csv_extract": _Q_CSV_EXTRACT_SQL,

@@ -27,6 +27,7 @@ HEADLINE = [
     "enrich_lookup",
     "window_agg",
     "syslog_parse",
+    "grok_parse",
     "fingerprint",
     "dedup_exact",
     "text_stats",

@@ -52,6 +52,7 @@ AUDITED = {
     "csv_extract": dict(),
     # round-3 additions
     "syslog_parse": dict(),
+    "grok_parse": dict(),
     "winnow_fp": dict(),
     "winnow_neardup": dict(),
     "quality_filters": dict(),

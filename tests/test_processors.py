@@ -550,3 +550,119 @@ def test_rate_limit_salted_matches_unsalted(spark):
     a = sorted(map(key, plain(ev).collect()))
     b = sorted(map(key, salted(ev).collect()))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------- grok
+
+
+def test_grok_apache_common_log(spark):
+    from beats_spark.processors.grok import grok
+
+    df = spark.createDataFrame(
+        [('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+          '"GET /apache_pb.gif HTTP/1.0" 200 2326',),
+         ('h3 - u42 [10/Oct/2024:13:55:36] "POST /p/x HTTP/1.1" 404 -',)],
+        "message string",
+    )
+    out = {r["grok"]["clientip"]: r["grok"].asDict()
+           for r in grok(df, "%{COMMONAPACHELOG}").collect()}
+    a = out["127.0.0.1"]
+    assert a["verb"] == "GET" and a["request"] == "/apache_pb.gif"
+    assert a["response"] == 200 and a["bytes"] == 2326  # typed longs
+    assert a["timestamp"] == "10/Oct/2000:13:55:36 -0700"
+    b = out["h3"]
+    assert b["response"] == 404 and b["bytes"] is None  # '-' → null
+    assert b["rawrequest"] is None
+
+
+def test_grok_unanchored_and_failure_flag(spark):
+    from beats_spark.processors.grok import PARSE_ERROR_FLAG, grok
+
+    df = spark.createDataFrame(
+        [("prefix level=WARN code=17 suffix",), ("no match here",), (None,)],
+        "message string",
+    )
+    out = grok(df, "level=%{LOGLEVEL:lvl} code=%{INT:code:int}").collect()
+    by_msg = {r["message"]: r for r in out}
+    hit = by_msg["prefix level=WARN code=17 suffix"]
+    assert hit["grok"]["lvl"] == "WARN" and hit["grok"]["code"] == 17
+    assert hit["log_flags"] is None
+    for m in ("no match here", None):
+        assert by_msg[m]["grok"] is None
+        assert by_msg[m]["log_flags"] == [PARSE_ERROR_FLAG]
+
+
+def test_grok_anchor_requires_full_match(spark):
+    from beats_spark.processors.grok import grok
+
+    df = spark.createDataFrame([("ERROR trailing",), ("ERROR",)], "message string")
+    out = {r["message"]: r["grok"] for r in
+           grok(df, "%{LOGLEVEL:lvl}", anchor=True).collect()}
+    assert out["ERROR"]["lvl"] == "ERROR"
+    assert out["ERROR trailing"] is None
+
+
+def test_grok_nested_semantics_and_custom_definitions(spark):
+    from beats_spark.processors.grok import grok
+
+    df = spark.createDataFrame([("job=etl-7 host=db1:5432",)], "message string")
+    out = grok(
+        df,
+        "job=%{JOBNAME:job} host=%{HOSTPORT:endpoint}",
+        pattern_definitions={"JOBNAME": r"[a-z]+-[0-9]+"},
+        target_prefix="",
+    ).collect()[0]
+    assert out["job"] == "etl-7"
+    assert out["endpoint"] == "db1:5432"
+
+
+def test_grok_duplicate_names_coalesce(spark):
+    from beats_spark.processors.grok import grok
+
+    df = spark.createDataFrame(
+        [("ip=10.0.0.1",), ("host=web2",)], "message string")
+    out = {r["message"]: r["grok"]["addr"] for r in grok(
+        df, "(?:ip=%{IPV4:addr}|host=%{HOSTNAME:addr})").collect()}
+    assert out["ip=10.0.0.1"] == "10.0.0.1"
+    assert out["host=web2"] == "web2"
+
+
+def test_grok_python_parse_matches_spark(spark):
+    from beats_spark.processors.grok import GrokPattern, grok
+
+    lines = [
+        "10.1.2.3 GET /a 200",
+        "not-an-ip GET /a 200",
+        "10.9.9.9 PUT /long/path 503",
+    ]
+    expr = "%{IPV4:ip} %{WORD:verb} %{NOTSPACE:path} %{NONNEGINT:status:int}"
+    pat = GrokPattern(expr)
+    df = spark.createDataFrame([(l,) for l in lines], "message string")
+    got = {r["message"]: r["grok"] for r in grok(df, expr).collect()}
+    for l in lines:
+        py = pat.parse(l)
+        if py is None:
+            assert got[l] is None
+        else:
+            assert got[l]["ip"] == py["ip"] and got[l]["verb"] == py["verb"]
+            assert got[l]["status"] == int(py["status"])
+
+
+def test_grok_unknown_pattern_and_no_captures_raise(spark):
+    from beats_spark.processors.grok import GrokPattern
+
+    with pytest.raises(KeyError):
+        GrokPattern("%{NOPE:x}")
+    with pytest.raises(ValueError):
+        GrokPattern("%{IPV4} only unnamed")
+
+
+def test_grok_registry_name(spark):
+    from beats_spark.processors.base import build_processor
+
+    df = spark.createDataFrame([("u=alice n=3",)], "message string")
+    p = build_processor(
+        {"grok": {"expr": "u=%{USERNAME:user} n=%{INT:n:int}", "target_prefix": ""}}
+    )
+    out = p(df).collect()[0]
+    assert out["user"] == "alice" and out["n"] == 3
