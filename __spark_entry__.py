@@ -354,6 +354,60 @@ def q_rate_limit_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p(ev).select("event_id")
 
 
+def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time token bucket (§2.2) — the reference's ACTUAL
+    rate_limit algorithm (token_bucket.go: continuous refill, burst
+    depth, withdraw-one) with event time as the clock. Sequential per
+    key by definition; parallel across the 100 key buckets. The oracle
+    replays the identical recurrence as a DuckDB WITH RECURSIVE in the
+    same double-precision-microseconds arithmetic."""
+    from beats_spark.processors.base import build_processor
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "rl_key", F.pmod("user_id", F.lit(5))
+    )
+    p = build_processor(
+        {"rate_limit": {"limit": "2/h", "fields": ["rl_key"],
+                        "order_col": "event_id",
+                        "algorithm": "token_bucket"}}
+    )
+    return p(ev).select("event_id", "rl_key")
+
+
+# depth = 2 tokens/h x 1.0 burst = 2.0; rate = 2/3.6e9 tokens per us
+# (median inter-event gap per key is ~900 s at this key granularity, so
+# the bucket genuinely denies a large fraction — not a pass-through).
+# Same expression order as token_bucket._run_bucket so doubles match
+# bit-for-bit: replenish = least(depth, tokens + delta_ms * rate),
+# allow iff >= 1, withdraw 1.
+_Q_TOKEN_BUCKET_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id % 5 AS rl_key, epoch_us(ts)::DOUBLE AS tms,
+         row_number() OVER (PARTITION BY user_id % 5
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), tb AS (
+  -- tokens_after MUST be typed DOUBLE: a bare 2.0-1.0 seed is
+  -- DECIMAL(2,1) and the recursive UNION ALL would round every
+  -- iteration's token balance to one decimal place
+  SELECT rl_key, event_id, rn, tms,
+         TRUE AS allowed,
+         CAST(2.0 AS DOUBLE) - 1.0 AS tokens_after,
+         tms AS last
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.rl_key, o.event_id, o.rn, o.tms,
+         least(2.0, t.tokens_after + (o.tms - t.last) * (2 / 3600000000.0)) >= 1.0,
+         least(2.0, t.tokens_after + (o.tms - t.last) * (2 / 3600000000.0))
+           - CASE WHEN least(2.0, t.tokens_after + (o.tms - t.last) * (2 / 3600000000.0)) >= 1.0
+                  THEN 1.0 ELSE 0.0 END,
+         o.tms
+  FROM ordered o JOIN tb t ON o.rl_key = t.rl_key AND o.rn = t.rn + 1
+)
+SELECT event_id, rl_key FROM tb WHERE allowed
+"""
+
+
 def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast lookup enrichment (§2.6): two chained dim joins
     (customer → nation), the add_host_metadata/translate shape."""
@@ -925,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_count": q_multiline_count,
         "rate_limit": q_rate_limit,
         "rate_limit_salted": q_rate_limit_salted,
+        "token_bucket": q_token_bucket,
         "enrich_lookup": q_enrich_lookup,
         "dns_enrich": q_dns_enrich,
         "fingerprint": q_fingerprint,
@@ -958,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "multiline_count": _Q_MULTILINE_COUNT_SQL,
         "rate_limit": _Q_RATE_LIMIT_SQL,
         "rate_limit_salted": _Q_RATE_LIMIT_SQL,
+        "token_bucket": _Q_TOKEN_BUCKET_SQL,
         "enrich_lookup": _Q_ENRICH_LOOKUP_SQL,
         "dns_enrich": _Q_DNS_ENRICH_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,

@@ -584,7 +584,8 @@ class RateLimit(FilterProc):
 
     def __init__(self, limit: str | int, fields: list[str] | None = None,
                  ts_col: str = "ts", order_col: str = "offset",
-                 salt_buckets: int = 1):
+                 salt_buckets: int = 1, algorithm: str = "windowed",
+                 burst_multiplier: float = 1.0):
         # limit like "100/m", "1/s", or a bare per-minute int
         if isinstance(limit, int):
             self.n, self.period = limit, "1 minute"
@@ -592,12 +593,28 @@ class RateLimit(FilterProc):
             n, _, unit = str(limit).partition("/")
             self.n = int(n)
             self.period = {"s": "1 second", "m": "1 minute", "h": "1 hour"}.get(unit, "1 minute")
+        if algorithm not in ("windowed", "token_bucket"):
+            raise ValueError(f"algorithm must be windowed|token_bucket, got {algorithm!r}")
+        self.limit = limit
         self.fields = fields or []
         self.ts_col = ts_col
         self.order_col = order_col
         self.salt_buckets = salt_buckets
+        self.algorithm = algorithm
+        self.burst_multiplier = burst_multiplier
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        if self.algorithm == "token_bucket":
+            # the reference's actual algorithm (token_bucket.go), event-time
+            # driven — see beats_spark.token_bucket for semantics
+            if self.when is not None:
+                raise ValueError("token_bucket rate_limit cannot be guarded per-row")
+            from beats_spark.token_bucket import token_bucket
+
+            return token_bucket(
+                df, self.limit, self.fields, ts_col=self.ts_col,
+                order_col=self.order_col, burst_multiplier=self.burst_multiplier,
+            )
         keys = [F.col(f) for f in self.fields]
         order_col = self.order_col if self.order_col in df.columns else self.ts_col
         if self.salt_buckets > 1 and self.when is None:
