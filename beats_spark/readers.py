@@ -223,3 +223,44 @@ def match_glob_sources(df: DataFrame, ignore_older_ts=None, ts_col: str = "ts") 
     if ignore_older_ts is None:
         return df
     return df.filter(F.col(ts_col) >= F.lit(ignore_older_ts))
+
+
+def read_stdin(
+    spark: SparkSession,
+    stream=None,
+    message_key: str = "message",
+    partitions: int | None = None,
+) -> DataFrame:
+    """stdin input (``filebeat/input/stdin/input.go:39-77``): one
+    harvester over the process's standard input, one event per line,
+    ``source`` fixed to ``"stdin"`` and a monotone per-line offset —
+    the same frame every other source produces, so the full
+    multiline → processor → route chain composes behind it.
+
+    stdin is inherently a driver-side, single-process feed (the
+    reference starts exactly one harvester); the driver reads and
+    ``createDataFrame``-distributes the lines, and ``partitions``
+    (default: session shuffle parallelism) spreads the downstream
+    parse/enrich work across executors. Not a 100 TB path — edge
+    collection parity, same as the socket inputs.
+
+    ``stream`` defaults to ``sys.stdin``; pass any text iterable for
+    tests.
+    """
+    import sys
+
+    src = stream if stream is not None else sys.stdin
+    rows = [
+        (ln[:-1] if ln.endswith("\n") else ln, i)
+        for i, ln in enumerate(src)
+    ]
+    df = spark.createDataFrame(rows or [], "value string, offset long")
+    if partitions:
+        df = df.repartition(partitions)
+    return df.select(
+        F.lit("stdin").alias("source"),
+        F.lit(0).alias("part_id"),
+        F.col("offset"),
+        F.current_timestamp().alias("ts"),
+        F.col("value").alias(message_key),
+    )

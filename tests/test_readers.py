@@ -93,3 +93,31 @@ def test_cri_reader(spark):
     df = spark.createDataFrame(lines, "source string, offset long, message string")
     out = docker_json_reader(df, cri=True, stream="all")
     assert rows(out, "stream", "message") == [("stderr", "oops"), ("stdout", "begin end")]
+
+
+def test_read_stdin_frames_lines(spark):
+    import io
+
+    from beats_spark.readers import read_stdin
+
+    feed = io.StringIO("ERR boom\nINFO ok\nlast no newline")
+    out = read_stdin(spark, stream=feed).collect()
+    assert [r["message"] for r in out] == ["ERR boom", "INFO ok",
+                                          "last no newline"]
+    assert [r["offset"] for r in out] == [0, 1, 2]
+    assert all(r["source"] == "stdin" for r in out)
+
+
+def test_read_stdin_composes_with_pipeline(spark):
+    import io
+
+    from beats_spark.pipeline import build_pipeline
+    from beats_spark.readers import read_stdin
+
+    feed = io.StringIO("a=1\na=2\n")
+    ev = read_stdin(spark, stream=feed)
+    chain = build_pipeline([
+        {"dissect": {"tokenizer": "a=%{v}", "target_prefix": ""}},
+    ])
+    got = sorted(r["v"] for r in chain(ev).collect())
+    assert got == ["1", "2"]

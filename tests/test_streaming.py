@@ -464,3 +464,88 @@ def test_stream_udp_end_to_end(spark):
     finally:
         stop.set()
         q.stop()
+
+
+def test_unix_events_projection(spark):
+    """unix_events maps the raw unix_lines frame onto the event schema
+    without a bound socket (AF_UNIX has no peer address: source is the
+    socket path, accept order becomes part_id lineage)."""
+    from beats_spark.streaming.unix_source import unix_events
+
+    raw = spark.createDataFrame(
+        [("ERR boom", 1, 1), ("INFO ok", 2, 2)],
+        "value string, conn long, recv_seq long",
+    )
+    out = unix_events(raw, "/tmp/bs.sock").collect()
+    assert all(r["source"] == "unix:///tmp/bs.sock" for r in out)
+    assert [r["part_id"] for r in out] == [1, 2]
+    assert [r["message"] for r in out] == ["ERR boom", "INFO ok"]
+    assert all(r["offset"] is None for r in out)
+
+
+def test_stream_unix_end_to_end(spark, tmp_path):
+    """Real bytes through the unix_lines Python Data Source: listen on
+    a socket file, connect twice, send line-framed messages (one split
+    mid-line across two sends to exercise the partial-tail framing),
+    route them, check exact per-sink message sets (SOCK_STREAM is
+    lossless, unlike the UDP test's at-most-once resend loop)."""
+    import socket
+    import time
+
+    from beats_spark.routing import add_sink_column
+    from beats_spark.streaming.unix_source import stream_unix
+
+    path = str(tmp_path / "in.sock")
+    ev = stream_unix(spark, path)
+    routing = {
+        "indices": [
+            {"index": "errors", "when": {"regexp": {"message": "^ERR "}}},
+        ],
+        "default": "main",
+    }
+    routed = add_sink_column(ev, routing)
+    q = (
+        routed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("unix_routed")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while not os.path.exists(path) and time.time() < deadline:
+            time.sleep(0.2)
+        lines = [f"ERR boom {i}" if i % 5 == 0 else f"INFO ok {i}"
+                 for i in range(20)]
+        payload = "\n".join(lines) + "\n"
+        c1 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c1.connect(path)
+        # split mid-line across two sends: framing must reassemble
+        cut = payload.index("ok 3")
+        c1.sendall(payload[:cut].encode())
+        time.sleep(0.3)
+        c1.sendall(payload[cut:].encode())
+        c1.close()
+        c2 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c2.connect(path)
+        c2.sendall(b"ERR second conn\n")
+        c2.close()
+
+        deadline = time.time() + 60
+        want_total = len(lines) + 1
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM unix_routed").first()["n"]
+            if n >= want_total:
+                break
+            time.sleep(0.5)
+        rows = spark.sql(
+            "SELECT sink, message, part_id FROM unix_routed"
+        ).collect()
+        got = {(r["sink"], r["message"]) for r in rows}
+        want = {("errors" if ln.startswith("ERR ") else "main", ln)
+                for ln in lines} | {("errors", "ERR second conn")}
+        assert got == want
+        # the two connections carry distinct lineage ids
+        assert len({r["part_id"] for r in rows}) == 2
+    finally:
+        q.stop()
