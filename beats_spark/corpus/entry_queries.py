@@ -520,11 +520,13 @@ FROM (SELECT media_id, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no FROM 
 _QF_INT_COLS = [
     "n_words", "word_chars", "n_symbol_marks", "n_lines", "n_bullet_lines",
     "n_ellipsis_lines", "n_alpha_words", "n_stop_distinct", "n_2grams",
-    "n_dup_2grams",
+    "n_dup_2grams", "n_dup_lines", "line_chars", "dup_line_chars",
+    "n_paras", "n_dup_paras", "para_chars", "dup_para_chars",
 ]
 _QF_FLAG_COLS = [
     "f_word_count", "f_mean_word_len", "f_symbol_ratio", "f_bullet_lines",
     "f_ellipsis_lines", "f_alpha_words", "f_stopwords", "f_dup_2grams",
+    "f_dup_lines", "f_dup_paras", "f_dup_line_chars", "f_dup_para_chars",
     "passes_quality",
 ]
 
@@ -549,7 +551,8 @@ def _quality_filters_sql() -> str:
 WITH s AS (
   SELECT doc_id, text,
          string_split(text, ' ') AS toks,
-         string_split(text, chr(10)) AS lines
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -565,7 +568,16 @@ WITH s AS (
     CASE WHEN len(toks) >= 2
          THEN list_transform(range(1, len(toks)::INT),
                              i -> toks[i] || ' ' || toks[i+1])
-         ELSE [] END AS g2
+         ELSE [] END AS g2,
+    (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dup_lines,
+    COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)::BIGINT AS line_chars,
+    (COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)
+     - COALESCE(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0))::BIGINT AS dup_line_chars,
+    len(paras)::BIGINT AS n_paras,
+    (len(paras) - len(list_distinct(paras)))::BIGINT AS n_dup_paras,
+    COALESCE(list_sum(list_transform(paras, p -> length(p))), 0)::BIGINT AS para_chars,
+    (COALESCE(list_sum(list_transform(paras, p -> length(p))), 0)
+     - COALESCE(list_sum(list_transform(list_distinct(paras), p -> length(p))), 0))::BIGINT AS dup_para_chars
   FROM s
 ), g AS (
   SELECT *, len(g2)::BIGINT AS n_2grams,
@@ -581,13 +593,18 @@ WITH s AS (
     (n_ellipsis_lines * 100 <= {r["max_ellipsis_line_pct"]} * n_lines) AS f_ellipsis_lines,
     (n_alpha_words * 100 >= {r["min_alpha_word_pct"]} * n_words) AS f_alpha_words,
     (n_stop_distinct >= {r["min_distinct_stopwords"]}) AS f_stopwords,
-    (n_dup_2grams * 100 <= {r["max_dup_2gram_pct"]} * greatest(n_2grams, 1)) AS f_dup_2grams
+    (n_dup_2grams * 100 <= {r["max_dup_2gram_pct"]} * greatest(n_2grams, 1)) AS f_dup_2grams,
+    (n_dup_lines * 100 <= {r["max_dup_line_pct"]} * greatest(n_lines, 1)) AS f_dup_lines,
+    (n_dup_paras * 100 <= {r["max_dup_para_pct"]} * greatest(n_paras, 1)) AS f_dup_paras,
+    (dup_line_chars * 100 <= {r["max_dup_line_char_pct"]} * greatest(line_chars, 1)) AS f_dup_line_chars,
+    (dup_para_chars * 100 <= {r["max_dup_para_char_pct"]} * greatest(para_chars, 1)) AS f_dup_para_chars
   FROM g
 )
 SELECT doc_id, {", ".join(_QF_INT_COLS)}, {", ".join(_QF_FLAG_COLS[:-1])},
        (f_word_count AND f_mean_word_len AND f_symbol_ratio AND f_bullet_lines
         AND f_ellipsis_lines AND f_alpha_words AND f_stopwords
-        AND f_dup_2grams) AS passes_quality
+        AND f_dup_2grams AND f_dup_lines AND f_dup_paras
+        AND f_dup_line_chars AND f_dup_para_chars) AS passes_quality
 FROM f
 """
 

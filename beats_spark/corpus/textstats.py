@@ -285,6 +285,12 @@ QUALITY_RULES = {
     "min_alpha_word_pct": 80,      # words containing a letter >= 80%
     "min_distinct_stopwords": 2,
     "max_dup_2gram_pct": 20,       # duplicate word-2grams <= 20% of 2grams
+    # Gopher repetition set (Rae et al. 2021 table A1): duplicate
+    # line/paragraph occurrence and character fractions
+    "max_dup_line_pct": 30,
+    "max_dup_para_pct": 30,
+    "max_dup_line_char_pct": 20,
+    "max_dup_para_char_pct": 20,
 }
 
 
@@ -333,6 +339,22 @@ def quality_filters(df: DataFrame, text_col: str = "text",
     n_2grams = F.size(g2)
     n_dup_2grams = n_2grams - F.size(F.array_distinct(g2))
 
+    def chars_in(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+
+    # Gopher repetition metrics: an occurrence beyond a line/paragraph's
+    # first is a duplicate; char fractions weight by the text they cover.
+    # "\n\n" is a fixed literal, so regex split == literal split.
+    paras = F.split(c, "\n\n")
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    line_chars = chars_in(lines)
+    dup_line_chars = line_chars - chars_in(F.array_distinct(lines))
+    n_paras = F.size(paras)
+    n_dup_paras = n_paras - F.size(F.array_distinct(paras))
+    para_chars = chars_in(paras)
+    dup_para_chars = para_chars - chars_in(F.array_distinct(paras))
+
     flags = {
         "f_word_count": (n_words >= r["min_words"]) & (n_words <= r["max_words"]),
         "f_mean_word_len": (word_chars >= r["min_mean_word_len"] * n_words)
@@ -348,6 +370,14 @@ def quality_filters(df: DataFrame, text_col: str = "text",
         "f_stopwords": n_stop_distinct >= r["min_distinct_stopwords"],
         "f_dup_2grams": n_dup_2grams * 100
         <= F.lit(r["max_dup_2gram_pct"]) * F.greatest(n_2grams, F.lit(1)),
+        "f_dup_lines": n_dup_lines * 100
+        <= F.lit(r["max_dup_line_pct"]) * F.greatest(n_lines, F.lit(1)),
+        "f_dup_paras": n_dup_paras * 100
+        <= F.lit(r["max_dup_para_pct"]) * F.greatest(n_paras, F.lit(1)),
+        "f_dup_line_chars": dup_line_chars * 100
+        <= F.lit(r["max_dup_line_char_pct"]) * F.greatest(line_chars, F.lit(1)),
+        "f_dup_para_chars": dup_para_chars * 100
+        <= F.lit(r["max_dup_para_char_pct"]) * F.greatest(para_chars, F.lit(1)),
     }
     out = {
         "n_words": n_words,
@@ -360,6 +390,13 @@ def quality_filters(df: DataFrame, text_col: str = "text",
         "n_stop_distinct": n_stop_distinct,
         "n_2grams": n_2grams,
         "n_dup_2grams": n_dup_2grams,
+        "n_dup_lines": n_dup_lines,
+        "line_chars": line_chars,
+        "dup_line_chars": dup_line_chars,
+        "n_paras": n_paras,
+        "n_dup_paras": n_dup_paras,
+        "para_chars": para_chars,
+        "dup_para_chars": dup_para_chars,
         **flags,
     }
     passes = None

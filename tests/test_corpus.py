@@ -490,6 +490,17 @@ def test_quality_filters_rule_by_rule(spark):
         (7, " ".join(["12345"] * 30) + " the a of and to in is it"),   # alpha words
         (8, " ".join([f"w{i}" for i in range(60)])),   # no stopwords
         (9, "the a " + " ".join(["spam eggs"] * 40)),  # dup 2-grams
+        # Gopher repetition rules: >30% duplicate lines (distinct words
+        # so 2-gram rule stays clear), >30% duplicate paragraphs, >20%
+        # of chars inside duplicate lines / paragraphs
+        (10, "\n".join(f"the w{i} a{i} b{i} c{i} d{i}" for i in range(4))
+         + "\n" + "\n".join(["it was of and to in is on at"] * 4)),
+        (11, "\n\n".join(f"the w{i} a{i} b{i} c{i} d{i}" for i in range(4))
+         + "\n\n" + "\n\n".join(["it was of and to in is on at"] * 4)),
+        (12, "\n".join(f"the w{i}" for i in range(20)) + "\n"
+         + "\n".join(["it was of and to in is on at this very long repeated line"] * 3)),
+        (13, "\n\n".join(f"the w{i}" for i in range(20)) + "\n\n"
+         + "\n\n".join(["it was of and to in is on at this very long repeated paragraph"] * 3)),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {r["doc_id"]: r for r in quality_filters(df).collect()}
@@ -503,7 +514,12 @@ def test_quality_filters_rule_by_rule(spark):
     assert not out[7]["f_alpha_words"]
     assert not out[8]["f_stopwords"]
     assert not out[9]["f_dup_2grams"]
-    for i in range(2, 10):
+    assert not out[10]["f_dup_lines"]
+    assert out[10]["f_dup_paras"]
+    assert not out[11]["f_dup_paras"]
+    assert not out[12]["f_dup_line_chars"]
+    assert not out[13]["f_dup_para_chars"]
+    for i in range(2, 14):
         assert not out[i]["passes_quality"], i
 
 
