@@ -24,6 +24,7 @@ HEADLINE = [
     "dissect",
     "multiline_pattern",
     "rate_limit",
+    "token_bucket",
     "enrich_lookup",
     "window_agg",
     "syslog_parse",

@@ -67,6 +67,7 @@ AUDITED = {
     # blocked twins above prove the scale plan is cartesian-free
     "embedding_neardup": dict(allow_cartesian=True),
     "rate_limit_salted": dict(),
+    "token_bucket": dict(),
     "dedup_tokens": dict(),
     "pack_sequences": dict(),
     "vocab_histogram": dict(),
