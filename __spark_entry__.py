@@ -436,6 +436,48 @@ LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 
 
+def _q_enrich_asof(mode: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """As-of (time-versioned) enrichment: each event joins the dim
+        version in force AT ITS OWN TIMESTAMP — the batch-replay-correct
+        form of the reference's refreshing metadata caches
+        (add_host_metadata.go:83-100). The dim is a deterministic slice
+        of the event stream itself (every 199th event publishes a config
+        snapshot for its host bucket), so seed events exercise the
+        ``valid_from == ts`` inclusive edge exactly."""
+        from beats_spark.processors.enrich import asof_enrich
+
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "host_key", F.pmod("user_id", F.lit(50))
+        )
+        dim = ev.filter(F.pmod("event_id", F.lit(199)) == 0).select(
+            F.col("host_key"),
+            F.col("ts").alias("valid_from"),
+            F.col("event_id").alias("cfg_version"),
+            F.col("event_type").alias("cfg_label"),
+        )
+        out = asof_enrich(ev, dim, on="host_key", mode=mode)
+        return out.select("event_id", "host_key", "cfg_version", "cfg_label")
+
+    return q
+
+
+q_enrich_asof = _q_enrich_asof("broadcast")
+q_enrich_asof_merge = _q_enrich_asof("merge")
+
+
+_Q_ENRICH_ASOF_SQL = """
+WITH dim AS (
+  SELECT user_id % 50 AS host_key, ts AS valid_from,
+         event_id AS cfg_version, event_type AS cfg_label
+  FROM events WHERE event_id % 199 = 0
+)
+SELECT e.event_id, e.user_id % 50 AS host_key, d.cfg_version, d.cfg_label
+FROM events e ASOF LEFT JOIN dim d
+  ON (e.user_id % 50) = d.host_key AND e.ts >= d.valid_from
+"""
+
+
 def q_dns_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dns processor (§2.6): pre-resolved dim lookup with ``replace``
     action (miss keeps the original value) and ``tag_on_failure``."""
@@ -981,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit_salted": q_rate_limit_salted,
         "token_bucket": q_token_bucket,
         "enrich_lookup": q_enrich_lookup,
+        "enrich_asof": q_enrich_asof,
+        "enrich_asof_merge": q_enrich_asof_merge,
         "dns_enrich": q_dns_enrich,
         "fingerprint": q_fingerprint,
         "mutations": q_mutations,
@@ -1015,6 +1059,8 @@ def oracle_sql() -> dict[str, str]:
         "rate_limit_salted": _Q_RATE_LIMIT_SQL,
         "token_bucket": _Q_TOKEN_BUCKET_SQL,
         "enrich_lookup": _Q_ENRICH_LOOKUP_SQL,
+        "enrich_asof": _Q_ENRICH_ASOF_SQL,
+        "enrich_asof_merge": _Q_ENRICH_ASOF_SQL,
         "dns_enrich": _Q_DNS_ENRICH_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "mutations": _Q_MUTATIONS_SQL,

@@ -174,3 +174,114 @@ class Dns(DFProc):
                 ).otherwise(existing),
             )
         return out.drop("_dns_key", "_dns_val")
+
+
+def asof_enrich(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    dim_key: str | None = None,
+    valid_from: str = "valid_from",
+    prefix: str = "",
+    fields: list[str] | None = None,
+    mode: str = "broadcast",
+) -> DataFrame:
+    """Time-versioned enrichment: join each event to the dim version
+    with the greatest ``valid_from`` <= the event's ``ts_col`` for the
+    same key (backward as-of join, ``>=`` inclusive) — the
+    batch-replay-correct form of the reference's refreshing metadata
+    caches (add_host_metadata/add_host_metadata.go:83-100 refreshes on
+    a TTL; replaying history through a live cache enriches old events
+    with today's metadata, an as-of join enriches them with the
+    metadata of their own time).
+
+    Events with a null key or no version at-or-before their timestamp
+    get nulls; dim rows with a null key never match (equi-join
+    semantics).
+
+    Two scale modes:
+
+    - ``broadcast`` (default): versions are packed per key into one
+      sorted array and broadcast; the match is
+      ``try_element_at(filter(versions, v -> v.vf <= ts), -1)`` — pure
+      JVM expressions inside codegen, NO added shuffle on the fact
+      side, cost O(versions-per-key) per event. The right plan whenever
+      the dim fits an executor (host/container metadata always does).
+    - ``merge``: tag + union dim and event rows, one shuffle on the
+      key, and a running ``last(dim, ignorenulls)`` window ordered by
+      (time, dim-before-event) — the sort-merge as-of for dims too big
+      to broadcast. Hot keys serialize within their partition (window
+      scan); skewed fact keys are the broadcast mode's job.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    dim_key = dim_key or on
+    cols = fields or [c for c in dim.columns if c not in (dim_key, valid_from)]
+    renames = {c: f"{prefix}{c}" if prefix else c for c in cols}
+    dim = dim.filter(F.col(dim_key).isNotNull())
+
+    if mode == "broadcast":
+        vs = dim.groupBy(F.col(dim_key).alias("_as_key")).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(valid_from).alias("_vf"),
+                             *[F.col(c) for c in cols])
+                )
+            ).alias("_vs")
+        )
+        out = df.join(F.broadcast(vs), df[on] == vs["_as_key"], "left")
+        match = F.try_element_at(
+            F.filter(F.col("_vs"), lambda v: v["_vf"] <= F.col(ts_col)),
+            F.lit(-1),
+        )
+        return out.withColumns(
+            {n: match[c] for c, n in renames.items()}
+        ).drop("_as_key", "_vs")
+
+    if mode != "merge":
+        raise ValueError(f"mode must be broadcast|merge, got {mode!r}")
+
+    dim_struct_t = T.StructType([T.StructField(c, dim.schema[c].dataType)
+                                 for c in cols])
+    ev_rows = df.select(
+        F.col(on).alias("_k"), F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_is_ev"), *df.columns,
+        F.lit(None).cast(dim_struct_t).alias("_d"),
+    )
+    dim_rows = dim.select(
+        F.col(dim_key).alias("_k"), F.col(valid_from).alias("_t"),
+        F.lit(0).alias("_is_ev"),
+        *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in df.columns],
+        F.struct(*[F.col(c) for c in cols]).alias("_d"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_ev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev_rows.unionByName(dim_rows).withColumn(
+        "_carry", F.last("_d", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_is_ev") == 1).select(
+        *df.columns,
+        *[F.col("_carry")[c].alias(n) for c, n in renames.items()],
+    )
+
+
+@register("asof_lookup")
+class AsofLookup(DFProc):
+    """Processor-chain face of :func:`asof_enrich` (versioned dim
+    lookup in a config pipeline)."""
+
+    def __init__(self, dim: DataFrame, on: str, ts_col: str = "ts",
+                 dim_key: str | None = None, valid_from: str = "valid_from",
+                 prefix: str = "", fields: list[str] | None = None,
+                 mode: str = "broadcast"):
+        self.kw = dict(dim=dim, on=on, ts_col=ts_col, dim_key=dim_key,
+                       valid_from=valid_from, prefix=prefix, fields=fields,
+                       mode=mode)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return asof_enrich(df, **self.kw)

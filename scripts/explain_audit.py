@@ -49,6 +49,8 @@ AUDITED = {
     "ann_ivf_sqrtn": dict(),
     "sink_triage": dict(),
     "dns_enrich": dict(broadcast=True),
+    "enrich_asof": dict(broadcast=True),
+    "enrich_asof_merge": dict(),
     "csv_extract": dict(),
     # round-3 additions
     "syslog_parse": dict(),

@@ -666,3 +666,57 @@ def test_grok_registry_name(spark):
     )
     out = p(df).collect()[0]
     assert out["user"] == "alice" and out["n"] == 3
+
+
+def _asof_fixtures(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    ev = spark.createDataFrame(
+        [(1, "h1", t(5)), (2, "h1", t(2)), (3, "h2", t(9)), (4, "h1", t(4)),
+         (5, None, t(7)), (6, "h3", t(1))],
+        "event_id long, host string, ts timestamp_ntz",
+    )
+    dim = spark.createDataFrame(
+        [("h1", t(1), "v1"), ("h1", t(4), "v2"), ("h2", t(20), "vz"),
+         (None, t(0), "bad")],
+        "host string, valid_from timestamp_ntz, cfg string",
+    )
+    # expected: e1 t5→v2; e2 t2→v1; e3 t9→none (h2's only version is
+    # later); e4 t4→v2 (>= inclusive: valid_from == ts matches);
+    # e5 null key→none (never matches the null-key dim row);
+    # e6 h3→none (no versions)
+    want = [(1, "v2"), (2, "v1"), (3, None), (4, "v2"), (5, None), (6, None)]
+    return ev, dim, want
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "merge"])
+def test_asof_enrich_semantics(spark, mode):
+    from beats_spark.processors.enrich import asof_enrich
+
+    ev, dim, want = _asof_fixtures(spark)
+    out = asof_enrich(ev, dim, on="host", mode=mode, prefix="host_")
+    got = sorted((r["event_id"], r["host_cfg"]) for r in out.collect())
+    assert got == want
+
+
+def test_asof_enrich_broadcast_no_extra_shuffle(spark):
+    from beats_spark.processors.enrich import asof_enrich
+
+    ev, dim, _ = _asof_fixtures(spark)
+    plan = (
+        asof_enrich(ev, dim, on="host", mode="broadcast")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_lookup_processor_in_chain(spark):
+    from beats_spark.pipeline import build_pipeline
+    from beats_spark.processors.enrich import AsofLookup
+
+    ev, dim, want = _asof_fixtures(spark)
+    chain = build_pipeline([AsofLookup(dim, on="host", prefix="host_")])
+    got = sorted((r["event_id"], r["host_cfg"]) for r in chain(ev).collect())
+    assert got == want
