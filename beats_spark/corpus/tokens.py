@@ -33,9 +33,43 @@ def tokenize_ids(df: DataFrame, text_col: str = "text",
     )
 
 
+def _global_starts(sel: DataFrame, n_parts: int | None) -> DataFrame:
+    """Distributed prefix sum of ``size(_t)`` in ``_id`` order: range
+    partition on ``_id`` (range k's ids all precede range k+1's), cumsum
+    WITHIN each range, and add per-range base offsets computed from the
+    per-range totals (one tiny aggregate collected on the driver —
+    #partitions rows, never data). No global single-partition window
+    anywhere; each range's window runs where its rows already live."""
+    spark = sel.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = sel.repartitionByRange(n_parts, "_id").withColumn(
+        "_rg", F.spark_partition_id()
+    )
+    totals = {
+        r["_rg"]: r["_n"]
+        for r in ranged.groupBy("_rg").agg(F.sum(F.size("_t")).alias("_n")).collect()
+    }
+    base, offsets = 0, []
+    for pid in range(n_parts):
+        offsets.append((pid, base))
+        base += int(totals.get(pid, 0) or 0)
+    off = spark.createDataFrame(offsets, "_rg int, _base long")
+    w = (
+        Window.partitionBy("_rg").orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0).cast("long"))
+    return ranged.join(F.broadcast(off), "_rg").withColumn(
+        "_start", F.col("_base") + within
+    )
+
+
 def pack_sequences(df: DataFrame, max_len: int = 128,
                    id_col: str = "doc_id", tokens_col: str = "tokens",
-                   emit: str = "arrays") -> DataFrame:
+                   emit: str = "arrays", shard_col: str | None = None,
+                   distributed: bool = True,
+                   n_parts: int | None = None) -> DataFrame:
     """Concat-then-chunk sequence packing (the GPT-style pretraining
     layout): documents ordered by ``id_col`` are logically concatenated
     into one token stream, which is cut into fixed ``max_len`` training
@@ -43,35 +77,66 @@ def pack_sequences(df: DataFrame, max_len: int = 128,
     EOS token downstream handles that, as in standard LM pipelines).
 
     Deterministic and reproducible: sequence k holds exactly stream
-    positions [k*max_len, (k+1)*max_len). The running offset is a
-    window cumsum ordered by doc id; chunk assignment is arithmetic on
-    the exploded (position, token) rows; the regroup keys on seq_no —
-    uniform by construction, no skew. ``emit='arrays'`` returns
-    (seq_no, tokens, n_tok); ``emit='exploded'`` returns the flat
-    (seq_no, pos_in_seq, token_id) rows (bit-checkable shape).
+    positions [k*max_len, (k+1)*max_len). Chunk assignment is
+    arithmetic on the exploded (position, token) rows; the regroup
+    keys on seq_no — uniform by construction, no skew. ``emit='arrays'``
+    returns (seq_no, tokens, n_tok); ``emit='exploded'`` returns the
+    flat (seq_no, pos_in_seq, token_id) rows (bit-checkable shape).
 
-    The single global cumsum window is intentional here (determinism
-    across any partitioning); at 10^12 tokens shard the stream first
-    (e.g. per source) and pack within shards — same function applied
-    per group, boundaries then per shard."""
-    w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, -1)
-    start = F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0))
-    ex = (
-        df.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t"))
-        .withColumn("_start", start)
-        .select(
-            F.posexplode("_t").alias("_p", "token_id"),
-            (F.col("_start") + F.col("_p")).alias("_pos"),
+    The running offset is a prefix sum in ``id_col`` order, computed
+    one of three ways:
+
+    - ``shard_col``: one independent stream PER SHARD (e.g. per
+      source) — the cumsum window partitions on the shard, sequences
+      are numbered within it, and the output carries the shard column.
+      The packing a sharded 10^12-token corpus actually runs.
+    - ``distributed=True`` (default): a single global stream with NO
+      global window — range partition on ``_id``, per-range cumsum,
+      per-range base offsets from a #partitions-row driver aggregate
+      (:func:`_global_starts`). Byte-identical to the naive global
+      window at any parallelism. Eager (one tiny count-like job at
+      plan build).
+    - ``distributed=False``: the naive single-partition global window —
+      kept as the semantics oracle for tests.
+    """
+    sel_cols = [F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t")]
+    if shard_col is not None:
+        sel = df.select(F.col(shard_col).alias("_sh"), *sel_cols)
+        w = (
+            Window.partitionBy("_sh").orderBy("_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        .select(
-            F.floor(F.col("_pos") / max_len).alias("seq_no"),
-            F.pmod(F.col("_pos"), F.lit(max_len)).alias("pos_in_seq"),
-            "token_id",
+        sel = sel.withColumn(
+            "_start", F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0).cast("long"))
         )
+        group_keys = ["_sh"]
+    elif distributed:
+        sel = _global_starts(df.select(*sel_cols), n_parts)
+        group_keys = []
+    else:
+        w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, -1)
+        sel = df.select(*sel_cols).withColumn(
+            "_start", F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0).cast("long"))
+        )
+        group_keys = []
+    shard_out = [F.col("_sh").alias(shard_col)] if shard_col is not None else []
+    ex = sel.select(
+        *group_keys,
+        F.posexplode("_t").alias("_p", "token_id"),
+        (F.col("_start") + F.col("_p")).alias("_pos"),
+    ).select(
+        *group_keys,
+        F.floor(F.col("_pos") / max_len).alias("seq_no"),
+        F.pmod(F.col("_pos"), F.lit(max_len)).alias("pos_in_seq"),
+        "token_id",
     )
     if emit == "exploded":
+        if shard_col is not None:
+            return ex.select(
+                F.col("_sh").alias(shard_col), "seq_no", "pos_in_seq", "token_id"
+            )
         return ex
-    grouped = ex.groupBy("seq_no").agg(
+    grouped = ex.groupBy(*group_keys, "seq_no").agg(
         F.transform(
             F.array_sort(
                 F.collect_list(F.struct("pos_in_seq", "token_id"))
@@ -80,7 +145,7 @@ def pack_sequences(df: DataFrame, max_len: int = 128,
         ).alias("tokens")
     )
     return grouped.select(
-        "seq_no", "tokens", F.size("tokens").alias("n_tok")
+        *shard_out, "seq_no", "tokens", F.size("tokens").alias("n_tok")
     )
 
 

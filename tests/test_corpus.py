@@ -700,3 +700,44 @@ def test_mix_sources_weights(spark):
     assert "books" not in got          # unlisted → dropped
     assert got["code"] == 3000         # rate 1.0 keeps all
     assert abs(got["web"] - 3000) < 300  # half of 6000
+
+
+def test_pack_sequences_distributed_matches_naive(spark):
+    """The range-partitioned prefix-sum path must be byte-identical to
+    the single-partition global window at any parallelism."""
+    from beats_spark.corpus.tokens import pack_sequences, tokenize_ids
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(3 + i % 11)))
+         for i in range(200)],
+        "doc_id long, text string",
+    ).repartition(7)
+    t = tokenize_ids(docs)
+    naive = pack_sequences(t, max_len=17, distributed=False).collect()
+    dist = pack_sequences(t, max_len=17, distributed=True, n_parts=5).collect()
+    key = lambda rows: sorted((r["seq_no"], tuple(r["tokens"])) for r in rows)
+    assert key(dist) == key(naive)
+    # no single-partition window in the distributed plan
+    plan = (
+        pack_sequences(t, max_len=17, distributed=True, n_parts=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_sharded(spark):
+    """shard_col packs one independent stream per shard: sequences are
+    numbered within the shard and never mix tokens across shards."""
+    from beats_spark.corpus.tokens import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("a", 1, [1, 2, 3]), ("a", 2, [4, 5]), ("b", 3, [9, 8, 7, 6])],
+        "src string, doc_id long, tokens array<int>",
+    )
+    out = pack_sequences(docs, max_len=4, shard_col="src").collect()
+    got = {(r["src"], r["seq_no"]): r["tokens"] for r in out}
+    assert got == {
+        ("a", 0): [1, 2, 3, 4],
+        ("a", 1): [5],
+        ("b", 0): [9, 8, 7, 6],
+    }
