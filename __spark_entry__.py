@@ -436,6 +436,72 @@ LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session assignment (log-analytics step downstream of
+    the pipeline): per-user session ordinals with a 30-minute silence
+    boundary — lag + running boundary sum, ONE shuffle on the key."""
+    from beats_spark.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, ["user_id"], gap="30 minutes",
+                     order_col="event_id")
+    return out.select("event_id", "user_id",
+                      F.col("session_no").cast("long").alias("session_no"))
+
+
+_Q_SESSIONIZE_SQL = """
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), y AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM x
+)
+SELECT event_id, user_id,
+       (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_no
+FROM y
+"""
+
+
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session summaries via Spark's NATIVE session_window aggregate
+    (the stateful streaming operator, run as a batch plan): start/end =
+    min/max event time so the result is engine-comparable."""
+    from beats_spark.sessions import session_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_agg(ev, ["user_id"], gap="30 minutes").select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_Q_SESSION_AGG_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), y AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM x
+), z AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM y
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM z GROUP BY user_id, session_no
+"""
+
+
 def _q_enrich_asof(mode: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         """As-of (time-versioned) enrichment: each event joins the dim
@@ -1025,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_lookup": q_enrich_lookup,
         "enrich_asof": q_enrich_asof,
         "enrich_asof_merge": q_enrich_asof_merge,
+        "sessionize": q_sessionize,
+        "session_agg": q_session_agg,
         "dns_enrich": q_dns_enrich,
         "fingerprint": q_fingerprint,
         "mutations": q_mutations,
@@ -1061,6 +1129,8 @@ def oracle_sql() -> dict[str, str]:
         "enrich_lookup": _Q_ENRICH_LOOKUP_SQL,
         "enrich_asof": _Q_ENRICH_ASOF_SQL,
         "enrich_asof_merge": _Q_ENRICH_ASOF_SQL,
+        "sessionize": _Q_SESSIONIZE_SQL,
+        "session_agg": _Q_SESSION_AGG_SQL,
         "dns_enrich": _Q_DNS_ENRICH_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "mutations": _Q_MUTATIONS_SQL,

@@ -51,6 +51,8 @@ AUDITED = {
     "dns_enrich": dict(broadcast=True),
     "enrich_asof": dict(broadcast=True),
     "enrich_asof_merge": dict(),
+    "sessionize": dict(),
+    "session_agg": dict(),
     "csv_extract": dict(),
     # round-3 additions
     "syslog_parse": dict(),
