@@ -351,13 +351,34 @@ def neardup_survivors(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Keep-one-per-cluster survivor set: resolve pairs into clusters,
-    keep each cluster's canonical (smallest-id) document plus all
-    singletons — the output an LLM training-data dedup pass feeds
-    downstream."""
+    keep ONE document per cluster plus all singletons — the output an
+    LLM training-data dedup pass feeds downstream.
+
+    Default survivor is the cluster's canonical (smallest-id) document.
+    ``priority_col`` picks by merit instead — highest priority wins,
+    smallest id breaks ties — which is what a real dedup pass does
+    (keep the longest / highest-quality copy, drop the rest). The
+    selection is a per-cluster window row_number: one shuffle on the
+    cluster id, which is near-dup-cluster sized (bounded by the
+    hot-bucket caps upstream)."""
     clusters = neardup_resolve(pairs, docs, id_col, a_col, b_col, max_iter)
-    surv = clusters.filter(F.col("doc_id") == F.col("canonical_id")).select(
-        F.col("doc_id").alias("__surv_id")
+    if priority_col is None:
+        surv = clusters.filter(F.col("doc_id") == F.col("canonical_id")).select(
+            F.col("doc_id").alias("__surv_id")
+        )
+        return docs.join(surv, docs[id_col] == F.col("__surv_id"), "leftsemi")
+    cl = clusters.select(
+        F.col("doc_id").alias("__cl_id"), "canonical_id"
     )
-    return docs.join(surv, docs[id_col] == F.col("__surv_id"), "leftsemi")
+    j = docs.join(cl, docs[id_col] == F.col("__cl_id"))
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col(priority_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cl_id", "canonical_id")
+    )

@@ -664,6 +664,45 @@ WHERE l.lab IS NULL OR l.lab = d.doc_id
 """
 
 
+def q_neardup_survivors_best(spark, sf_dir):
+    """Merit-based survivor selection: per near-dup cluster keep the
+    LONGEST document (ties to the smallest id) instead of the smallest
+    id — the keep-the-best-copy policy a real dedup pass uses."""
+    docs = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    pairs = dedup.minhash_neardup_pairs(
+        docs.select("doc_id", "text")
+    ).select("doc_a", "doc_b")
+    return dedup.neardup_survivors(
+        docs, pairs, priority_col="n_chars"
+    ).select("doc_id")
+
+
+_NEARDUP_SURVIVORS_BEST_SQL = f"""
+WITH RECURSIVE {_SHINGLE_SQL}, {_MINH_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labs AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+cl AS (
+  SELECT d.doc_id, coalesce(l.lab, d.doc_id) AS canonical_id,
+         length(d.text) AS pr
+  FROM documents d LEFT JOIN labs l ON l.id = d.doc_id
+)
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY canonical_id
+                                    ORDER BY pr DESC, doc_id) AS rn
+  FROM cl
+) WHERE rn = 1
+"""
+
+
 def q_media_embed(spark, sf_dir):
     """EmbedModel hook end-to-end: the deterministic fake encoder over
     the synthetic media table; oracle re-derives the md5-byte embedding
@@ -701,6 +740,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
         "neardup_survivors": q_neardup_survivors,
+        "neardup_survivors_best": q_neardup_survivors_best,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_neardup": q_simhash_neardup,
         "embedding_topk": q_embedding_topk,
@@ -743,6 +783,7 @@ def corpus_oracles() -> dict[str, str]:
         "minhash_neardup": _MINHASH_NEARDUP_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "neardup_survivors": _NEARDUP_SURVIVORS_SQL,
+        "neardup_survivors_best": _NEARDUP_SURVIVORS_BEST_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "simhash_neardup": _SIMHASH_NEARDUP_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,

@@ -741,3 +741,27 @@ def test_pack_sequences_sharded(spark):
         ("a", 1): [5],
         ("b", 0): [9, 8, 7, 6],
     }
+
+
+def test_neardup_survivors_priority_keeps_best(spark):
+    """priority_col survivor selection: the longest doc in a transitive
+    chain survives, not the smallest id; singletons always survive."""
+    from beats_spark.corpus import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "aa", 5), (2, "aa bb", 9), (3, "aa", 5), (9, "solo", 4)],
+        "doc_id long, text string, pr long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dd.neardup_survivors(docs, pairs, priority_col="pr").collect()
+    )
+    assert got == [2, 9]
+    # default (no priority) keeps the smallest id
+    got_min = sorted(
+        r["doc_id"] for r in dd.neardup_survivors(docs, pairs).collect()
+    )
+    assert got_min == [1, 9]
