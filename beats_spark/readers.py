@@ -264,3 +264,73 @@ def read_stdin(
         F.current_timestamp().alias("ts"),
         F.col("value").alias(message_key),
     )
+
+
+def file_identity(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    strategy: str = "native",
+    marker_path: str | None = None,
+) -> DataFrame:
+    """File-identity dim (source URI → stable ``file_id``), the
+    filestream input's identity strategies
+    (``filebeat/input/filestream/identifier.go:36-48``):
+
+    - ``native``: inode-device (``identifier.go:91-123``) — survives
+      renames, so log ROTATION keeps the registrar state attached to
+      the moved file instead of re-reading it.
+    - ``path``: the file path itself (``identifier.go:124-140``).
+    - ``inode_marker``: inode + an operator-provided marker file's
+      content (shared-filesystem deployments where device ids float).
+
+    The glob scan and ``os.stat`` run on the driver — the reference's
+    prospector scan is equally single-process per input
+    (``filestream/prospector.go``); the result is a tiny dim that
+    broadcast-joins onto the line frame
+    (:func:`attach_file_identity`). File COUNT scales this, not file
+    size: millions of files → list once, still driver-trivial.
+    """
+    import glob as _glob
+    import os
+    from pathlib import Path
+
+    if isinstance(paths, str):
+        paths = [paths]
+    if strategy not in ("native", "path", "inode_marker"):
+        raise ValueError(f"unknown file_identity strategy {strategy!r}")
+    if strategy == "inode_marker":
+        if marker_path is None:
+            raise ValueError("inode_marker identity requires marker_path")
+        marker = Path(marker_path).read_text().strip()
+    matched = sorted({p for pat in paths for p in _glob.glob(pat)})
+    out = []
+    for p in matched:
+        uri = Path(os.path.abspath(p)).as_uri()
+        if strategy == "path":
+            fid = uri
+        elif strategy == "native":
+            st = os.stat(p)
+            fid = f"{st.st_ino}-{st.st_dev}"
+        else:
+            fid = f"{os.stat(p).st_ino}-{marker}"
+        out.append((uri, fid))
+    return spark.createDataFrame(out or [], "source string, file_id string")
+
+
+def attach_file_identity(
+    df: DataFrame, identity: DataFrame, keep_path_col: str = "log_path"
+) -> DataFrame:
+    """Re-key the line frame on the stable file id: ``source`` becomes
+    ``file_id`` (so the checkpoint's (source, part_id) state key —
+    ``checkpoint.STATE_KEY`` — survives renames/rotation with NO
+    checkpoint-layer change), the original path is kept in
+    ``keep_path_col``. Broadcast join: the dim is file-count sized."""
+    dim = identity.select(
+        F.col("source").alias("_fi_src"), F.col("file_id").alias("_fi_id")
+    )
+    j = df.join(F.broadcast(dim), df["source"] == F.col("_fi_src"), "left")
+    return (
+        j.withColumn(keep_path_col, F.col("source"))
+        .withColumn("source", F.coalesce(F.col("_fi_id"), F.col("source")))
+        .drop("_fi_src", "_fi_id")
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from beats_spark.readers import (
     docker_json_reader,
@@ -121,3 +122,80 @@ def test_read_stdin_composes_with_pipeline(spark):
     ])
     got = sorted(r["v"] for r in chain(ev).collect())
     assert got == ["1", "2"]
+
+
+def test_file_identity_strategies(spark, tmp_path):
+    import os
+    from pathlib import Path
+
+    from beats_spark.readers import file_identity
+
+    a = tmp_path / "a.log"
+    b = tmp_path / "b.log"
+    a.write_text("x\n")
+    b.write_text("y\n")
+    glob = str(tmp_path / "*.log")
+
+    nat = {r["source"]: r["file_id"]
+           for r in file_identity(spark, glob, "native").collect()}
+    assert len(nat) == 2
+    st = os.stat(a)
+    assert nat[Path(a).as_uri()] == f"{st.st_ino}-{st.st_dev}"
+
+    pth = {r["source"]: r["file_id"]
+           for r in file_identity(spark, glob, "path").collect()}
+    assert pth[Path(b).as_uri()] == Path(b).as_uri()
+
+    marker = tmp_path / "marker"
+    marker.write_text("vol-7\n")
+    im = file_identity(spark, glob, "inode_marker",
+                       marker_path=str(marker)).collect()
+    assert all(r["file_id"].endswith("-vol-7") for r in im)
+
+    with pytest.raises(ValueError, match="strategy"):
+        file_identity(spark, glob, "bogus")
+
+
+def test_native_identity_survives_rotation_resume(spark, tmp_path):
+    """Log rotation with native (inode-device) identity: the registrar
+    state follows the RENAMED file, so resume re-reads nothing from it
+    and picks up the fresh file from zero — no dup, no loss (the
+    path-identity failure mode this strategy exists for,
+    identifier.go:91-123)."""
+    import os
+
+    from beats_spark.checkpoint import (
+        commit, load_state, partition_stats, resume_filter,
+    )
+    from beats_spark.readers import attach_file_identity, file_identity, read_log_lines
+
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    cur = log_dir / "app.log"
+    cur.write_text("".join(f"old {i}\n" for i in range(10)))
+    glob = str(log_dir / "app.log*")
+    cp = str(tmp_path / "registry")
+
+    def scan():
+        ident = file_identity(spark, glob, "native")
+        lines = read_log_lines(spark, glob)
+        return attach_file_identity(lines, ident).withColumn(
+            "part_id", F.lit(0)
+        )
+
+    # run 1: read everything, commit offsets keyed by inode id
+    ev1 = resume_filter(scan(), load_state(spark, cp))
+    assert ev1.count() == 10
+    commit(partition_stats(ev1, ev1, run_id="r1"), cp)
+
+    # rotation: rename + append to the moved file; fresh file appears
+    rotated = log_dir / "app.log.1"
+    os.rename(cur, rotated)
+    with open(rotated, "a") as f:
+        f.write("tail 1\ntail 2\n")
+    cur.write_text("new 1\n")
+
+    ev2 = resume_filter(scan(), load_state(spark, cp))
+    got = sorted(r["message"] for r in ev2.collect())
+    # ONLY the appended tail of the rotated file + the fresh file
+    assert got == ["new 1", "tail 1", "tail 2"]
