@@ -436,6 +436,35 @@ LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 
 
+def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(sink, hour) value percentiles (§2.8 observability rollup):
+    exact interpolated percentile — bit-identical to ANSI
+    quantile_cont, probed cross-engine. percentile_approx is the
+    10^12-row variant (pytest sanity-bounds it against exact)."""
+    from beats_spark.routing import add_sink_column, sink_window_percentiles
+
+    routing = {
+        "indices": [
+            {"index": "errors", "when": {"equals": {"event_type": "error"}}},
+        ],
+        "default": "main",
+    }
+    ev = _t(spark, sf_dir, "events")
+    out = sink_window_percentiles(add_sink_column(ev, routing))
+    return out.select("sink", "window_start", "events", "p50", "p95", "p99")
+
+
+_Q_WINDOW_PERCENTILES_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'errors' ELSE 'main' END AS sink,
+       date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS events,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session assignment (log-analytics step downstream of
     the pipeline): per-user session ordinals with a 30-minute silence
@@ -1093,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_asof_merge": q_enrich_asof_merge,
         "sessionize": q_sessionize,
         "session_agg": q_session_agg,
+        "window_percentiles": q_window_percentiles,
         "dns_enrich": q_dns_enrich,
         "fingerprint": q_fingerprint,
         "mutations": q_mutations,
@@ -1131,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "enrich_asof_merge": _Q_ENRICH_ASOF_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "session_agg": _Q_SESSION_AGG_SQL,
+        "window_percentiles": _Q_WINDOW_PERCENTILES_SQL,
         "dns_enrich": _Q_DNS_ENRICH_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "mutations": _Q_MUTATIONS_SQL,

@@ -301,3 +301,46 @@ def sink_window_counts(
         .agg(F.count(F.lit(1)).alias("events"))
         .select(*cols, "window_start", "events")
     )
+
+
+def sink_window_percentiles(
+    df: DataFrame,
+    value_col: str = "value",
+    window: str = "1 hour",
+    sink_col: str = "sink",
+    ts_col: str = "ts",
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-(sink, window) latency/size percentiles + count — the
+    observability rollup next to :func:`sink_window_counts`.
+
+    ``exact=True`` uses ``percentile`` (interpolated, bit-identical to
+    ANSI ``quantile_cont`` — oracle-hashable), which buffers each
+    group's values: right for verification and bounded groups.
+    ``exact=False`` is the 10^12-row path: ``percentile_approx``
+    (t-digest-style sketch, constant memory per group, mergeable across
+    partials); its error bound is 1/accuracy, sanity-tested against
+    exact in pytest. Same single partial+final hash aggregate either
+    way."""
+    parts = window.strip().lower().split()
+    if len(parts) == 2 and parts[0] == "1" and parts[1].rstrip("s") in (
+        "minute", "hour", "day",
+    ):
+        key = F.date_trunc(parts[1].rstrip("s"), F.col(ts_col))
+    else:
+        key = F.window(ts_col, window)["start"]
+    cols = [c for c in (sink_col,) if c in df.columns]
+
+    def pct(q: float) -> Column:
+        name = f"p{int(q * 100)}"
+        if exact:
+            return F.expr(f"percentile({value_col}, {q})").alias(name)
+        return F.percentile_approx(value_col, q, accuracy).alias(name)
+
+    return (
+        df.groupBy(*cols, key.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("events"), *[pct(q) for q in qs])
+    )
+

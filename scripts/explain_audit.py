@@ -53,6 +53,7 @@ AUDITED = {
     "enrich_asof_merge": dict(),
     "sessionize": dict(),
     "session_agg": dict(),
+    "window_percentiles": dict(),
     "csv_extract": dict(),
     # round-3 additions
     "syslog_parse": dict(),

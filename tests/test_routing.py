@@ -282,3 +282,34 @@ def test_fanout_write_table_v2_idempotent(spark, tmp_path):
         assert sinks == {"errors", "main"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_window_percentiles_exact_vs_approx(spark):
+    """Exact interpolated percentiles vs the t-digest approx (the
+    10^12-row path): approx must land within its 1/accuracy rank error
+    on a smooth distribution, and groups/counts must be identical."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.datagen import generate_events
+    from beats_spark.routing import sink_window_percentiles
+
+    ev = generate_events(spark, 4000).withColumn(
+        "sink", F.when(F.col("offset") % 7 == 0, "errors").otherwise("main")
+    ).withColumn("value", (F.col("offset") % 1000).cast("double"))
+    exact = {
+        (r["sink"], r["window_start"]): r
+        for r in sink_window_percentiles(ev, window="1 day").collect()
+    }
+    approx = {
+        (r["sink"], r["window_start"]): r
+        for r in sink_window_percentiles(
+            ev, window="1 day", exact=False, accuracy=10_000
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["events"] == e["events"]
+        for p in ("p50", "p95", "p99"):
+            # rank error 1/accuracy over a 0..999 uniform support
+            assert abs(a[p] - e[p]) <= 5.0, (k, p, a[p], e[p])
