@@ -812,6 +812,55 @@ FROM events
 """
 
 
+def q_journald_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """journald input (§2.1): events rendered as ``journalctl -o json``
+    export lines (all values strings, __REALTIME_TIMESTAMP in decimal
+    microseconds) → one from_json parse through the reference's field
+    conversion table → include_matches filter (same-field OR semantics
+    keeps priorities 0-5, unit filter ANDs)."""
+    from beats_spark.journald import journald_matches, journald_reader
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.to_json(
+        F.struct(
+            F.concat(F.lit("cur-"), F.col("event_id").cast("string")).alias("__CURSOR"),
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string")
+            .alias("__REALTIME_TIMESTAMP"),
+            F.concat(F.lit("action="), F.col("event_type")).alias("MESSAGE"),
+            F.pmod("user_id", F.lit(8)).cast("string").alias("PRIORITY"),
+            F.concat(F.lit("unit-"), F.pmod("user_id", F.lit(3)).cast("string"),
+                     F.lit(".service")).alias("_SYSTEMD_UNIT"),
+            F.concat(F.lit("h"), F.pmod("user_id", F.lit(5)).cast("string")).alias("_HOSTNAME"),
+            F.pmod("event_id", F.lit(65536)).cast("string").alias("_PID"),
+        )
+    )
+    parsed = journald_reader(ev.withColumn("message", line))
+    kept = journald_matches(
+        parsed,
+        [f"PRIORITY={p}" for p in range(6)] + ["_SYSTEMD_UNIT=unit-1.service"],
+    )
+    return kept.select(
+        "event_id", "cursor",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "message", "syslog_priority",
+        "systemd_unit", "host_hostname", "journald_pid",
+    )
+
+
+_Q_JOURNALD_PARSE_SQL = """
+SELECT event_id,
+       'cur-' || event_id AS cursor,
+       ts,
+       'action=' || event_type AS message,
+       (user_id % 8)::INT AS syslog_priority,
+       'unit-' || (user_id % 3) || '.service' AS systemd_unit,
+       'h' || (user_id % 5) AS host_hostname,
+       (event_id % 65536)::INT AS journald_pid
+FROM events
+WHERE user_id % 8 < 6 AND user_id % 3 = 1
+"""
+
+
 def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grok pattern parse (§2.4 / north-rule parse stage): render events
     as Apache common-log lines → one-regex %{COMMONAPACHELOG} parse →
@@ -1131,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "network_direction": q_network_direction,
         "syslog_parse": q_syslog_parse,
         "grok_parse": q_grok_parse,
+        "journald_parse": q_journald_parse,
         "sink_triage": q_sink_triage,
         "window_agg": q_window_agg,
         "csv_extract": q_csv_extract,
@@ -1170,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "network_direction": _Q_NETWORK_DIRECTION_SQL,
         "syslog_parse": _syslog_parse_sql(),
         "grok_parse": _Q_GROK_PARSE_SQL,
+        "journald_parse": _Q_JOURNALD_PARSE_SQL,
         "sink_triage": _Q_SINK_TRIAGE_SQL,
         "window_agg": _Q_WINDOW_AGG_SQL,
         "csv_extract": _Q_CSV_EXTRACT_SQL,

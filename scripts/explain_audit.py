@@ -58,6 +58,7 @@ AUDITED = {
     # round-3 additions
     "syslog_parse": dict(),
     "grok_parse": dict(),
+    "journald_parse": dict(),
     "winnow_fp": dict(),
     "winnow_neardup": dict(),
     "quality_filters": dict(),
