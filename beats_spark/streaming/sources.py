@@ -165,3 +165,65 @@ def stream_socket(
         .load()
     )
     return socket_events(raw, host, port, message_key)
+
+
+def redis_slowlog_events(raw: DataFrame, message_key: str = "message") -> DataFrame:
+    """Map parsed Redis SLOWLOG GET reply rows onto the event schema —
+    the reference's redis input (``filebeat/input/redis/harvester.go:
+    43-156``): one event per slowlog entry, ``message`` = cmd + key +
+    args joined with spaces, the entry kept structured under
+    ``redis_slowlog_*`` (id, cmd, key, duration.us), entry timestamp
+    (seconds) as event time. ``source`` is the polled instance address
+    (``host:port``, one per harvester).
+
+    Expected raw frame: ``(host string, id long, entry_ts long,
+    duration_us long, cmd string, key string, args array<string>)``.
+    The SLOWLOG poll itself is live broker I/O (no redis in-sandbox) —
+    this projection is the tested half, the poll loop is an edge
+    relay's job (same execute-gate as the kafka/redis sinks)."""
+    joined = F.concat_ws(
+        " ", F.col("cmd"), F.col("key"),
+        F.array_join(F.coalesce(F.col("args"), F.array()), " "),
+    )
+    return raw.select(
+        F.concat(F.lit("redis://"), F.col("host")).alias("source"),
+        F.lit(0).alias("part_id"),
+        F.col("id").alias("offset"),
+        F.timestamp_seconds("entry_ts").alias("ts"),
+        F.trim(joined).alias(message_key),
+        F.col("id").alias("redis_slowlog_id"),
+        F.col("cmd").alias("redis_slowlog_cmd"),
+        F.col("key").alias("redis_slowlog_key"),
+        F.col("duration_us").alias("redis_slowlog_duration_us"),
+    )
+
+
+def mqtt_events(raw: DataFrame, message_key: str = "message") -> DataFrame:
+    """Map an MQTT message frame onto the event schema — the
+    reference's mqtt input (``filebeat/input/mqtt/input.go:108-131``):
+    ``message`` = payload text, the transport metadata kept as
+    ``mqtt_*`` (topic, message_id, qos, retained, duplicate), topic as
+    ``source`` (the kafka topic→source convention). MQTT message ids
+    recycle per-connection, so ``offset`` is null (no replayable
+    position — same as the reference, which keeps no cursor state).
+
+    Expected raw frame: ``(topic string, payload string|binary,
+    message_id long, qos int, retained boolean, duplicate boolean
+    [, timestamp])``. Broker subscribe loop is execute-gated
+    in-sandbox, as above."""
+    ts = (
+        F.col("timestamp") if "timestamp" in raw.columns
+        else F.current_timestamp()
+    )
+    return raw.select(
+        F.concat(F.lit("mqtt://"), F.col("topic")).alias("source"),
+        F.lit(0).alias("part_id"),
+        F.lit(None).cast("long").alias("offset"),
+        ts.alias("ts"),
+        F.col("payload").cast("string").alias(message_key),
+        F.col("topic").alias("mqtt_topic"),
+        F.col("message_id").alias("mqtt_message_id"),
+        F.col("qos").alias("mqtt_qos"),
+        F.col("retained").alias("mqtt_retained"),
+        F.col("duplicate").alias("mqtt_duplicate"),
+    )

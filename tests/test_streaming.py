@@ -549,3 +549,38 @@ def test_stream_unix_end_to_end(spark, tmp_path):
         assert len({r["part_id"] for r in rows}) == 2
     finally:
         q.stop()
+
+
+def test_redis_slowlog_events_projection(spark):
+    """redis input shape (harvester.go:135-156): message joins
+    cmd/key/args; entry id is the offset lineage."""
+    from beats_spark.streaming.sources import redis_slowlog_events
+
+    raw = spark.createDataFrame(
+        [("10.0.0.5:6379", 7, 1704067200, 12345, "GET", "user:1", ["EX", "30"]),
+         ("10.0.0.5:6379", 8, 1704067201, 99, "PING", "", None)],
+        "host string, id long, entry_ts long, duration_us long, "
+        "cmd string, key string, args array<string>",
+    )
+    out = {r["offset"]: r for r in redis_slowlog_events(raw).collect()}
+    assert out[7]["message"] == "GET user:1 EX 30"
+    assert out[7]["source"] == "redis://10.0.0.5:6379"
+    assert out[7]["redis_slowlog_duration_us"] == 12345
+    assert out[8]["message"] == "PING"
+    assert out[8]["ts"].year in (2023, 2024)
+
+
+def test_mqtt_events_projection(spark):
+    """mqtt input shape (input.go:108-131): payload becomes message,
+    transport metadata lands under mqtt_*, no replayable offset."""
+    from beats_spark.streaming.sources import mqtt_events
+
+    raw = spark.createDataFrame(
+        [("sensors/a", "t=21.5", 3, 1, False, False)],
+        "topic string, payload string, message_id long, qos int, "
+        "retained boolean, duplicate boolean",
+    )
+    r = mqtt_events(raw).collect()[0]
+    assert r["source"] == "mqtt://sensors/a"
+    assert r["message"] == "t=21.5"
+    assert r["mqtt_qos"] == 1 and r["offset"] is None
