@@ -47,3 +47,56 @@ def test_session_agg_matches_sessionize(spark):
     )
     assert agg == via
     assert ("a", T(0), T(15), 3) in agg
+
+
+def test_session_agg_streaming_matches_batch(spark, tmp_path):
+    """The same session_window expression runs STATEFUL in Structured
+    Streaming: with a watermark past all data and availableNow, the
+    complete session set must equal the batch aggregate (state merges
+    sessions across micro-batches)."""
+    ev = _ev(spark)
+    src = str(tmp_path / "ev")
+    # one file per micro-batch, split mid-session for key 'a'
+    ev.filter("event_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id > 2").coalesce(1).write.mode("append").parquet(src)
+
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    # cast is value-preserving on both sides
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 second")
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "10 seconds").alias("_sw"), "k")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sw")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want = set(rows(
+        session_agg(ev.withColumn("ts", F.col("ts").cast("timestamp")),
+                    ["k"], gap="10 seconds"),
+        "k", "session_start", "session_end", "n_events"))
+    got = set(rows(spark.read.parquet(out),
+                   "k", "session_start", "session_end", "n_events"))
+    # append mode emits only watermark-closed sessions; nothing may be
+    # wrong, and the split-across-batches session for key 'a' must have
+    # merged rather than emitting two fragments
+    assert got <= want
+    assert ("a", T(0), T(15), 3) in got
