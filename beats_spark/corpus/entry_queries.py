@@ -760,6 +760,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "chunk_tokens": q_chunk_tokens,
         "pack_sequences_sig": q_pack_sequences_sig,
         "split_assign": q_split_assign,
         "vocab_histogram": q_vocab_histogram,
@@ -803,6 +804,7 @@ def corpus_oracles() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "chunk_tokens": _CHUNK_TOKENS_SQL,
         "pack_sequences_sig": _PACK_SEQUENCES_SIG_SQL,
         "split_assign": _SPLIT_ASSIGN_SQL,
         "vocab_histogram": _VOCAB_HISTOGRAM_SQL,
@@ -866,6 +868,45 @@ ex AS (
 )
 SELECT (pos // 128)::BIGINT AS seq_no, (pos % 128)::BIGINT AS pos_in_seq,
        token_id::BIGINT AS token_id
+FROM ex
+"""
+
+
+def q_chunk_tokens(spark, sf_dir):
+    """Per-document overlapping chunking (size 64, stride 48 → 16-token
+    overlap): chunk rows verified via per-chunk content signatures
+    (md5 of the comma-joined ids, the driver-hashable array face)."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    out = toks.chunk_tokens(t, size=64, stride=48)
+    return out.select(
+        "doc_id", "chunk_no",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>")))
+        .alias("sig"),
+    )
+
+
+_CHUNK_TOKENS_SQL = f"""
+WITH {_TOKENIZE_SQL},
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         1 + (greatest(len(toks) - 64, 0) // 48) AS full_starts
+  FROM tk
+),
+c AS (
+  SELECT doc_id, toks,
+         full_starts + CASE WHEN (full_starts - 1) * 48 + 64 < n
+                            THEN 1 ELSE 0 END AS n_chunks
+  FROM n
+),
+ex AS (
+  SELECT doc_id, c AS chunk_no,
+         list_slice(toks, (c * 48)::INT + 1, (c * 48)::INT + 64) AS chunk
+  FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS c FROM c)
+)
+SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+       len(chunk)::BIGINT AS n_tok,
+       md5(array_to_string(chunk, ',')) AS sig
 FROM ex
 """
 

@@ -228,3 +228,52 @@ def mix_sources(df: DataFrame, weights: dict[str, float],
     rate = rate.otherwise(F.lit(-1)) if rate is not None else F.lit(-1)
     b = F.pmod(h32(F.col(id_col).cast("string"), seed=salt), F.lit(1_000_000))
     return df.filter(b < rate)
+
+
+def chunk_tokens(df: DataFrame, size: int = 128, stride: int | None = None,
+                 id_col: str = "doc_id", tokens_col: str = "tokens",
+                 keep_tail: bool = True) -> DataFrame:
+    """Per-document overlapping chunking (the RAG / long-doc training
+    layout, complementing :func:`pack_sequences`' cross-document
+    stream): chunk c of a document covers token positions
+    ``[c*stride, c*stride + size)``; with ``stride < size`` consecutive
+    chunks overlap by ``size - stride`` tokens. Documents never mix.
+
+    ``keep_tail=False`` drops a trailing chunk shorter than ``size``
+    (except a short document's single chunk is always kept —
+    every document must contribute at least one chunk).
+
+    Pure column expressions: ``sequence`` over chunk ordinals →
+    ``slice`` per chunk → explode. Narrow until the explode, no
+    shuffle at all; linear at any corpus size."""
+    if stride is None:
+        stride = size
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n = F.size(F.col(tokens_col))
+    # number of chunk starts: 1 + floor(max(n - size, 0) / stride),
+    # plus one trailing partial chunk when keep_tail and it exists
+    full_starts = F.lit(1) + F.floor(
+        F.greatest(n - size, F.lit(0)) / stride
+    ).cast("int")
+    covered = (full_starts - 1) * stride + size
+    extra = (
+        F.when(F.lit(keep_tail) & (covered < n), 1).otherwise(0)
+    )
+    n_chunks = full_starts + extra
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.alias("chunk_no"),
+            F.slice(F.col(tokens_col), c * stride + 1, size).alias("tokens"),
+        ),
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("_c")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("_c.chunk_no").alias("chunk_no"),
+        F.col("_c.tokens").alias("tokens"),
+        F.size("_c.tokens").alias("n_tok"),
+    )

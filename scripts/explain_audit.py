@@ -76,6 +76,7 @@ AUDITED = {
     "token_bucket": dict(),
     "dedup_tokens": dict(),
     "pack_sequences": dict(),
+    "chunk_tokens": dict(),
     "vocab_histogram": dict(),
     "token_bigrams": dict(),
     "split_assign": dict(),

@@ -765,3 +765,31 @@ def test_neardup_survivors_priority_keeps_best(spark):
         r["doc_id"] for r in dd.neardup_survivors(docs, pairs).collect()
     )
     assert got_min == [1, 9]
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from beats_spark.corpus.tokens import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, list(range(10))), (2, [1, 2]), (3, [])],
+        "doc_id long, tokens array<int>",
+    )
+    out = {(r["doc_id"], r["chunk_no"]): r["tokens"]
+           for r in chunk_tokens(docs, size=4, stride=3).collect()}
+    # doc 1: starts 0,3,6 cover [0..10); no tail needed
+    assert out[(1, 0)] == [0, 1, 2, 3]
+    assert out[(1, 1)] == [3, 4, 5, 6]
+    assert out[(1, 2)] == [6, 7, 8, 9]
+    assert (1, 3) not in out
+    # short doc: one (short) chunk; empty doc: one empty chunk
+    assert out[(2, 0)] == [1, 2]
+    assert out[(3, 0)] == []
+
+    # keep_tail drops the trailing partial: 11 tokens, starts 0,3,6
+    # cover 10 < 11 → tail chunk [9,10] appears only with keep_tail
+    docs2 = spark.createDataFrame([(1, list(range(11)))],
+                                  "doc_id long, tokens array<int>")
+    with_tail = chunk_tokens(docs2, size=4, stride=3).collect()
+    no_tail = chunk_tokens(docs2, size=4, stride=3, keep_tail=False).collect()
+    assert len(with_tail) == 4 and len(no_tail) == 3
+    assert sorted(r["tokens"] for r in with_tail)[-1] == [9, 10]
