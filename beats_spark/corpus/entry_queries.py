@@ -609,6 +609,54 @@ FROM f
 """
 
 
+def q_top_ngram(spark, sf_dir):
+    """The remaining Gopher repetition rule: chars covered by the most
+    frequent word 2-gram per document (ties → lexicographically last
+    gram on both engines)."""
+    out = textstats.top_ngram_stats(_docs(spark, sf_dir), n=2)
+    return out.select(
+        "doc_id", "top_gram",
+        F.col("top_gram_count").cast("long").alias("top_gram_count"),
+        F.col("covered_chars").cast("long").alias("covered_chars"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "f_top_ngram",
+    )
+
+
+_TOP_NGRAM_SQL = """
+WITH g AS (
+  SELECT doc_id, length(text) AS total_chars,
+         CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+           list_transform(range(1, len(string_split(text, ' '))::INT),
+                          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+         ELSE [] END AS g2
+  FROM documents
+), ex AS (
+  SELECT doc_id, total_chars, unnest(g2) AS gram FROM g
+), counts AS (
+  SELECT doc_id, total_chars, gram, count(*) AS cnt,
+         count(*) * length(gram) AS covered_chars
+  FROM ex GROUP BY doc_id, total_chars, gram
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY covered_chars DESC, gram DESC) AS rn
+  FROM counts
+), best AS (
+  SELECT doc_id, gram AS top_gram, cnt::BIGINT AS top_gram_count,
+         covered_chars::BIGINT AS covered_chars, total_chars::BIGINT AS total_chars
+  FROM ranked WHERE rn = 1
+)
+SELECT d.doc_id,
+       b.top_gram,
+       coalesce(b.top_gram_count, 0)::BIGINT AS top_gram_count,
+       coalesce(b.covered_chars, 0)::BIGINT AS covered_chars,
+       length(d.text)::BIGINT AS total_chars,
+       coalesce(b.covered_chars, 0) * 100 <= 20 * greatest(length(d.text), 1)
+         AS f_top_ngram
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Near-dup cluster resolution (the keep-one endpoint): MinHash+LSH
     candidate pairs → iterative hash-min connected components →
@@ -761,6 +809,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "chunk_tokens": q_chunk_tokens,
+        "top_ngram": q_top_ngram,
         "pack_sequences_sig": q_pack_sequences_sig,
         "split_assign": q_split_assign,
         "vocab_histogram": q_vocab_histogram,
@@ -805,6 +854,7 @@ def corpus_oracles() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "chunk_tokens": _CHUNK_TOKENS_SQL,
+        "top_ngram": _TOP_NGRAM_SQL,
         "pack_sequences_sig": _PACK_SEQUENCES_SIG_SQL,
         "split_assign": _SPLIT_ASSIGN_SQL,
         "vocab_histogram": _VOCAB_HISTOGRAM_SQL,

@@ -8,7 +8,7 @@ shuffle)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beats_spark.corpus.hashing import h32, word_tokens
@@ -404,3 +404,54 @@ def quality_filters(df: DataFrame, text_col: str = "text",
         passes = f if passes is None else (passes & f)
     out["passes_quality"] = passes
     return df.withColumns(out)
+
+
+def top_ngram_stats(df: DataFrame, n: int = 2, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_top_ngram_char_pct: int = 20) -> DataFrame:
+    """The remaining Gopher repetition rule (Rae et al. 2021 table A1):
+    the fraction of characters covered by the single most frequent word
+    n-gram. Unlike :func:`quality_filters`' narrow per-row rules this
+    needs a per-(doc, gram) count — explode → one partial+final hash
+    aggregate on (doc, gram) → per-doc argmax window. Keys are
+    (doc, gram): uniform, no skew; at 10^12 rows it is one shuffle of
+    gram-count rows, not text.
+
+    Ties break deterministically to the lexicographically LAST gram at
+    the max coverage (both engines order by (covered, gram)).
+
+    Returns one row per input document: top gram, its count, covered
+    chars (count × gram length), total text chars, and the pass flag
+    ``covered * 100 <= pct * total``."""
+    from beats_spark.corpus.hashing import shingles, word_tokens
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("total_chars"),
+        F.explode_outer(shingles(word_tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "total_chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    covered = F.when(
+        F.col("gram").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.col("cnt") * F.length("gram"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("covered_chars"), F.desc("gram")
+    )
+    ranked = counts.withColumn("covered_chars", covered).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    out = ranked.filter(F.col("_rn") == 1).select(
+        "doc_id",
+        F.col("gram").alias("top_gram"),
+        F.when(F.col("gram").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.col("cnt")).alias("top_gram_count"),
+        "covered_chars",
+        "total_chars",
+        (
+            F.col("covered_chars") * 100
+            <= F.lit(max_top_ngram_char_pct) * F.greatest("total_chars", F.lit(1))
+        ).alias("f_top_ngram"),
+    )
+    return out

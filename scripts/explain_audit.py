@@ -77,6 +77,7 @@ AUDITED = {
     "dedup_tokens": dict(),
     "pack_sequences": dict(),
     "chunk_tokens": dict(),
+    "top_ngram": dict(),
     "vocab_histogram": dict(),
     "token_bigrams": dict(),
     "split_assign": dict(),

@@ -793,3 +793,26 @@ def test_chunk_tokens_overlap_and_tail(spark):
     no_tail = chunk_tokens(docs2, size=4, stride=3, keep_tail=False).collect()
     assert len(with_tail) == 4 and len(no_tail) == 3
     assert sorted(r["tokens"] for r in with_tail)[-1] == [9, 10]
+
+
+def test_top_ngram_stats(spark):
+    from beats_spark.corpus.textstats import top_ngram_stats
+
+    docs = _docs(spark, [
+        "spam eggs spam eggs spam eggs and something else entirely here",
+        " ".join(f"uniq{i}" for i in range(40)),  # all 2-grams count 1
+        "",  # no 2-grams at all
+    ])
+    out = {r["doc_id"]: r for r in top_ngram_stats(docs, n=2).collect()}
+    # "spam eggs" occurs 3x (9 chars each → 27 covered)
+    assert out[0]["top_gram"] == "spam eggs"
+    assert out[0]["top_gram_count"] == 3
+    assert out[0]["covered_chars"] == 27
+    assert not out[0]["f_top_ngram"]  # 27*100 > 20*62
+    # all-unique doc: every gram count 1, ties → lexicographically last
+    assert out[1]["top_gram_count"] == 1
+    assert out[1]["f_top_ngram"]
+    # empty doc: no grams, zero coverage, passes
+    assert out[2]["top_gram"] is None
+    assert out[2]["covered_chars"] == 0
+    assert out[2]["f_top_ngram"]
