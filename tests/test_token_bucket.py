@@ -129,3 +129,34 @@ def test_streaming_matches_batch_across_microbatches(spark, tmp_path):
     got = rows(spark.read.parquet(out), "key", "offset")
     assert got == want
     assert len(got) > 2  # the scenario actually exercises denials
+
+
+def test_kernel_state_split_property():
+    """The invariant the streaming face rests on: running the kernel
+    over a stream split at ANY batch boundary, carrying (tokens, last)
+    state across, is identical to one continuous run. Pure-numpy
+    property test over random event-time sequences and split points —
+    no Spark session needed."""
+    import numpy as np
+
+    from beats_spark.token_bucket import _run_bucket
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n = int(rng.integers(1, 60))
+        gaps = rng.exponential(scale=float(rng.uniform(0.1, 3.0)), size=n)
+        ts = np.cumsum(gaps) * 1e6  # microseconds
+        rate = 1.0 / 1e6            # 1 token/second
+        depth = float(rng.uniform(1.0, 5.0))
+        split = int(rng.integers(0, n + 1))
+
+        whole, tok_w, last_w = _run_bucket(ts, depth, float(ts[0]) if n else 0.0,
+                                           rate, depth)
+        a, tok, last = _run_bucket(ts[:split], depth,
+                                   float(ts[0]) if split else 0.0, rate, depth)
+        if split == 0:
+            # no state yet: the second half starts a fresh full bucket
+            tok, last = depth, float(ts[0])
+        b, tok_b, last_b = _run_bucket(ts[split:], tok, last, rate, depth)
+        assert np.array_equal(np.concatenate([a, b]), whole), (trial, split)
+        assert (tok_b, last_b) == (tok_w, last_w)
