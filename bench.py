@@ -26,9 +26,13 @@ HEADLINE = [
     "rate_limit",
     "token_bucket",
     "enrich_lookup",
+    "enrich_asof",
+    "sessionize",
     "window_agg",
+    "window_percentiles",
     "syslog_parse",
     "grok_parse",
+    "journald_parse",
     "fingerprint",
     "dedup_exact",
     "text_stats",
@@ -41,6 +45,8 @@ HEADLINE = [
     "decontaminate",
     "corpus_pipeline",
     "pack_sequences",
+    "chunk_tokens",
+    "top_ngram",
     "embedding_topk",
     "embedding_topk_blocked",
     "embedding_neardup_blocked",
