@@ -477,6 +477,48 @@ def q_ann_ivf_nprobe(spark, sf_dir):
                                    nprobe=3)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup flags at threshold 0.35 over the 8-cell
+    quantizer (sf0.01: ~20% of the corpus flagged — a realistic web
+    dedup rate on the synthetic embeddings)."""
+    return similarity.semantic_dedup(_emb(spark, sf_dir), threshold=0.35,
+                                     n_cells=8, dim=64)
+
+
+def _semantic_dedup_sql(threshold: float = 0.35, n_cells: int = 8,
+                        dim: int = 64) -> str:
+    cents = similarity.ivf_centroids(n_cells, dim)
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in row)}]::DOUBLE[], "
+        f"{similarity._seq_sq_norm(row)!r})"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+WITH {_EMB_PREP_SQL},
+cents(cid, c, cn) AS (VALUES
+    {rows}
+),
+assign AS (
+  SELECT vec_id, v, nrm, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM (
+    SELECT e.vec_id, e.v, e.nrm, c.cid,
+           list_sum(list_transform(e.v, x -> x * x)) + c.cn
+           - 2.0 * list_sum(list_transform(list_zip(e.v, c.c),
+                                           x -> x[1] * x[2])) AS dist
+    FROM e, cents c)
+),
+cells AS (SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL} >= {threshold}
+)
+SELECT c.vec_id, c.cell::INT AS cell, (d.vec_id IS NOT NULL) AS is_semdup
+FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+"""
+
+
 def q_media_features(spark, sf_dir):
     media = multimodal.synth_media(_docs(spark, sf_dir))
     return multimodal.extract_features(media, fake_decode=True).select(
@@ -529,6 +571,39 @@ _QF_FLAG_COLS = [
     "f_dup_lines", "f_dup_paras", "f_dup_line_chars", "f_dup_para_chars",
     "passes_quality",
 ]
+
+
+def q_lm_score(spark, sf_dir):
+    """CCNet-style unigram LM scoring: per-doc bits/token under a
+    unigram model trained on the corpus itself, with head/middle/tail
+    buckets at fixed cutoffs (the empirical terciles at sf0.01 —
+    CCNet's own cutoffs are precomputed per-language config too)."""
+    return textstats.lm_score(_docs(spark, sf_dir),
+                              thresholds=(4.905, 4.911))
+
+
+_LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (SELECT count(*) AS t FROM toks),
+v AS (
+  -- integer micro-bits: same quantization as the engine, so the
+  -- per-doc sum is integer-exact and order-independent on both sides
+  SELECT tok, CAST(round(log2(c::DOUBLE / t) * 1e6) AS BIGINT) AS ubits
+  FROM vocab, tot
+), s AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         (-sum(ubits))::DOUBLE / (count(*) * 1e6) AS bits_per_token
+  FROM toks JOIN v USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, bits_per_token,
+       CASE WHEN bits_per_token <= 4.905 THEN 'head'
+            WHEN bits_per_token <= 4.911 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM s
+"""
 
 
 def q_quality_filters(spark, sf_dir):
@@ -780,6 +855,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality_filters": q_quality_filters,
+        "lm_score": q_lm_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fp": q_winnow_fp,
@@ -799,6 +875,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_sqrtn": q_ann_ivf_sqrtn,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
+        "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "media_embed": q_media_embed,
         "dedup_tokens": q_dedup_tokens,
@@ -825,6 +902,7 @@ def corpus_oracles() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "text_stats": _text_stats_sql(),
         "quality_filters": _quality_filters_sql(),
+        "lm_score": _LM_SCORE_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "winnow_fp": _WINNOW_FP_SQL,
@@ -844,6 +922,7 @@ def corpus_oracles() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_sqrtn": _ann_ivf_sql(45),
         "ann_ivf_nprobe": _ann_ivf_sql(45, nprobe=3),
+        "semantic_dedup": _semantic_dedup_sql(),
         "media_features": _MEDIA_FEATURES_SQL,
         "media_embed": _MEDIA_EMBED_SQL,
         "dedup_tokens": _DEDUP_TOKENS_SQL,

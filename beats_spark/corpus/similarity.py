@@ -568,3 +568,101 @@ def ann_lsh_topk(df: DataFrame, k: int = 1, n_planes: int = 8,
     if pairs == "gemm":
         return _incell_topk(p, "bucket", k)
     return _fold_join_topk(p, "bucket", k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via within-cluster cosine pruning
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.3, n_cells: int = 8,
+                   dim: int | None = None, id_col: str = "vec_id",
+                   vec_col: str = "embedding", method: str = "gemm",
+                   assign: str = "pandas") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    that are SEMANTICALLY near-identical to another document in the
+    same embedding cluster.
+
+    Algorithm, exactly as published: coarse-cluster the embeddings,
+    then within each cluster flag every member whose cosine similarity
+    to an EARLIER member (triangular mask over a fixed intra-cluster
+    order) reaches ``threshold`` — the flagged copy is the semantic
+    duplicate, the earliest member of each ε-ball survives. The paper
+    orders by distance-to-centroid; this implementation orders by id
+    (deterministic and reproducible across engines — near-tie centroid
+    distances round differently between BLAS and SQL folds, ids don't).
+    Pairs are only ever formed WITHIN a cluster, so a pair that LSH
+    would call near-dup but whose members quantize to different cells
+    is not flagged — that recall trade-off is the published design.
+
+    Centroids are the deterministic md5 quantizer of
+    :func:`ivf_centroids` (production: a k-means fit on a sample —
+    the assignment and pruning plan is identical either way) and the
+    cluster count is the scale lever: at 10^9 rows with ~√n cells each
+    cell holds ~√n vectors, so the per-cell GEMM (``method="gemm"``,
+    default — one matmul + triangular mask per cell via
+    ``applyInPandas``) stays bounded; candidates over-collect by ε and
+    a JVM fold-cos filter makes the flag exact (same candidates →
+    verify discipline as :func:`embedding_neardup_blocked`).
+    ``method="fold"`` is the pure-JVM per-pair fold over the cell
+    equi-join — the small-n / oracle-parity reference path.
+
+    Returns one row PER INPUT ROW: ``(vec_id, cell, is_semdup)``;
+    filter ``~is_semdup`` for the survivor set. ``dim`` is required
+    (no driver-side probe at plan build)."""
+    if dim is None:
+        raise ValueError(
+            "semantic_dedup requires dim= (embedding dimension); plan "
+            "build must not run a driver-side first() probe"
+        )
+    if method not in ("gemm", "fold"):
+        raise ValueError(f"method must be gemm|fold, got {method!r}")
+    cents = ivf_centroids(n_cells, dim)
+    cell = (
+        ivf_cell_assign(cents)(F.col("v")) if assign == "pandas"
+        else ivf_cell(F.col("v"), cents)
+    )
+    p = _prepped(df, id_col, vec_col).withColumn("cell", cell)
+
+    if method == "fold":
+        a, b = p.alias("a"), p.alias("b")
+        cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        verified = (
+            a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("b.vec_id").alias("nid"), cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+    else:
+        def part(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                  "nid": pd.Series([], dtype="int64")})
+            if len(pdf) < 2:
+                return empty
+            pdf = pdf.sort_values("vec_id")
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            nrm = pdf["nrm"].to_numpy()
+            S = (V @ V.T) / np.outer(nrm, nrm)
+            iu = np.triu_indices(len(pdf), k=1)
+            keep = S[iu] >= threshold - 1e-9  # over-collect; fold verifies
+            ids = pdf["vec_id"].to_numpy()
+            return pd.DataFrame({"vec_id": ids[iu[0][keep]],
+                                 "nid": ids[iu[1][keep]]})
+
+        cand = p.select("vec_id", "v", "nrm", "cell").groupBy("cell").applyInPandas(
+            part, schema="vec_id long, nid long"
+        )
+        verified = _fold_cos_for_pairs(cand, p).filter(
+            F.col("cos") >= threshold
+        ).select("nid", "cos")
+
+    dup = verified.select("nid").distinct().withColumn("_d", F.lit(True))
+    return (
+        p.select("vec_id", "cell")
+        .join(dup, p["vec_id"] == dup["nid"], "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(F.col("_d"), F.lit(False)).alias("is_semdup"),
+        )
+    )

@@ -8,6 +8,8 @@ shuffle)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -454,4 +456,90 @@ def top_ngram_stats(df: DataFrame, n: int = 2, text_col: str = "text",
             <= F.lit(max_top_ngram_char_pct) * F.greatest("total_chars", F.lit(1))
         ).alias("f_top_ngram"),
     )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram LM scoring (perplexity quality filter)
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, int]:
+    """Unigram language model from a corpus: ``(vocab, total_tokens)``
+    where ``vocab`` is ``(tok, c)`` token counts (one hash agg — the
+    same shuffle shape as a word count) and ``total_tokens`` is an
+    EAGER driver-side scalar (one narrow scan + sum; same eager-config
+    discipline as ``pack_sequences``' per-range offsets).
+
+    CCNet (Wenzek et al. 2020, arXiv:1911.00359) scores web text with
+    a KenLM model trained on clean target-domain text and keeps the
+    low-perplexity "head"; the unigram model here is the same scoring
+    plan with the n-gram order dropped to 1 — swap ``vocab`` for a
+    higher-order table (tok = n-gram) and nothing downstream changes."""
+    toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = df.select(
+        F.sum(F.size(word_tokens(F.col(text_col)))).alias("t")
+    ).first()["t"]
+    return vocab, int(total or 0)
+
+
+def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             lm: DataFrame | None = None, broadcast_lm: bool = True,
+             thresholds: tuple[float, float] | None = None) -> DataFrame:
+    """Per-document unigram cross-entropy (bits/token) under a model
+    trained on ``lm`` (default: the corpus itself — self-scoring flags
+    statistical outliers; CCNet trains on clean text and buckets web
+    docs by the score).
+
+    Token log-probs are quantized to integer MICRO-BITS
+    (``round(log2(c/total) * 1e6)`` → bigint) before aggregation: the
+    per-doc sum is then integer-exact and ORDER-INDEPENDENT — a raw
+    double sum would vary with partition merge order (and with the
+    oracle engine's fold order), making results nondeterministic at
+    the ulp level. The one float op (log2) happens per VOCAB ENTRY,
+    not per token, and the quantization kills cross-engine ulp noise.
+    Out-of-vocabulary tokens (scoring under a foreign ``lm``) score
+    ``log2(1/total)`` — the add-nothing floor, documented CCNet-ish
+    smoothing, not a claim of probabilistic rigor.
+
+    Scale: vocab is Zipf-bounded (≪ corpus); ``broadcast_lm=True``
+    (default) broadcasts it so the token⋈vocab lookup is shuffle-free
+    on the corpus side; set False for n-gram LMs too big to broadcast
+    (plain equi-join on tok, uniform by Zipf hashing). ``thresholds``
+    (lo, hi) adds the CCNet head/middle/tail bucket as a fixed-config
+    label — a global-quantile bucketing would be a global sort; CCNet
+    itself uses precomputed per-language cutoffs, which is config too.
+
+    Returns ``(doc_id, n_tokens, bits_per_token, [ppl_bucket])``."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    vocab, total = unigram_lm(lm if lm is not None else df, text_col)
+    if total <= 0:
+        raise ValueError("lm_score: LM corpus has no tokens")
+    ubits = F.round(
+        F.log2(F.col("c").cast("double") / F.lit(float(total))) * 1e6
+    ).cast("long")
+    v = vocab.select("tok", ubits.alias("ubits"))
+    # half-away-from-zero, matching Spark/DuckDB round() (python round
+    # is banker's — would disagree on exact .5 micro-bit boundaries)
+    x = math.log2(1.0 / float(total)) * 1e6
+    oov = int(math.copysign(math.floor(abs(x) + 0.5), x))
+    toks = df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    joined = toks.join(_bc(v) if broadcast_lm else v, "tok", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            -F.sum(F.coalesce(F.col("ubits"), F.lit(int(oov))))
+            / (F.count(F.lit(1)) * F.lit(1e6))
+        ).alias("bits_per_token"),
+    )
+    if thresholds is not None:
+        lo, hi = thresholds
+        out = out.withColumn(
+            "ppl_bucket",
+            F.when(F.col("bits_per_token") <= lo, F.lit("head"))
+            .when(F.col("bits_per_token") <= hi, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
     return out

@@ -41,6 +41,7 @@ HEADLINE = [
     "winnow_neardup",
     "neardup_clusters",
     "quality_filters",
+    "lm_score",
     "line_dedup",
     "decontaminate",
     "corpus_pipeline",
@@ -49,6 +50,7 @@ HEADLINE = [
     "top_ngram",
     "embedding_topk",
     "embedding_topk_blocked",
+    "semantic_dedup",
     "embedding_neardup_blocked",
     "ann_lsh",
     "ann_ivf",

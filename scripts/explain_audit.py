@@ -65,6 +65,8 @@ AUDITED = {
     "neardup_clusters": dict(),
     "neardup_survivors": dict(),
     "ann_ivf_nprobe": dict(),
+    "semantic_dedup": dict(),
+    "lm_score": dict(broadcast=True),
     "media_embed": dict(),
     "media_features": dict(),
     "frame_sample": dict(),

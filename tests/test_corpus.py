@@ -816,3 +816,90 @@ def test_top_ngram_stats(spark):
     assert out[2]["top_gram"] is None
     assert out[2]["covered_chars"] == 0
     assert out[2]["f_top_ngram"]
+
+
+# -- semantic dedup (SemDeDup) ----------------------------------------------
+
+
+def test_semantic_dedup_earliest_survives(spark):
+    """Identical vectors share a cell; the lowest id survives, every
+    later copy is flagged."""
+    df = _emb(spark, [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    got = dict(rows(similarity.semantic_dedup(df, threshold=0.99, n_cells=1,
+                                              dim=2), "vec_id", "is_semdup"))
+    assert got == {0: False, 1: True, 2: True, 3: False}
+
+
+def test_semantic_dedup_triangular_rule(spark):
+    """The published triangular-mask semantics: a member is flagged if
+    ANY earlier same-cell member is within epsilon — even when that
+    earlier member was itself flagged. Chain A~B~C with A !~ C still
+    flags C (its earlier neighbor B exists, flagged or not)."""
+    a = [1.0, 0.0]
+    b = [math.cos(math.radians(25)), math.sin(math.radians(25))]
+    c = [math.cos(math.radians(50)), math.sin(math.radians(50))]
+    t = math.cos(math.radians(30))  # A.B, B.C above; A.C (cos 50deg) below
+    df = _emb(spark, [a, b, c])
+    got = dict(rows(similarity.semantic_dedup(df, threshold=t, n_cells=1,
+                                              dim=2), "vec_id", "is_semdup"))
+    assert got == {0: False, 1: True, 2: True}
+
+
+def test_semantic_dedup_gemm_matches_fold(spark):
+    """The per-cell GEMM path (scale default) and the pure-JVM fold
+    equi-join flag the same rows with the same cells."""
+    import numpy as _np
+
+    vecs = [[float(_np.sin(i * 0.9 + d)) for d in range(6)] for i in range(40)]
+    vecs[7] = [v * 1.001 for v in vecs[3]]
+    vecs[21] = [v * 0.999 for v in vecs[5]]
+    df = _emb(spark, vecs)
+    cols = ("vec_id", "cell", "is_semdup")
+    got = sorted(rows(similarity.semantic_dedup(df, 0.8, n_cells=4, dim=6), *cols))
+    want = sorted(rows(similarity.semantic_dedup(df, 0.8, n_cells=4, dim=6,
+                                                 method="fold"), *cols))
+    assert got == want
+    assert len(got) == len(vecs)  # one flag row per input row
+    assert any(f for _, _, f in got)
+
+
+def test_semantic_dedup_requires_dim(spark):
+    df = _emb(spark, [[1.0, 0.0]])
+    with pytest.raises(ValueError, match="dim"):
+        similarity.semantic_dedup(df, threshold=0.9)
+
+
+# -- unigram LM scoring (CCNet-style) ----------------------------------------
+
+
+def test_lm_score_uniform_corpus_exact(spark):
+    """Two tokens, each with p=0.5 → exactly 1 bit/token (the integer
+    micro-bit path is exact here: log2(0.5)*1e6 = -1e6 precisely)."""
+    df = _docs(spark, ["a b", "a b"])
+    got = rows(textstats.lm_score(df), "doc_id", "n_tokens", "bits_per_token")
+    assert got == [(0, 2, 1.0), (1, 2, 1.0)]
+
+
+def test_lm_score_rare_tokens_score_higher(spark):
+    df = _docs(spark, ["the the the the", "the the the zebra"])
+    got = dict(
+        (r[0], r[1]) for r in rows(textstats.lm_score(df), "doc_id", "bits_per_token")
+    )
+    assert got[1] > got[0]  # the doc holding the rare token is less typical
+
+
+def test_lm_score_foreign_lm_oov_floor(spark):
+    """Scoring under a foreign LM: unseen tokens take the 1/total
+    floor instead of crashing or dropping rows."""
+    lm = _docs(spark, ["a a a b"])  # total 4: p(a)=3/4, p(b)=1/4
+    df = _docs(spark, ["a zzz"])
+    (r,) = rows(textstats.lm_score(df, lm=lm), "n_tokens", "bits_per_token")
+    expect = (-math.log2(3 / 4) - math.log2(1 / 4)) / 2  # oov → log2(1/4)
+    assert r[0] == 2 and abs(r[1] - expect) < 1e-5
+
+
+def test_lm_score_buckets(spark):
+    df = _docs(spark, ["x x x x x x x x", "x x x x x x x y"])
+    got = dict(rows(textstats.lm_score(df, thresholds=(0.3, 0.5)),
+                    "doc_id", "ppl_bucket"))
+    assert got[0] == "head" and got[1] == "tail"
