@@ -11,7 +11,7 @@ is), never a scan of document pairs."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beats_spark.corpus.hashing import h32, shingles, word_tokens
@@ -125,4 +125,86 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 13,
         "doc_id",
         F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
         (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def substring_dedup(df: DataFrame, min_len: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """ExactSubstr-style dedup (Lee et al. 2021, arXiv:2107.06499):
+    remove every occurrence-but-the-first of any ``min_len``-token
+    substring that repeats ANYWHERE in the corpus (across documents or
+    within one), merging overlapping duplicated windows into maximal
+    spans before cutting.
+
+    The paper builds a corpus-wide suffix array; the Spark-first
+    equivalent works at token-window granularity: every ``min_len``-gram
+    occurrence keyed by content hash, the globally-first occurrence
+    (min (doc_id, pos) — a combinable min-of-struct aggregate, NOT a
+    per-gram window, so a boilerplate gram with 10^6 occurrences never
+    serializes a hot reducer) survives, and all later occurrences mark
+    their window for removal. Overlapping windows merge by the classic
+    gaps-and-islands running-max (one per-document window — partitions
+    are document-sized), so a duplicated run of m > min_len tokens cuts
+    as ONE span, approximating the suffix-array maximal match to within
+    gram granularity at the span edges. Coverage explodes to one row
+    per REMOVED token (proportional to dup volume, not corpus size);
+    survivors reassemble in position order.
+
+    Returns one row per input document:
+    ``(doc_id, n_tokens, dup_tokens, cleaned_text)`` — a fully-cut
+    document yields ``cleaned_text = ''``, never a dropped row."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("toks")
+    )
+    occ = base.select(
+        "doc_id", F.posexplode(shingles(F.col("toks"), min_len)).alias("s", "gram")
+    ).select("doc_id", "s", F.md5("gram").alias("gh"))
+    firsts = occ.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "s")).alias("f"),
+        F.count(F.lit(1)).alias("occ_n"),
+    )
+    dups = (
+        occ.join(firsts, "gh")
+        .filter(
+            (F.col("occ_n") > 1)
+            & ~((F.col("f.doc_id") == F.col("doc_id")) & (F.col("f.s") == F.col("s")))
+        )
+        .select("doc_id", "s")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max(F.col("s") + F.lit(min_len)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dups.withColumn(
+        "ni",
+        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("iid", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = isl.groupBy("doc_id", "iid").agg(
+        F.min("s").alias("st"), (F.max("s") + F.lit(min_len)).alias("en")
+    )
+    cov = spans.select(
+        "doc_id", F.explode(F.sequence("st", F.col("en") - 1)).alias("pos")
+    )
+    tokpos = base.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    kept = tokpos.join(cov, ["doc_id", "pos"], "left_anti")
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_n"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("kept_n", F.lit(0)))
+            .cast("long").alias("dup_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
     )

@@ -883,6 +883,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "mix_sources": q_mix_sources,
         "line_dedup": q_line_dedup,
+        "substring_dedup": q_substring_dedup,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "chunk_tokens": q_chunk_tokens,
@@ -930,6 +931,7 @@ def corpus_oracles() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_SQL,
         "mix_sources": _MIX_SOURCES_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "substring_dedup": _SUBSTRING_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "chunk_tokens": _CHUNK_TOKENS_SQL,
@@ -1230,6 +1232,66 @@ SELECT d.doc_id,
        coalesce(h.n_shared_ngrams, 0)::BIGINT AS n_shared_ngrams,
        coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup at 5-token windows: cut all-but-first
+    occurrences of repeated substrings, spans merged."""
+    return cleaning.substring_dedup(_docs(spark, sf_dir), min_len=5)
+
+
+_SUBSTRING_DEDUP_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+occ AS (
+  SELECT doc_id, u.i AS s,
+         md5(array_to_string(toks[u.i:u.i+4], ' ')) AS gh
+  FROM base, unnest(range(1, greatest(len(toks)-3,1)::INT)) AS u(i)
+),
+-- keep-first semantics: the occurrence with the global min (doc_id, s)
+-- per gram survives; every later occurrence marks its window
+r AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn,
+         count(*) OVER (PARTITION BY gh) AS n
+  FROM occ
+),
+dups AS (SELECT doc_id, s FROM r WHERE n > 1 AND rn > 1),
+-- gaps-and-islands merge of overlapping [s, s+5) windows
+isl AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s + 5) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dups
+),
+isl2 AS (
+  SELECT doc_id, s,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS iid
+  FROM isl
+),
+spans AS (SELECT doc_id, min(s) AS st, max(s) + 5 AS en
+          FROM isl2 GROUP BY doc_id, iid),
+cov AS (SELECT doc_id, u.p AS pos FROM spans, unnest(range(st, en)) AS u(p)),
+tokpos AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM base, unnest(range(1, len(toks)::INT + 1)) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+re AS (
+  SELECT doc_id, count(*) AS kept_n,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
+       (len(b.toks) - coalesce(re.kept_n, 0))::BIGINT AS dup_tokens,
+       coalesce(re.cleaned_text, '') AS cleaned_text
+FROM base b LEFT JOIN re ON re.doc_id = b.doc_id
 """
 
 

@@ -43,6 +43,7 @@ HEADLINE = [
     "quality_filters",
     "lm_score",
     "line_dedup",
+    "substring_dedup",
     "decontaminate",
     "corpus_pipeline",
     "pack_sequences",

@@ -85,6 +85,7 @@ AUDITED = {
     "split_assign": dict(),
     "pii_redact": dict(),
     "line_dedup": dict(),
+    "substring_dedup": dict(),
     "decontaminate": dict(broadcast=True),
     # composed cleaning pipeline: the decon benchmark broadcast runs
     # EAGERLY inside the stage materialization (localCheckpoint), so the

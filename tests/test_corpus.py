@@ -903,3 +903,52 @@ def test_lm_score_buckets(spark):
     got = dict(rows(textstats.lm_score(df, thresholds=(0.3, 0.5)),
                     "doc_id", "ppl_bucket"))
     assert got[0] == "head" and got[1] == "tail"
+
+
+# -- ExactSubstr dedup -------------------------------------------------------
+
+
+def test_substring_dedup_cross_doc_keeps_first(spark):
+    from beats_spark.corpus.cleaning import substring_dedup
+
+    df = _docs(spark, ["k1 p q r s t k2", "z1 z2 p q r s t"])
+    got = {r["doc_id"]: r for r in substring_dedup(df, min_len=5).collect()}
+    assert got[0]["cleaned_text"] == "k1 p q r s t k2"  # first copy intact
+    assert got[0]["dup_tokens"] == 0
+    assert got[1]["cleaned_text"] == "z1 z2"  # later copy cut
+    assert got[1]["dup_tokens"] == 5
+
+
+def test_substring_dedup_merges_overlapping_windows(spark):
+    from beats_spark.corpus.cleaning import substring_dedup
+
+    run = "w1 w2 w3 w4 w5 w6 w7"  # 7 tokens → three overlapping 5-windows
+    df = _docs(spark, [f"a1 {run} a2", f"b1 b2 {run} b3"])
+    got = {r["doc_id"]: r for r in substring_dedup(df, min_len=5).collect()}
+    assert got[1]["cleaned_text"] == "b1 b2 b3"  # ONE merged 7-token span
+    assert got[1]["dup_tokens"] == 7
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    from beats_spark.corpus.cleaning import substring_dedup
+
+    df = _docs(spark, ["a b c d e a b c d e"])
+    (r,) = substring_dedup(df, min_len=5).collect()
+    assert r["cleaned_text"] == "a b c d e" and r["dup_tokens"] == 5
+
+
+def test_substring_dedup_fully_cut_doc_row_survives(spark):
+    from beats_spark.corpus.cleaning import substring_dedup
+
+    df = _docs(spark, ["m n o p q", "m n o p q"])
+    got = {r["doc_id"]: r for r in substring_dedup(df, min_len=5).collect()}
+    assert got[1]["cleaned_text"] == "" and got[1]["dup_tokens"] == 5
+    assert got[0]["cleaned_text"] == "m n o p q"
+
+
+def test_substring_dedup_short_docs_untouched(spark):
+    from beats_spark.corpus.cleaning import substring_dedup
+
+    df = _docs(spark, ["tiny doc", "tiny doc"])  # < min_len tokens
+    got = {r["doc_id"]: r["cleaned_text"] for r in substring_dedup(df, min_len=5).collect()}
+    assert got == {0: "tiny doc", 1: "tiny doc"}
