@@ -606,6 +606,45 @@ FROM s
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights with the src0 slice as the target
+    domain: positive log-ratio = looks more like src0 than like the
+    corpus at large; deterministic threshold-0 selection."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    return textstats.dsir_weights(docs, target, threshold=0.0)
+
+
+_DSIR_WEIGHTS_SQL = """
+WITH src_toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tgt_toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE source = 'src0'
+), vs AS (SELECT tok, count(*) AS c FROM src_toks GROUP BY tok),
+ts_ AS (SELECT count(*) AS t FROM src_toks),
+vt AS (SELECT tok, count(*) AS c FROM tgt_toks GROUP BY tok),
+tt AS (SELECT count(*) AS t FROM tgt_toks),
+s AS (SELECT tok, CAST(round(log2(c::DOUBLE / t) * 1e6) AS BIGINT) AS us
+      FROM vs, ts_),
+t2 AS (SELECT tok, CAST(round(log2(c::DOUBLE / t) * 1e6) AS BIGINT) AS ut
+       FROM vt, tt),
+feat AS (
+  SELECT s.tok,
+         coalesce(t2.ut, CAST(round(log2(1.0 / tt.t) * 1e6) AS BIGINT)) - s.us AS du
+  FROM s LEFT JOIN t2 USING (tok), tt
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         (sum(du))::BIGINT / 1e6 AS log_ratio_bits
+  FROM src_toks JOIN feat USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, log_ratio_bits,
+       log_ratio_bits >= 0.0 AS selected
+FROM agg
+"""
+
+
 def q_quality_filters(spark, sf_dir):
     """C4/Gopher training-data quality rules: integer metrics + one
     flag per rule + the conjunction, all pure column expressions."""
@@ -856,6 +895,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_filters": q_quality_filters,
         "lm_score": q_lm_score,
+        "dsir_weights": q_dsir_weights,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fp": q_winnow_fp,
@@ -904,6 +944,7 @@ def corpus_oracles() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "quality_filters": _quality_filters_sql(),
         "lm_score": _LM_SCORE_SQL,
+        "dsir_weights": _DSIR_WEIGHTS_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "winnow_fp": _WINNOW_FP_SQL,

@@ -543,3 +543,61 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .otherwise(F.lit("tail")),
         )
     return out
+
+
+def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", broadcast_lm: bool = True,
+                 threshold: float | None = None) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    per-document importance log-ratio ``log2 p_target(x) − log2
+    p_source(x)`` under unigram bag-of-words models — positive means
+    the document looks more like the target domain than like the raw
+    corpus, the signal DSIR resamples by.
+
+    Model discipline is :func:`lm_score`'s: per-token log-probs
+    quantized to integer micro-bits per vocab entry, so per-doc sums
+    are integer-exact and order-independent; every source token is in
+    the source vocab by construction, target-side misses take the
+    1/total floor. The paper's hashed n-gram features are this plan
+    with ``tok`` swapped for a hashed n-gram — nothing downstream
+    changes. The paper resamples stochastically ∝ exp(weight);
+    ``threshold`` instead gives the deterministic variant (select
+    docs with log-ratio ≥ threshold) — reproducible across engines,
+    runs, and partitionings, like every sampler in this repo
+    (cf. ``hash_sample``).
+
+    One feature table join (broadcast by default — the merged vocab is
+    Zipf-bounded) + one per-doc aggregate. Returns
+    ``(doc_id, n_tokens, log_ratio_bits, [selected])``."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    vs, tot_s = unigram_lm(df, text_col)
+    vt, tot_t = unigram_lm(target, text_col)
+    if tot_s <= 0 or tot_t <= 0:
+        raise ValueError("dsir_weights: source and target must be non-empty")
+
+    def ubits(total: int) -> Column:
+        return F.round(
+            F.log2(F.col("c").cast("double") / F.lit(float(total))) * 1e6
+        ).cast("long")
+
+    s = vs.select("tok", ubits(tot_s).alias("us"))
+    t = vt.select("tok", ubits(tot_t).alias("ut"))
+    x = math.log2(1.0 / float(tot_t)) * 1e6
+    oov_t = int(math.copysign(math.floor(abs(x) + 0.5), x))
+    feat = s.join(t, "tok", "left").select(
+        "tok", (F.coalesce("ut", F.lit(oov_t)) - F.col("us")).alias("du")
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    )
+    joined = toks.join(_bc(feat) if broadcast_lm else feat, "tok")
+    out = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("du") / F.lit(1e6)).alias("log_ratio_bits"),
+    )
+    if threshold is not None:
+        out = out.withColumn(
+            "selected", F.col("log_ratio_bits") >= F.lit(float(threshold))
+        )
+    return out

@@ -42,6 +42,7 @@ HEADLINE = [
     "neardup_clusters",
     "quality_filters",
     "lm_score",
+    "dsir_weights",
     "line_dedup",
     "substring_dedup",
     "decontaminate",

@@ -67,6 +67,7 @@ AUDITED = {
     "ann_ivf_nprobe": dict(),
     "semantic_dedup": dict(),
     "lm_score": dict(broadcast=True),
+    "dsir_weights": dict(broadcast=True),
     "media_embed": dict(),
     "media_features": dict(),
     "frame_sample": dict(),

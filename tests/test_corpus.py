@@ -952,3 +952,33 @@ def test_substring_dedup_short_docs_untouched(spark):
     df = _docs(spark, ["tiny doc", "tiny doc"])  # < min_len tokens
     got = {r["doc_id"]: r["cleaned_text"] for r in substring_dedup(df, min_len=5).collect()}
     assert got == {0: "tiny doc", 1: "tiny doc"}
+
+
+# -- DSIR importance weights -------------------------------------------------
+
+
+def test_dsir_weights_exact_arithmetic(spark):
+    """Hand-checkable micro-bit arithmetic: target = {a a}, source =
+    {a a, b b}. p_s(a)=p_s(b)=1/2; p_t(a)=1, OOV floor p_t(b)=1/2 →
+    du(a)=+1e6 ubits, du(b)=0 → doc 'a a' scores exactly +2 bits,
+    doc 'b b' exactly 0."""
+    src = _docs(spark, ["a a", "b b"])
+    tgt = _docs(spark, ["a a"])
+    got = {r["doc_id"]: r for r in
+           textstats.dsir_weights(src, tgt, threshold=0.5).collect()}
+    assert got[0]["log_ratio_bits"] == 2.0 and got[0]["selected"]
+    assert got[1]["log_ratio_bits"] == 0.0 and not got[1]["selected"]
+
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    src = _docs(spark, ["cat dog cat dog", "xq zz xq zz", "cat zz"])
+    tgt = _docs(spark, ["cat dog cat cat dog"])
+    got = {r["doc_id"]: r["log_ratio_bits"] for r in
+           textstats.dsir_weights(src, tgt).collect()}
+    assert got[0] > got[2] > got[1]
+
+
+def test_dsir_weights_empty_target_raises(spark):
+    src = _docs(spark, ["a"])
+    with pytest.raises(ValueError, match="non-empty"):
+        textstats.dsir_weights(src, src.filter(F.lit(False)))
