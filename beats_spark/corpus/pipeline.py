@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 
 from beats_spark.corpus import cleaning, dedup, textstats, tokens
 
-#: funnel stage names, in execution order (stage_no = index)
+#: DEFAULT funnel stage names, in execution order (stage_no = index);
+#: the optional lm filter inserts a "lm_quality" stage after "quality"
 FUNNEL_STAGES = ["raw", "quality", "decontaminated", "neardup_survivors"]
 
 
@@ -75,14 +76,31 @@ def clean_corpus(
     decontam_n: int = 13,
     materialize: bool = True,
     quality_overrides: dict | None = None,
+    lm_thresholds: tuple[float, float] | None = None,
+    lm_keep: tuple[str, ...] = ("head", "middle"),
+    substring_min_len: int | None = None,
 ) -> CorpusPipelineResult:
     """Run the full cleaning composition. ``benchmark`` is the eval
     corpus to decontaminate against (``bench_text_col`` = ``text``).
 
+    Optional stages (both default OFF — the 4-stage composition above
+    is the oracle-checked baseline):
+
+    - ``lm_thresholds``: after the rule filter, score survivors with
+      :func:`textstats.lm_score` and keep only ``lm_keep`` perplexity
+      buckets (CCNet keeps head+middle). Adds a ``lm_quality`` funnel
+      stage. The LM trains on the rule-filtered set itself.
+    - ``substring_min_len``: after near-dup survival, cut repeated
+      substrings from the surviving TEXT with
+      :func:`cleaning.substring_dedup` (ExactSubstr) before
+      tokenization — document count is unchanged (rows never drop),
+      so the funnel is unchanged; the tokenized output shrinks.
+
     Note: the near-dup stage resolves clusters EAGERLY at call time
     (the CC loop in :func:`dedup.neardup_resolve` runs bounded
-    localCheckpoint+count rounds), so this function does work, not just
-    plan-building — time the call, not only the materialize.
+    localCheckpoint+count rounds), and ``lm_thresholds`` adds the LM
+    total's eager scan — this function does work, not just
+    plan-building; time the call, not only the materialize.
     """
     # 1. quality — narrow, keeps original columns, no join needed
     kept_q = (
@@ -91,6 +109,16 @@ def clean_corpus(
         .filter(F.col("passes_quality"))
         .select(*docs.columns)
     )
+
+    stages: list[tuple[str, DataFrame]] = [("raw", docs), ("quality", kept_q)]
+
+    # 1b. optional CCNet-style LM filter over rule survivors
+    if lm_thresholds is not None:
+        scored = textstats.lm_score(kept_q, text_col=text_col, id_col=id_col,
+                                    thresholds=lm_thresholds)
+        lm_ids = scored.filter(F.col("ppl_bucket").isin(*lm_keep)).select(id_col)
+        kept_q = kept_q.join(lm_ids, id_col, "leftsemi")
+        stages.append(("lm_quality", kept_q))
 
     # 2. decontamination — grams over quality survivors only
     decon = cleaning.decontaminate(
@@ -102,23 +130,35 @@ def clean_corpus(
     kept_d = kept_q.join(clean_ids, id_col, "leftsemi")
     if materialize:
         kept_d = kept_d.localCheckpoint(eager=True)
+    stages.append(("decontaminated", kept_d))
 
     # 3. near-dup resolution — pairs, clusters, keep-one survivors
     pairs = dedup.minhash_neardup_pairs(
         kept_d, id_col=id_col, text_col=text_col
     ).select("doc_a", "doc_b")
     survivors = dedup.neardup_survivors(kept_d, pairs, id_col=id_col)
+    stages.append(("neardup_survivors", survivors))
+
+    # 3b. optional ExactSubstr cut on surviving text (rows never drop)
+    to_tokenize = survivors
+    if substring_min_len is not None:
+        cut = cleaning.substring_dedup(
+            survivors, min_len=substring_min_len, id_col=id_col,
+            text_col=text_col,
+        ).select(F.col("doc_id").alias(id_col),
+                 F.col("cleaned_text").alias(text_col))
+        other = [c for c in survivors.columns if c != text_col]
+        to_tokenize = survivors.select(*other).join(cut, id_col)
 
     # 4. tokenize survivors
-    tokenized = tokens.tokenize_ids(survivors, text_col=text_col, id_col=id_col)
+    tokenized = tokens.tokenize_ids(to_tokenize, text_col=text_col,
+                                    id_col=id_col)
 
     funnel = reduce(
         DataFrame.unionAll,
         [
             _count_stage(frame, i, name)
-            for i, (name, frame) in enumerate(
-                zip(FUNNEL_STAGES, [docs, kept_q, kept_d, survivors])
-            )
+            for i, (name, frame) in enumerate(stages)
         ],
     )
     return CorpusPipelineResult(survivors=survivors, tokenized=tokenized,

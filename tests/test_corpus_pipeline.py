@@ -59,3 +59,42 @@ def test_clean_corpus_empty_benchmark_skips_no_docs(spark):
     res = cpipe.clean_corpus(_corpus(spark), bench, quality_overrides=OVR)
     # without contamination, doc 4 survives too
     assert rows(res.survivors, "doc_id") == [(1,), (4,), (5,)]
+
+
+def test_clean_corpus_optional_lm_stage(spark):
+    """lm_thresholds inserts a CCNet-style perplexity filter after the
+    rule filter: the duplicated (hence statistically typical) docs land
+    in head, the unique-vocab docs in tail and drop out."""
+    bench = spark.createDataFrame([(T_BENCH,)], "text string")
+    # LM trains on rule survivors {1,2,4,5}: docs 1,2 share every token
+    # (count 2 of 52 -> ~4.70 bits), docs 4,5 are all-unique (~5.70)
+    res = cpipe.clean_corpus(
+        _corpus(spark), bench, quality_overrides=OVR,
+        lm_thresholds=(5.0, 5.2),
+    )
+    assert rows(res.funnel) == [
+        (0, "raw", 5),
+        (1, "quality", 4),
+        (2, "lm_quality", 2),
+        (3, "decontaminated", 2),
+        (4, "neardup_survivors", 1),
+    ]
+    assert rows(res.survivors, "doc_id") == [(1,)]
+
+
+def test_clean_corpus_optional_substring_stage(spark):
+    """substring_min_len cuts repeated runs from surviving text before
+    tokenization: doc count unchanged, token count shrinks."""
+    bench = spark.createDataFrame([(T_BENCH,)], "text string")
+    shared = "alpha bravo charlie delta echo"  # = T_BASE[:5 tokens]
+    corpus = spark.createDataFrame(
+        [(1, T_BASE), (2, T_UNIQ + " " + shared)],
+        "doc_id long, text string",
+    )
+    base = cpipe.clean_corpus(corpus, bench, quality_overrides=OVR)
+    assert rows(base.tokenized, "doc_id", "n_tok") == [(1, 12), (2, 17)]
+    cut = cpipe.clean_corpus(corpus, bench, quality_overrides=OVR,
+                             substring_min_len=5)
+    # doc 1 holds the first occurrence and stays intact; doc 2's copy cut
+    assert rows(cut.tokenized, "doc_id", "n_tok") == [(1, 12), (2, 12)]
+    assert rows(cut.funnel) == rows(base.funnel)
