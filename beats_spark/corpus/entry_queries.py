@@ -606,6 +606,51 @@ FROM s
 """
 
 
+def q_lm_score_lang(spark, sf_dir):
+    """CCNet's actual per-language shape: one unigram LM per lang,
+    each doc scored under its own language's model; en and de get
+    mapped cutoffs, the rest take the default — exercising both
+    branches of the per-group CASE."""
+    return textstats.lm_score_grouped(
+        _docs(spark, sf_dir), by="lang",
+        thresholds={"en": (4.903, 4.912), "de": (4.894, 4.909)},
+        default_thresholds=(4.896, 4.915),
+    )
+
+
+_LM_SCORE_LANG_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+tot AS (SELECT lang, count(*) AS t FROM toks GROUP BY lang),
+v AS (
+  SELECT vocab.lang, tok,
+         CAST(round(log2(c::DOUBLE / t) * 1e6) AS BIGINT) AS ubits
+  FROM vocab JOIN tot USING (lang)
+), s AS (
+  SELECT doc_id, toks.lang, count(*) AS n_tokens,
+         (-sum(ubits))::BIGINT / (count(*) * 1e6) AS bits_per_token
+  FROM toks JOIN v ON toks.lang = v.lang AND toks.tok = v.tok
+  GROUP BY doc_id, toks.lang
+)
+SELECT doc_id, lang, n_tokens, bits_per_token,
+       CASE WHEN lang = 'en' THEN
+              CASE WHEN bits_per_token <= 4.903 THEN 'head'
+                   WHEN bits_per_token <= 4.912 THEN 'middle'
+                   ELSE 'tail' END
+            WHEN lang = 'de' THEN
+              CASE WHEN bits_per_token <= 4.894 THEN 'head'
+                   WHEN bits_per_token <= 4.909 THEN 'middle'
+                   ELSE 'tail' END
+            ELSE
+              CASE WHEN bits_per_token <= 4.896 THEN 'head'
+                   WHEN bits_per_token <= 4.915 THEN 'middle'
+                   ELSE 'tail' END
+       END AS ppl_bucket
+FROM s
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights with the src0 slice as the target
     domain: positive log-ratio = looks more like src0 than like the
@@ -895,6 +940,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_filters": q_quality_filters,
         "lm_score": q_lm_score,
+        "lm_score_lang": q_lm_score_lang,
         "dsir_weights": q_dsir_weights,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -944,6 +990,7 @@ def corpus_oracles() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "quality_filters": _quality_filters_sql(),
         "lm_score": _LM_SCORE_SQL,
+        "lm_score_lang": _LM_SCORE_LANG_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,

@@ -601,3 +601,82 @@ def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
             "selected", F.col("log_ratio_bits") >= F.lit(float(threshold))
         )
     return out
+
+
+def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
+                     id_col: str = "doc_id", broadcast_lm: bool = True,
+                     thresholds: dict[str, tuple[float, float]] | None = None,
+                     default_thresholds: tuple[float, float] | None = None,
+                     ) -> DataFrame:
+    """Per-GROUP unigram LM scoring — CCNet's actual shape: one model
+    per language (or per any partition column ``by``), each document
+    scored under its own group's model with per-group head/middle/tail
+    cutoffs (``thresholds`` maps group value → (lo, hi);
+    ``default_thresholds`` covers unmapped groups).
+
+    Same micro-bit discipline as :func:`lm_score`; the per-group token
+    totals come from ONE eager aggregate (a #groups-row collect — the
+    same eager-config class as the LM total there), shipped back into
+    the plan as a literal map so the vocab quantization stays a narrow
+    projection. Vocab key is (group, tok) and the feature join is
+    broadcast by default (sum of per-group Zipf vocabs). Rows with a
+    NULL group value have no model — they surface with NULL
+    bits_per_token and NULL bucket, never silently dropped.
+
+    Returns ``(doc_id, <by>, n_tokens, bits_per_token, [ppl_bucket])``."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    toks_all = df.select(
+        F.col(id_col), F.col(by).alias("_g"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks_all.groupBy("_g", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = {
+        r["_g"]: r["t"]
+        for r in df.groupBy(F.col(by).alias("_g"))
+        .agg(F.sum(F.size(word_tokens(F.col(text_col)))).alias("t"))
+        .collect()
+    }
+    if not totals:
+        raise ValueError("lm_score_grouped: empty corpus")
+    tmap = F.create_map(
+        *[x for g, t in totals.items() if g is not None
+          for x in (F.lit(g), F.lit(float(t)))]
+    )
+    ubits = F.round(
+        F.log2(F.col("c").cast("double") / tmap[F.col("_g")]) * 1e6
+    ).cast("long")
+    v = vocab.select("_g", "tok", ubits.alias("ubits"))
+    joined = toks_all.join(_bc(v) if broadcast_lm else v, ["_g", "tok"], "left")
+    out = joined.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("ubits") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+            "bits_per_token"
+        ),
+    )
+    if thresholds is not None or default_thresholds is not None:
+        cuts = thresholds or {}
+        bucket: Column = F.lit(None).cast("string")
+        expr = None
+
+        def _case(lo: float, hi: float) -> Column:
+            return (
+                F.when(F.col("bits_per_token") <= lo, F.lit("head"))
+                .when(F.col("bits_per_token") <= hi, F.lit("middle"))
+                .otherwise(F.lit("tail"))
+            )
+
+        for g, (lo, hi) in cuts.items():
+            cond = F.col("_g") == F.lit(g)
+            expr = F.when(cond, _case(lo, hi)) if expr is None else expr.when(
+                cond, _case(lo, hi)
+            )
+        if default_thresholds is not None:
+            lo, hi = default_thresholds
+            bucket = _case(lo, hi) if expr is None else expr.otherwise(
+                _case(lo, hi)
+            )
+        elif expr is not None:
+            bucket = expr
+        out = out.withColumn("ppl_bucket", bucket)
+    return out.withColumnRenamed("_g", by)

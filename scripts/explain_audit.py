@@ -68,6 +68,7 @@ AUDITED = {
     "semantic_dedup": dict(),
     "lm_score": dict(broadcast=True),
     "dsir_weights": dict(broadcast=True),
+    "lm_score_lang": dict(broadcast=True),
     "media_embed": dict(),
     "media_features": dict(),
     "frame_sample": dict(),

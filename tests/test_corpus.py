@@ -982,3 +982,51 @@ def test_dsir_weights_empty_target_raises(spark):
     src = _docs(spark, ["a"])
     with pytest.raises(ValueError, match="non-empty"):
         textstats.dsir_weights(src, src.filter(F.lit(False)))
+
+
+# -- per-group (per-language) LM scoring -------------------------------------
+
+
+def _docs_lang(spark, rows_):
+    return spark.createDataFrame(rows_, "doc_id long, lang string, text string")
+
+
+def test_lm_score_grouped_matches_ungrouped_single_group(spark):
+    df = _docs_lang(spark, [(0, "en", "a b a"), (1, "en", "b b a")])
+    grouped = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"]) for r in
+               textstats.lm_score_grouped(df, by="lang").collect()}
+    flat = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"]) for r in
+            textstats.lm_score(df).collect()}
+    assert grouped == flat
+
+
+def test_lm_score_grouped_models_are_isolated(spark):
+    """'rare' is common in lang B but rare in lang A: the A doc holding
+    it must score higher than B docs — each group scores under its OWN
+    model, not the pooled one."""
+    df = _docs_lang(spark, [
+        (0, "A", "x x x rare"),
+        (1, "A", "x x x x"),
+        (2, "B", "rare rare rare rare"),
+    ])
+    got = {r["doc_id"]: r["bits_per_token"] for r in
+           textstats.lm_score_grouped(df, by="lang").collect()}
+    assert got[0] > got[1]      # rare token hurts within A
+    assert got[2] == 0.0        # within B, 'rare' is the ONLY token: p=1
+
+
+def test_lm_score_grouped_per_group_cutoffs(spark):
+    df = _docs_lang(spark, [(0, "A", "x x"), (1, "B", "y y")])
+    out = {r["lang"]: r["ppl_bucket"] for r in textstats.lm_score_grouped(
+        df, by="lang",
+        thresholds={"A": (1.0, 2.0)},          # 0 bits <= 1.0 -> head
+        default_thresholds=(-1.0, -0.5),       # 0 bits > -0.5 -> tail
+    ).collect()}
+    assert out == {"A": "head", "B": "tail"}
+
+
+def test_lm_score_grouped_null_group_surfaces(spark):
+    df = _docs_lang(spark, [(0, None, "x x"), (1, "A", "x x")])
+    got = {r["doc_id"]: r["bits_per_token"] for r in
+           textstats.lm_score_grouped(df, by="lang").collect()}
+    assert got[1] == 0.0 and got[0] is None
