@@ -1030,3 +1030,48 @@ def test_lm_score_grouped_null_group_surfaces(spark):
     got = {r["doc_id"]: r["bits_per_token"] for r in
            textstats.lm_score_grouped(df, by="lang").collect()}
     assert got[1] == 0.0 and got[0] is None
+
+
+def _ref_substring_dedup(texts, L):
+    """Pure-python spec of gram-granularity ExactSubstr: coverage is
+    the UNION of [s, s+L) windows of every non-first occurrence (the
+    gaps-and-islands merge emits exactly that union)."""
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    occ = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for s in range(len(ts) - L + 1):
+            occ.setdefault(tuple(ts[s:s + L]), []).append((d, s))
+    cut = {}
+    for g, lst in occ.items():
+        if len(lst) > 1:
+            for d, s in lst[1:]:
+                cut.setdefault(d, set()).update(range(s, s + L))
+    out = {}
+    for d, ts in toks.items():
+        c = cut.get(d, set())
+        kept = [t for p, t in enumerate(ts) if p not in c]
+        out[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def test_substring_dedup_matches_reference_on_random_corpora(spark):
+    """Seeded random corpora over a tiny vocab (dup grams everywhere):
+    Spark output must equal the pure-python spec doc for doc — one
+    batched job per seed."""
+    import random
+
+    from beats_spark.corpus.cleaning import substring_dedup
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(rng.choice("abcde") for _ in range(rng.randint(1, 15)))
+            for _ in range(30)
+        ]
+        want = _ref_substring_dedup(texts, 3)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["cleaned_text"])
+            for r in substring_dedup(_docs(spark, texts), min_len=3).collect()
+        }
+        assert got == want, f"seed {seed}"
