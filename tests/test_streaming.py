@@ -584,3 +584,40 @@ def test_mqtt_events_projection(spark):
     assert r["source"] == "mqtt://sensors/a"
     assert r["message"] == "t=21.5"
     assert r["mqtt_qos"] == 1 and r["offset"] is None
+
+
+def test_corpus_quality_filters_streaming_parity(spark, tmp_path):
+    """The corpus quality rules are narrow column expressions, so they
+    run UNCHANGED on a streaming frame: stream the documents table
+    through quality_filters and the per-batch output must equal the
+    batch run row-for-row."""
+    from beats_spark.corpus.textstats import quality_filters
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.coalesce(1).write.mode("append").parquet(src)
+
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        quality_filters(stream)
+        .select("doc_id", "passes_quality")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["doc_id"], r["passes_quality"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["passes_quality"])
+        for r in quality_filters(docs).select("doc_id", "passes_quality").collect()
+    )
+    assert got == want and len(got) == 500
