@@ -477,6 +477,84 @@ def q_ann_ivf_nprobe(spark, sf_dir):
                                    nprobe=3)
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """FAISS-style IVF-PQ: 8 coarse cells, 4×16 product quantizer —
+    the database side searches as 4 BYTES per vector (64× smaller
+    than the raw 64-float embedding)."""
+    return similarity.ann_ivf_pq_topk(_emb(spark, sf_dir), k=1, n_cells=8,
+                                      m=4, ksub=16, dim=64)
+
+
+def _ann_ivf_pq_sql(n_cells: int = 8, m: int = 4, ksub: int = 16,
+                    dim: int = 64, k: int = 1) -> str:
+    dsub = dim // m
+    cents = similarity.ivf_centroids(n_cells, dim)
+    cent_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in row)}]::DOUBLE[], "
+        f"{similarity._seq_sq_norm(row)!r})"
+        for i, row in enumerate(cents)
+    )
+    cbs = similarity.pq_codebooks(m, ksub, dsub)
+    cb_rows = ",\n    ".join(
+        f"({j}, {i}, [{', '.join(repr(x) for x in cbs[j][i])}]::DOUBLE[], "
+        f"{similarity._seq_sq_norm(cbs[j][i])!r})"
+        for j in range(m) for i in range(ksub)
+    )
+    return f"""
+WITH {_EMB_PREP_SQL},
+cents(cid, c, cn) AS (VALUES
+    {cent_rows}
+),
+assign AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           list_sum(list_transform(e.v, x -> x * x)) + c.cn
+           - 2.0 * list_sum(list_transform(list_zip(e.v, c.c),
+                                           x -> x[1] * x[2])) AS dist
+    FROM e, cents c)
+),
+cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+cb(j, i, c, cn) AS (VALUES
+    {cb_rows}
+),
+-- per (vector, subspace, centroid) expanded distance on the SUBVECTOR
+sub AS (
+  SELECT vec_id, cb.j, cb.i,
+         list_sum(list_transform(v[cb.j*{dsub}+1 : (cb.j+1)*{dsub}],
+                                 x -> x * x)) + cb.cn
+         - 2.0 * list_sum(list_transform(
+             list_zip(v[cb.j*{dsub}+1 : (cb.j+1)*{dsub}], cb.c),
+             x -> x[1] * x[2])) AS dist
+  FROM cells, cb
+),
+enc AS (
+  SELECT vec_id, j, i AS code FROM (
+    SELECT vec_id, j, i,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, i ASC) AS rn
+    FROM sub) WHERE rn = 1
+),
+lutt AS (
+  SELECT vec_id AS qid, j, i, CAST(round(dist * 1e9) AS BIGINT) AS du FROM sub
+),
+cand AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+adc AS (
+  SELECT cand.qid, cand.nid, sum(l.du)::BIGINT AS adc
+  FROM cand JOIN enc ON enc.vec_id = cand.nid
+       JOIN lutt l ON l.qid = cand.qid AND l.j = enc.j AND l.i = enc.code
+  GROUP BY 1, 2
+)
+SELECT qid AS vec_id, nid, adc,
+       row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC)::INT AS rank
+FROM adc
+QUALIFY rank <= {k}
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic dedup flags at threshold 0.35 over the 8-cell
     quantizer (sf0.01: ~20% of the corpus flagged — a realistic web
@@ -961,6 +1039,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_sqrtn": q_ann_ivf_sqrtn,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "media_embed": q_media_embed,
@@ -1011,6 +1090,7 @@ def corpus_oracles() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_sqrtn": _ann_ivf_sql(45),
         "ann_ivf_nprobe": _ann_ivf_sql(45, nprobe=3),
+        "ann_ivf_pq": _ann_ivf_pq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "media_features": _MEDIA_FEATURES_SQL,
         "media_embed": _MEDIA_EMBED_SQL,

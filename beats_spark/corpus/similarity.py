@@ -666,3 +666,163 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.3, n_cells: int = 8,
             F.coalesce(F.col("_d"), F.lit(False)).alias("is_semdup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — product-quantized ANN (the memory-bound scale path)
+# ---------------------------------------------------------------------------
+
+
+def _seq_dot_rows(Q: np.ndarray, Cj: np.ndarray) -> np.ndarray:
+    """(n × dsub)·(ksub × dsub)ᵀ dot products with SEQUENTIAL
+    left-to-right accumulation — bit-identical to the Python/DuckDB
+    fold, unlike a BLAS GEMM (whose blocked/FMA summation differs by
+    ulps, enough to flip the integer micro-unit rounding of the PQ
+    LUT/encode on rare boundary values). Still vectorized C loops:
+    one (n × ksub × dsub) elementwise product + a cumulative sum."""
+    prod = Q[:, None, :] * Cj[None, :, :]
+    return np.add.accumulate(prod, axis=2)[:, :, -1]
+
+
+def pq_codebooks(m: int, ksub: int, dsub: int) -> list[list[list[float]]]:
+    """Deterministic md5-derived PQ codebooks: ``m`` subspaces ×
+    ``ksub`` centroids × ``dsub`` dims (production: k-means per
+    subspace on a sample — the encode/search plan is identical)."""
+    return [
+        [
+            [
+                int(hashlib.md5(f"pq{j},{i},{d}".encode()).hexdigest()[:8], 16)
+                / 2147483648.0 - 1.0
+                for d in range(dsub)
+            ]
+            for i in range(ksub)
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_encode_assign(cbs: list[list[list[float]]]):
+    """Arrow-batched PQ encoder: per subspace, one GEMM argmin against
+    the subspace codebook (expanded ``|q|²+|c|²−2qc``, stable ties →
+    lower code — the same quantity and tie rule as the oracle's
+    windowed argmin). Output: ``m`` uint8-sized codes per vector —
+    the 64-float embedding compresses to ``m`` bytes at rest."""
+    m, ksub, dsub = len(cbs), len(cbs[0]), len(cbs[0][0])
+    C = np.asarray(cbs, dtype=np.float64)            # (m, ksub, dsub)
+    Cn = np.array([[_seq_sq_norm(c) for c in row] for row in cbs])
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        codes = np.empty((V.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            Q = V[:, j * dsub:(j + 1) * dsub]
+            scores = _seq_sq_rows(Q)[:, None] + Cn[j] - 2.0 * _seq_dot_rows(Q, C[j])
+            codes[:, j] = np.argmin(scores, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_lut_assign(cbs: list[list[list[float]]]):
+    """Arrow-batched ADC lookup table per QUERY: integer micro-units
+    ``round(dist × 1e9)`` for every (subspace, centroid) pair,
+    flattened row-major to ``m·ksub`` longs. Quantizing the per-term
+    distances to integers makes the ADC sum exact and
+    order-independent — float ADC sums would rank near-ties
+    differently across engines (the micro-bit discipline of
+    ``lm_score``, applied to distances)."""
+    m, ksub, dsub = len(cbs), len(cbs[0]), len(cbs[0][0])
+    C = np.asarray(cbs, dtype=np.float64)
+    Cn = np.array([[_seq_sq_norm(c) for c in row] for row in cbs])
+
+    @pandas_udf("array<long>")
+    def lut(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        out = np.empty((V.shape[0], m * ksub), dtype=np.int64)
+        for j in range(m):
+            Q = V[:, j * dsub:(j + 1) * dsub]
+            x = (_seq_sq_rows(Q)[:, None] + Cn[j] - 2.0 * _seq_dot_rows(Q, C[j])) * 1e9
+            out[:, j * ksub:(j + 1) * ksub] = np.copysign(
+                np.floor(np.abs(x) + 0.5), x
+            ).astype(np.int64)
+        return pd.Series(list(out))
+
+    return lut
+
+
+def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
+                    m: int = 4, ksub: int = 16, dim: int | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """FAISS-style IVF-PQ: coarse-quantize to IVF cells, PQ-encode the
+    database side to ``m`` byte codes, search by asymmetric distance
+    (per-query LUT, summed over code entries) within the cell.
+
+    THE memory-bound scale path: at 10^9 × 64-float vectors the raw
+    database is 256 GB; the PQ codes are ``m`` bytes/vector (4 GB at
+    m=4) — cell members ship codes, not vectors, so the search-side
+    shuffle shrinks by dim·4/m (64× here) and a whole cell's codes sit
+    in L2. Per (cell) cogroup the ADC is one integer gather-sum —
+    O(n_q·m·ksub + n_q·n_b·m) with no float accumulation (integer
+    micro-unit LUT, see :func:`pq_lut_assign`), so ranking is exact
+    and engine-reproducible; ties break to the lower neighbor id.
+    Approximation = quantization error (tune m·ksub) × cell pruning
+    (tune n_cells); vectors alone in their cell emit nothing, like
+    :func:`ann_lsh_topk`. Returns ``(vec_id, nid, adc, rank)`` with
+    ``adc`` in integer 1e-9 units of squared L2."""
+    if dim is None:
+        raise ValueError(
+            "ann_ivf_pq_topk requires dim= (embedding dimension); plan "
+            "build must not run a driver-side first() probe"
+        )
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    cbs = pq_codebooks(m, ksub, dim // m)
+    cents = ivf_centroids(n_cells, dim)
+    p = _prepped(df, id_col, vec_col).withColumn(
+        "cell", ivf_cell_assign(cents)(F.col("v"))
+    )
+    b = p.select("vec_id", "cell", pq_encode_assign(cbs)(F.col("v")).alias("_codes"))
+    q = p.select("vec_id", "cell", pq_lut_assign(cbs)(F.col("v")).alias("_lut"))
+
+    def part(q_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "nid": pd.Series([], dtype="int64"),
+            "adc": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int32"),
+        })
+        if q_pdf.empty or b_pdf.empty:
+            return empty
+        b_pdf = b_pdf.sort_values("vec_id")  # stable argsort ties → lower nid
+        L = np.stack([np.asarray(x, dtype=np.int64) for x in q_pdf["_lut"]])
+        codes = np.stack([np.asarray(x, dtype=np.int64) for x in b_pdf["_codes"]])
+        idx = codes + (np.arange(m, dtype=np.int64) * ksub)[None, :]
+        adc = L[:, idx].sum(axis=2)                  # (nq, nb) int64
+        qid = q_pdf["vec_id"].to_numpy()
+        bid = b_pdf["vec_id"].to_numpy()
+        self_mask = qid[:, None] == bid[None, :]
+        adc[self_mask] = np.iinfo(np.int64).max      # exclude self-pairs
+        kk = min(k, adc.shape[1])
+        order = np.argsort(adc, axis=1, kind="stable")[:, :kk]
+        ri = np.repeat(np.arange(adc.shape[0]), kk)
+        cj = order.ravel()
+        keep = ~self_mask[ri, cj]
+        rank = np.tile(np.arange(1, kk + 1, dtype=np.int32), adc.shape[0])
+        return pd.DataFrame({
+            "vec_id": qid[ri[keep]],
+            "nid": bid[cj[keep]],
+            "adc": adc[ri[keep], cj[keep]],
+            "rank": rank[keep],
+        })
+
+    return (
+        q.groupby("cell")
+        .cogroup(b.groupby("cell"))
+        .applyInPandas(part, schema="vec_id long, nid long, adc long, rank int")
+    )

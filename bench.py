@@ -59,6 +59,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_sqrtn",
     "ann_ivf_nprobe",
+    "ann_ivf_pq",
     "csv_extract",
 ]
 

@@ -65,6 +65,7 @@ AUDITED = {
     "neardup_clusters": dict(),
     "neardup_survivors": dict(),
     "ann_ivf_nprobe": dict(),
+    "ann_ivf_pq": dict(),
     "semantic_dedup": dict(),
     "lm_score": dict(broadcast=True),
     "dsir_weights": dict(broadcast=True),

@@ -1075,3 +1075,86 @@ def test_substring_dedup_matches_reference_on_random_corpora(spark):
             for r in substring_dedup(_docs(spark, texts), min_len=3).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+# -- IVF-PQ ------------------------------------------------------------------
+
+
+def test_ann_ivf_pq_requires_dim_and_divisibility(spark):
+    df = _emb(spark, [[1.0, 0.0]])
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_ivf_pq_topk(df, k=1)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.ann_ivf_pq_topk(df, k=1, dim=6, m=4)
+
+
+def test_ann_ivf_pq_identical_vectors_mutual_top1(spark):
+    df = _emb(spark, [[0.5] * 8, [0.5] * 8, [-0.9] * 8])
+    got = {r["vec_id"]: (r["nid"], r["adc"]) for r in
+           similarity.ann_ivf_pq_topk(df, k=1, n_cells=2, m=2, ksub=4,
+                                      dim=8).collect()
+           if r["rank"] == 1}
+    # identical vectors share cell + codes; each is the other's nearest
+    assert got[0][0] == 1 and got[1][0] == 0
+    assert got[0][1] == got[1][1]  # symmetric ADC
+
+
+def _ref_ivf_pq(vecs, k, m, ksub, dsub):
+    """Pure-python IVF-PQ spec (single cell): encode by expanded-form
+    argmin, integer micro-unit LUT, ADC sum, rank by (adc, nid)."""
+    import math as _math
+
+    cbs = similarity.pq_codebooks(m, ksub, dsub)
+
+    def seq_sq(row):
+        acc = 0.0
+        for x in row:
+            acc += float(x) * float(x)
+        return acc
+
+    def sub_dists(v, j):
+        q = v[j * dsub:(j + 1) * dsub]
+        qn = seq_sq(q)
+        return [
+            qn + seq_sq(c) - 2.0 * sum(float(a) * float(b)
+                                       for a, b in zip(q, c))
+            for c in cbs[j]
+        ]
+
+    codes = {
+        i: [min(range(ksub), key=lambda c: (sub_dists(v, j)[c], c))
+            for j in range(m)]
+        for i, v in enumerate(vecs)
+    }
+    out = []
+    for qi, qv in enumerate(vecs):
+        lut = {}
+        for j in range(m):
+            for c, d in enumerate(sub_dists(qv, j)):
+                x = d * 1e9
+                lut[(j, c)] = int(_math.copysign(_math.floor(abs(x) + 0.5), x))
+        scored = sorted(
+            (sum(lut[(j, codes[ni][j])] for j in range(m)), ni)
+            for ni in codes if ni != qi
+        )
+        for r, (adc, ni) in enumerate(scored[:k], 1):
+            out.append((qi, ni, adc, r))
+    return sorted(out)
+
+
+def test_ann_ivf_pq_matches_reference_single_cell(spark):
+    import random
+
+    import numpy as _np
+
+    rng = random.Random(5)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(20)]
+    df = _emb(spark, vecs)
+    got = sorted(rows(similarity.ann_ivf_pq_topk(
+        df, k=2, n_cells=1, m=2, ksub=4, dim=8),
+        "vec_id", "nid", "adc", "rank"))
+    # the embedding column is float32: the reference must see the same
+    # rounded values the engine reads back
+    vecs32 = _np.asarray(vecs, dtype=_np.float32).astype(_np.float64).tolist()
+    want = _ref_ivf_pq(vecs32, k=2, m=2, ksub=4, dsub=4)
+    assert got == want
