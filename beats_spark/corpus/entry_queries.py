@@ -684,6 +684,41 @@ FROM s
 """
 
 
+def q_lm_score_bigram(spark, sf_dir):
+    """lm_score at ngram=2 — the higher-order-context direction CCNet
+    takes (their KenLM is 5-gram); cutoffs are the bigram terciles."""
+    return textstats.lm_score(_docs(spark, sf_dir),
+                              thresholds=(9.772, 9.809), ngram=2)
+
+
+_LM_SCORE_BIGRAM_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+feats AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)::INT),
+                             i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END) AS tok
+  FROM base
+), vocab AS (SELECT tok, count(*) AS c FROM feats GROUP BY tok),
+tot AS (SELECT count(*) AS t FROM feats),
+v AS (
+  SELECT tok, CAST(round(log2(c::DOUBLE / t) * 1e6) AS BIGINT) AS ubits
+  FROM vocab, tot
+), s AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         (-sum(ubits))::BIGINT / (count(*) * 1e6) AS bits_per_token
+  FROM feats JOIN v USING (tok) GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens, s.bits_per_token,
+       CASE WHEN s.bits_per_token IS NULL THEN NULL
+            WHEN s.bits_per_token <= 9.772 THEN 'head'
+            WHEN s.bits_per_token <= 9.809 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM base b LEFT JOIN s ON s.doc_id = b.doc_id
+"""
+
+
 def q_lm_score_lang(spark, sf_dir):
     """CCNet's actual per-language shape: one unigram LM per lang,
     each doc scored under its own language's model; en and de get
@@ -1018,6 +1053,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_filters": q_quality_filters,
         "lm_score": q_lm_score,
+        "lm_score_bigram": q_lm_score_bigram,
         "lm_score_lang": q_lm_score_lang,
         "dsir_weights": q_dsir_weights,
         "lang_id": q_lang_id,
@@ -1069,6 +1105,7 @@ def corpus_oracles() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "quality_filters": _quality_filters_sql(),
         "lm_score": _LM_SCORE_SQL,
+        "lm_score_bigram": _LM_SCORE_BIGRAM_SQL,
         "lm_score_lang": _LM_SCORE_LANG_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "lang_id": _lang_id_sql(),

@@ -13,7 +13,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from beats_spark.corpus.hashing import h32, word_tokens
+from beats_spark.corpus.hashing import h32, shingles, word_tokens
 
 #: BPE-ish token regex: letter runs, digit runs, single other non-space.
 BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
@@ -476,17 +476,33 @@ def unigram_lm(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, int]:
     low-perplexity "head"; the unigram model here is the same scoring
     plan with the n-gram order dropped to 1 — swap ``vocab`` for a
     higher-order table (tok = n-gram) and nothing downstream changes."""
-    toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    return ngram_lm(df, text_col, 1)
+
+
+def _lm_features(text_col: str, ngram: int) -> Column:
+    """The LM feature array for one document: tokens (``ngram=1``) or
+    word n-gram shingles (``ngram>1`` — the CCNet direction; their
+    KenLM is a 5-gram model)."""
+    toks = word_tokens(F.col(text_col))
+    return toks if ngram == 1 else shingles(toks, ngram)
+
+
+def ngram_lm(df: DataFrame, text_col: str = "text",
+             ngram: int = 1) -> tuple[DataFrame, int]:
+    """N-gram generalization of :func:`unigram_lm`: ``(vocab, total)``
+    where vocab rows are ``(tok, c)`` with ``tok`` an n-gram string
+    (space-joined) and ``total`` counts n-gram occurrences."""
+    feats = _lm_features(text_col, ngram)
+    toks = df.select(F.explode(feats).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = df.select(
-        F.sum(F.size(word_tokens(F.col(text_col)))).alias("t")
-    ).first()["t"]
+    total = df.select(F.sum(F.size(feats)).alias("t")).first()["t"]
     return vocab, int(total or 0)
 
 
 def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              lm: DataFrame | None = None, broadcast_lm: bool = True,
-             thresholds: tuple[float, float] | None = None) -> DataFrame:
+             thresholds: tuple[float, float] | None = None,
+             ngram: int = 1) -> DataFrame:
     """Per-document unigram cross-entropy (bits/token) under a model
     trained on ``lm`` (default: the corpus itself — self-scoring flags
     statistical outliers; CCNet trains on clean text and buckets web
@@ -511,10 +527,17 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     label — a global-quantile bucketing would be a global sort; CCNet
     itself uses precomputed per-language cutoffs, which is config too.
 
-    Returns ``(doc_id, n_tokens, bits_per_token, [ppl_bucket])``."""
+    ``ngram > 1`` scores word n-gram features instead of tokens (the
+    CCNet direction — higher-order context; the OOV floor substitutes
+    for backoff, documented approximation). Documents with fewer than
+    ``ngram`` tokens have NO features: they surface with NULL
+    bits_per_token and NULL bucket, never silently dropped.
+
+    Returns ``(doc_id, n_tokens, bits_per_token, [ppl_bucket])``;
+    ``n_tokens`` counts scored FEATURES (== tokens at ngram=1)."""
     from pyspark.sql.functions import broadcast as _bc
 
-    vocab, total = unigram_lm(lm if lm is not None else df, text_col)
+    vocab, total = ngram_lm(lm if lm is not None else df, text_col, ngram)
     if total <= 0:
         raise ValueError("lm_score: LM corpus has no tokens")
     ubits = F.round(
@@ -525,20 +548,29 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # is banker's — would disagree on exact .5 micro-bit boundaries)
     x = math.log2(1.0 / float(total)) * 1e6
     oov = int(math.copysign(math.floor(abs(x) + 0.5), x))
-    toks = df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    toks = df.select(
+        F.col(id_col), F.explode(_lm_features(text_col, ngram)).alias("tok")
+    )
     joined = toks.join(_bc(v) if broadcast_lm else v, "tok", "left")
-    out = joined.groupBy(id_col).agg(
+    scored = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (
             -F.sum(F.coalesce(F.col("ubits"), F.lit(int(oov))))
             / (F.count(F.lit(1)) * F.lit(1e6))
         ).alias("bits_per_token"),
     )
+    # featureless docs (len < ngram) re-join with NULL score
+    out = df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "bits_per_token",
+    )
     if thresholds is not None:
         lo, hi = thresholds
         out = out.withColumn(
             "ppl_bucket",
-            F.when(F.col("bits_per_token") <= lo, F.lit("head"))
+            F.when(F.col("bits_per_token").isNull(), F.lit(None).cast("string"))
+            .when(F.col("bits_per_token") <= lo, F.lit("head"))
             .when(F.col("bits_per_token") <= hi, F.lit("middle"))
             .otherwise(F.lit("tail")),
         )

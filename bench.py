@@ -42,6 +42,7 @@ HEADLINE = [
     "neardup_clusters",
     "quality_filters",
     "lm_score",
+    "lm_score_bigram",
     "lm_score_lang",
     "dsir_weights",
     "line_dedup",

@@ -68,6 +68,7 @@ AUDITED = {
     "ann_ivf_pq": dict(),
     "semantic_dedup": dict(),
     "lm_score": dict(broadcast=True),
+    "lm_score_bigram": dict(broadcast=True),
     "dsir_weights": dict(broadcast=True),
     "lm_score_lang": dict(broadcast=True),
     "media_embed": dict(),

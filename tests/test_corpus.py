@@ -1158,3 +1158,24 @@ def test_ann_ivf_pq_matches_reference_single_cell(spark):
     vecs32 = _np.asarray(vecs, dtype=_np.float32).astype(_np.float64).tolist()
     want = _ref_ivf_pq(vecs32, k=2, m=2, ksub=4, dsub=4)
     assert got == want
+
+
+def test_lm_score_bigram_exact(spark):
+    """Bigram features: 'a b a b' -> [a b, b a, a b]; c(a b)=2, c(b a)=1,
+    total 3 — hand-checkable micro-bit arithmetic."""
+    df = _docs(spark, ["a b a b"])
+    (r,) = rows(textstats.lm_score(df, ngram=2),
+                "n_tokens", "bits_per_token")
+    ub2 = round(math.log2(2 / 3) * 1e6)  # .5-boundary-free values
+    ub1 = round(math.log2(1 / 3) * 1e6)
+    expect = -(2 * ub2 + ub1) / (3 * 1e6)
+    assert r == (3, expect)
+
+
+def test_lm_score_bigram_short_doc_surfaces_null(spark):
+    df = _docs(spark, ["only", "two words here"])
+    got = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"], r["ppl_bucket"])
+           for r in textstats.lm_score(df, ngram=2,
+                                       thresholds=(1.0, 2.0)).collect()}
+    assert got[0] == (0, None, None)  # < ngram tokens: surfaced, not dropped
+    assert got[1][0] == 2 and got[1][1] is not None
