@@ -579,7 +579,7 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", broadcast_lm: bool = True,
-                 threshold: float | None = None) -> DataFrame:
+                 threshold: float | None = None, ngram: int = 1) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
     per-document importance log-ratio ``log2 p_target(x) − log2
     p_source(x)`` under unigram bag-of-words models — positive means
@@ -590,9 +590,11 @@ def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
     quantized to integer micro-bits per vocab entry, so per-doc sums
     are integer-exact and order-independent; every source token is in
     the source vocab by construction, target-side misses take the
-    1/total floor. The paper's hashed n-gram features are this plan
-    with ``tok`` swapped for a hashed n-gram — nothing downstream
-    changes. The paper resamples stochastically ∝ exp(weight);
+    1/total floor. ``ngram=2`` uses word-bigram features — the
+    feature class the paper actually hashes (docs with fewer than
+    ``ngram`` tokens score no features and drop from the output, as
+    in :func:`lm_score` pre-join). The paper resamples
+    stochastically ∝ exp(weight);
     ``threshold`` instead gives the deterministic variant (select
     docs with log-ratio ≥ threshold) — reproducible across engines,
     runs, and partitionings, like every sampler in this repo
@@ -603,8 +605,8 @@ def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
     ``(doc_id, n_tokens, log_ratio_bits, [selected])``."""
     from pyspark.sql.functions import broadcast as _bc
 
-    vs, tot_s = unigram_lm(df, text_col)
-    vt, tot_t = unigram_lm(target, text_col)
+    vs, tot_s = ngram_lm(df, text_col, ngram)
+    vt, tot_t = ngram_lm(target, text_col, ngram)
     if tot_s <= 0 or tot_t <= 0:
         raise ValueError("dsir_weights: source and target must be non-empty")
 
@@ -621,7 +623,7 @@ def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
         "tok", (F.coalesce("ut", F.lit(oov_t)) - F.col("us")).alias("du")
     )
     toks = df.select(
-        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+        F.col(id_col), F.explode(_lm_features(text_col, ngram)).alias("tok")
     )
     joined = toks.join(_bc(feat) if broadcast_lm else feat, "tok")
     out = joined.groupBy(id_col).agg(

@@ -1179,3 +1179,16 @@ def test_lm_score_bigram_short_doc_surfaces_null(spark):
                                        thresholds=(1.0, 2.0)).collect()}
     assert got[0] == (0, None, None)  # < ngram tokens: surfaced, not dropped
     assert got[1][0] == 2 and got[1][1] is not None
+
+
+def test_dsir_weights_bigram_features(spark):
+    """ngram=2 scores bigram features. Hand-checked micro-bits:
+    target bigrams {a b:2, b a:1} (tot 3), source {a b:2, b a:1,
+    c d:2, d c:1} (tot 6). Every target-seen bigram gains exactly
+    +1 bit; the OOV floor (1/3) makes unseen 'c d' score 0 and
+    'd c' +1 — summed: doc0 = 3.0, doc1 = 1.0, target-like on top."""
+    src = _docs(spark, ["a b a b", "c d c d"])
+    tgt = _docs(spark, ["a b a b"])
+    got = {r["doc_id"]: r["log_ratio_bits"] for r in
+           textstats.dsir_weights(src, tgt, ngram=2).collect()}
+    assert got == {0: 3.0, 1: 1.0}
