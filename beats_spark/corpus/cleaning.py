@@ -171,6 +171,15 @@ def substring_dedup(df: DataFrame, min_len: int = 5, id_col: str = "doc_id",
         )
         .select("doc_id", "s")
     )
+    return _cut_spans(base, dups, min_len)
+
+
+def _cut_spans(base: DataFrame, dups: DataFrame, min_len: int) -> DataFrame:
+    """Cut every ``[s, s+min_len)`` window in ``dups`` (doc_id, s) from
+    ``base`` (doc_id, toks): gaps-and-islands merge of overlapping
+    windows → coverage explode (one row per REMOVED token) → anti-join
+    → reassembly in position order. One row per base document; a
+    fully-cut doc keeps its row with empty text."""
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_end = F.max(F.col("s") + F.lit(min_len)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -208,3 +217,40 @@ def substring_dedup(df: DataFrame, min_len: int = 5, id_col: str = "doc_id",
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def decontaminate_spans(df: DataFrame, benchmark: DataFrame, n: int = 13,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Span-level benchmark decontamination: instead of dropping whole
+    documents (:func:`decontaminate`), CUT every ``n``-gram span a
+    training document shares with the benchmark corpus — the surgical
+    variant real pipelines use when dropping a long document over one
+    quoted benchmark line is too destructive. Overlapping contaminated
+    windows merge to maximal spans (same gaps-and-islands cutter as
+    :func:`substring_dedup`; unlike it there is NO keep-first: every
+    overlapping occurrence is removed).
+
+    Plan: document n-gram occurrences keyed by hash, semi-joined
+    against the benchmark's distinct gram hashes (tiny → broadcast);
+    the cut stage's coverage explode is proportional to contaminated
+    volume only. Returns
+    ``(doc_id, n_tokens, dup_tokens, cleaned_text)`` — one row per
+    input document, ``dup_tokens`` = tokens removed."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("toks")
+    )
+    occ = base.select(
+        "doc_id", F.posexplode(shingles(F.col("toks"), n)).alias("s", "gram")
+    ).select("doc_id", "s", F.md5("gram").alias("gh"))
+    bench = (
+        benchmark.select(
+            F.explode(F.array_distinct(
+                shingles(word_tokens(F.col(bench_text_col)), n)
+            )).alias("gram")
+        )
+        .select(F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    dups = occ.join(F.broadcast(bench), "gh", "leftsemi").select("doc_id", "s")
+    return _cut_spans(base, dups, n)

@@ -1086,6 +1086,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
         "decontaminate": q_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
         "pack_sequences": q_pack_sequences,
         "chunk_tokens": q_chunk_tokens,
         "top_ngram": q_top_ngram,
@@ -1138,6 +1139,7 @@ def corpus_oracles() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "decontaminate_spans": _DECONTAMINATE_SPANS_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "chunk_tokens": _CHUNK_TOKENS_SQL,
         "top_ngram": _TOP_NGRAM_SQL,
@@ -1477,6 +1479,66 @@ isl2 AS (
   FROM isl
 ),
 spans AS (SELECT doc_id, min(s) AS st, max(s) + 5 AS en
+          FROM isl2 GROUP BY doc_id, iid),
+cov AS (SELECT doc_id, u.p AS pos FROM spans, unnest(range(st, en)) AS u(p)),
+tokpos AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM base, unnest(range(1, len(toks)::INT + 1)) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+re AS (
+  SELECT doc_id, count(*) AS kept_n,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
+       (len(b.toks) - coalesce(re.kept_n, 0))::BIGINT AS dup_tokens,
+       coalesce(re.cleaned_text, '') AS cleaned_text
+FROM base b LEFT JOIN re ON re.doc_id = b.doc_id
+"""
+
+
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination against the same every-20th-doc
+    benchmark slice as `decontaminate`: shared 13-gram spans are CUT
+    from the text instead of dropping the whole document."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select("text")
+    return cleaning.decontaminate_spans(docs, bench, n=13)
+
+
+_DECONTAMINATE_SPANS_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+occ AS (
+  SELECT doc_id, u.i AS s,
+         md5(array_to_string(toks[u.i:u.i+12], ' ')) AS gh
+  FROM base, unnest(range(1, greatest(len(toks)-11,1)::INT)) AS u(i)
+),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(toks[u.i:u.i+12], ' ')) AS gh
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % 20 = 0) b,
+       unnest(range(1, greatest(len(toks)-11,1)::INT)) AS u(i)
+),
+dups AS (SELECT doc_id, s FROM occ WHERE gh IN (SELECT gh FROM bg)),
+isl AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s + 13) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dups
+),
+isl2 AS (
+  SELECT doc_id, s,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS iid
+  FROM isl
+),
+spans AS (SELECT doc_id, min(s) AS st, max(s) + 13 AS en
           FROM isl2 GROUP BY doc_id, iid),
 cov AS (SELECT doc_id, u.p AS pos FROM spans, unnest(range(st, en)) AS u(p)),
 tokpos AS (

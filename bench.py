@@ -48,6 +48,7 @@ HEADLINE = [
     "line_dedup",
     "substring_dedup",
     "decontaminate",
+    "decontaminate_spans",
     "corpus_pipeline",
     "pack_sequences",
     "chunk_tokens",

@@ -91,6 +91,7 @@ AUDITED = {
     "line_dedup": dict(),
     "substring_dedup": dict(),
     "decontaminate": dict(broadcast=True),
+    "decontaminate_spans": dict(broadcast=True),
     # composed cleaning pipeline: the decon benchmark broadcast runs
     # EAGERLY inside the stage materialization (localCheckpoint), so the
     # audited final plan starts from the checkpointed RDD; its only

@@ -1192,3 +1192,32 @@ def test_dsir_weights_bigram_features(spark):
     got = {r["doc_id"]: r["log_ratio_bits"] for r in
            textstats.dsir_weights(src, tgt, ngram=2).collect()}
     assert got == {0: 3.0, 1: 1.0}
+
+
+def test_decontaminate_spans_cuts_only_overlap(spark):
+    """A doc quoting a benchmark n-gram loses exactly the merged
+    contaminated span; the rest of the document survives (vs
+    `decontaminate`, which drops the whole doc)."""
+    from beats_spark.corpus.cleaning import decontaminate_spans
+
+    quote = "q1 q2 q3 q4 q5"
+    df = _docs(spark, [f"keep1 keep2 {quote} keep3", "all clean here"])
+    bench = _docs(spark, [f"pre {quote} post"]).select("text")
+    got = {r["doc_id"]: r for r in
+           decontaminate_spans(df, bench, n=5).collect()}
+    assert got[0]["cleaned_text"] == "keep1 keep2 keep3"
+    assert got[0]["dup_tokens"] == 5
+    assert got[1]["cleaned_text"] == "all clean here"
+    assert got[1]["dup_tokens"] == 0
+
+
+def test_decontaminate_spans_cuts_every_occurrence(spark):
+    """No keep-first here: every overlapping occurrence is removed,
+    including repeats within one document."""
+    from beats_spark.corpus.cleaning import decontaminate_spans
+
+    quote = "q1 q2 q3 q4 q5"
+    df = _docs(spark, [f"{quote} mid {quote}"])
+    bench = _docs(spark, [quote]).select("text")
+    (r,) = decontaminate_spans(df, bench, n=5).collect()
+    assert r["cleaned_text"] == "mid" and r["dup_tokens"] == 10
