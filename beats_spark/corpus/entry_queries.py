@@ -485,8 +485,15 @@ def q_ann_ivf_pq(spark, sf_dir):
                                       m=4, ksub=16, dim=64)
 
 
+def q_ann_ivf_pq_nprobe(spark, sf_dir):
+    """Multi-probe IVF-PQ (nprobe=3 of 8 cells): the PQ recall lever —
+    per-probe ADC candidates re-rank globally by the integer ADC."""
+    return similarity.ann_ivf_pq_topk(_emb(spark, sf_dir), k=1, n_cells=8,
+                                      m=4, ksub=16, dim=64, nprobe=3)
+
+
 def _ann_ivf_pq_sql(n_cells: int = 8, m: int = 4, ksub: int = 16,
-                    dim: int = 64, k: int = 1) -> str:
+                    dim: int = 64, k: int = 1, nprobe: int = 1) -> str:
     dsub = dim // m
     cents = similarity.ivf_centroids(n_cells, dim)
     cent_rows = ",\n    ".join(
@@ -516,6 +523,7 @@ assign AS (
     FROM e, cents c)
 ),
 cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn <= {nprobe}),
 cb(j, i, c, cn) AS (VALUES
     {cb_rows}
 ),
@@ -539,8 +547,8 @@ lutt AS (
   SELECT vec_id AS qid, j, i, CAST(round(dist * 1e9) AS BIGINT) AS du FROM sub
 ),
 cand AS (
-  SELECT a.vec_id AS qid, b.vec_id AS nid
-  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM probes a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
 ),
 adc AS (
   SELECT cand.qid, cand.nid, sum(l.du)::BIGINT AS adc
@@ -1076,6 +1084,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_sqrtn": q_ann_ivf_sqrtn,
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_ivf_pq_nprobe": q_ann_ivf_pq_nprobe,
         "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "media_embed": q_media_embed,
@@ -1129,6 +1138,7 @@ def corpus_oracles() -> dict[str, str]:
         "ann_ivf_sqrtn": _ann_ivf_sql(45),
         "ann_ivf_nprobe": _ann_ivf_sql(45, nprobe=3),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
+        "ann_ivf_pq_nprobe": _ann_ivf_pq_sql(nprobe=3),
         "semantic_dedup": _semantic_dedup_sql(),
         "media_features": _MEDIA_FEATURES_SQL,
         "media_embed": _MEDIA_EMBED_SQL,

@@ -757,8 +757,8 @@ def pq_lut_assign(cbs: list[list[list[float]]]):
 
 def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
                     m: int = 4, ksub: int = 16, dim: int | None = None,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    nprobe: int = 1) -> DataFrame:
     """FAISS-style IVF-PQ: coarse-quantize to IVF cells, PQ-encode the
     database side to ``m`` byte codes, search by asymmetric distance
     (per-query LUT, summed over code entries) within the cell.
@@ -773,8 +773,14 @@ def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
     and engine-reproducible; ties break to the lower neighbor id.
     Approximation = quantization error (tune m·ksub) × cell pruning
     (tune n_cells); vectors alone in their cell emit nothing, like
-    :func:`ann_lsh_topk`. Returns ``(vec_id, nid, adc, rank)`` with
-    ``adc`` in integer 1e-9 units of squared L2."""
+    :func:`ann_lsh_topk`. ``nprobe > 1`` is the same recall lever as
+    :func:`ann_ivf_topk`: each QUERY probes its nprobe nearest cells
+    (the codes stay in their single cell), per-probe top-k candidates
+    re-rank globally by the integer ADC (a window over ≤ nprobe·k
+    candidate rows per query — exact by integer ordering);
+    ``nprobe == n_cells`` degenerates to brute-force ADC over the
+    whole database (tested). Returns ``(vec_id, nid, adc, rank)``
+    with ``adc`` in integer 1e-9 units of squared L2."""
     if dim is None:
         raise ValueError(
             "ann_ivf_pq_topk requires dim= (embedding dimension); plan "
@@ -784,11 +790,26 @@ def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     cbs = pq_codebooks(m, ksub, dim // m)
     cents = ivf_centroids(n_cells, dim)
-    p = _prepped(df, id_col, vec_col).withColumn(
-        "cell", ivf_cell_assign(cents)(F.col("v"))
+    if nprobe > 1:
+        assigned = _prepped(df, id_col, vec_col).withColumn(
+            "_cells", ivf_probe_assign(cents, nprobe)(F.col("v"))
+        )
+        bsrc = assigned.withColumn("cell", F.element_at("_cells", 1))
+        qsrc = assigned.withColumn("cell", F.explode("_cells"))
+    else:
+        bsrc = qsrc = _prepped(df, id_col, vec_col).withColumn(
+            "cell", ivf_cell_assign(cents)(F.col("v"))
+        )
+    # the b side renames its columns: both sides share the q lineage,
+    # and a self-cogroup whose OUTPUT schema reuses the conflicting
+    # input names makes the analyzer's attribute dedup drop the right
+    # side's vec_id from the Arrow frame (worker KeyError) — distinct
+    # names sidestep the collision entirely
+    b = bsrc.select(
+        F.col("vec_id").alias("bid"), F.col("cell").alias("bcell"),
+        pq_encode_assign(cbs)(F.col("v")).alias("_codes"),
     )
-    b = p.select("vec_id", "cell", pq_encode_assign(cbs)(F.col("v")).alias("_codes"))
-    q = p.select("vec_id", "cell", pq_lut_assign(cbs)(F.col("v")).alias("_lut"))
+    q = qsrc.select("vec_id", "cell", pq_lut_assign(cbs)(F.col("v")).alias("_lut"))
 
     def part(q_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
@@ -799,13 +820,13 @@ def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
         })
         if q_pdf.empty or b_pdf.empty:
             return empty
-        b_pdf = b_pdf.sort_values("vec_id")  # stable argsort ties → lower nid
+        b_pdf = b_pdf.sort_values("bid")  # stable argsort ties → lower nid
         L = np.stack([np.asarray(x, dtype=np.int64) for x in q_pdf["_lut"]])
         codes = np.stack([np.asarray(x, dtype=np.int64) for x in b_pdf["_codes"]])
         idx = codes + (np.arange(m, dtype=np.int64) * ksub)[None, :]
         adc = L[:, idx].sum(axis=2)                  # (nq, nb) int64
         qid = q_pdf["vec_id"].to_numpy()
-        bid = b_pdf["vec_id"].to_numpy()
+        bid = b_pdf["bid"].to_numpy()
         self_mask = qid[:, None] == bid[None, :]
         adc[self_mask] = np.iinfo(np.int64).max      # exclude self-pairs
         kk = min(k, adc.shape[1])
@@ -821,8 +842,16 @@ def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
             "rank": rank[keep],
         })
 
-    return (
+    cand = (
         q.groupby("cell")
-        .cogroup(b.groupby("cell"))
+        .cogroup(b.groupby("bcell"))
         .applyInPandas(part, schema="vec_id long, nid long, adc long, rank int")
+    )
+    if nprobe <= 1:
+        return cand  # one group per query: the per-group rank is final
+    w = Window.partitionBy("vec_id").orderBy(F.asc("adc"), F.asc("nid"))
+    return (
+        cand.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -62,6 +62,7 @@ HEADLINE = [
     "ann_ivf_sqrtn",
     "ann_ivf_nprobe",
     "ann_ivf_pq",
+    "ann_ivf_pq_nprobe",
     "csv_extract",
 ]
 

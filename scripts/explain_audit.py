@@ -66,6 +66,7 @@ AUDITED = {
     "neardup_survivors": dict(),
     "ann_ivf_nprobe": dict(),
     "ann_ivf_pq": dict(),
+    "ann_ivf_pq_nprobe": dict(),
     "semantic_dedup": dict(),
     "lm_score": dict(broadcast=True),
     "lm_score_bigram": dict(broadcast=True),

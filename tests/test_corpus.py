@@ -1221,3 +1221,19 @@ def test_decontaminate_spans_cuts_every_occurrence(spark):
     bench = _docs(spark, [quote]).select("text")
     (r,) = decontaminate_spans(df, bench, n=5).collect()
     assert r["cleaned_text"] == "mid" and r["dup_tokens"] == 10
+
+
+def test_ann_ivf_pq_full_probe_equals_brute_force(spark):
+    """nprobe == n_cells degenerates to brute-force ADC: identical
+    rows to the single-cell run (every query sees every code)."""
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(25)]
+    df = _emb(spark, vecs)
+    cols = ("vec_id", "nid", "adc", "rank")
+    full = sorted(rows(similarity.ann_ivf_pq_topk(
+        df, k=2, n_cells=4, m=2, ksub=4, dim=8, nprobe=4), *cols))
+    brute = sorted(rows(similarity.ann_ivf_pq_topk(
+        df, k=2, n_cells=1, m=2, ksub=4, dim=8), *cols))
+    assert full == brute and len(full) > 0
