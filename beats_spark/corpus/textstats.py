@@ -641,7 +641,7 @@ def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
                      id_col: str = "doc_id", broadcast_lm: bool = True,
                      thresholds: dict[str, tuple[float, float]] | None = None,
                      default_thresholds: tuple[float, float] | None = None,
-                     ) -> DataFrame:
+                     ngram: int = 1) -> DataFrame:
     """Per-GROUP unigram LM scoring — CCNet's actual shape: one model
     per language (or per any partition column ``by``), each document
     scored under its own group's model with per-group head/middle/tail
@@ -662,13 +662,13 @@ def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
 
     toks_all = df.select(
         F.col(id_col), F.col(by).alias("_g"),
-        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+        F.explode(_lm_features(text_col, ngram)).alias("tok"),
     )
     vocab = toks_all.groupBy("_g", "tok").agg(F.count(F.lit(1)).alias("c"))
     totals = {
         r["_g"]: r["t"]
         for r in df.groupBy(F.col(by).alias("_g"))
-        .agg(F.sum(F.size(word_tokens(F.col(text_col)))).alias("t"))
+        .agg(F.sum(F.size(_lm_features(text_col, ngram))).alias("t"))
         .collect()
     }
     if not totals:
@@ -682,11 +682,22 @@ def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
     ).cast("long")
     v = vocab.select("_g", "tok", ubits.alias("ubits"))
     joined = toks_all.join(_bc(v) if broadcast_lm else v, ["_g", "tok"], "left")
-    out = joined.groupBy(id_col, "_g").agg(
+    agg = joined.groupBy(id_col, "_g").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (-F.sum("ubits") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
             "bits_per_token"
         ),
+    )
+    # featureless docs (len < ngram) re-join with NULL score — doc_id is
+    # unique, so joining on it alone recovers the group column from df
+    out = (
+        df.select(F.col(id_col), F.col(by).alias("_g"))
+        .join(agg.select(id_col, "n_tokens", "bits_per_token"), id_col, "left")
+        .select(
+            id_col, "_g",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "bits_per_token",
+        )
     )
     if thresholds is not None or default_thresholds is not None:
         cuts = thresholds or {}
@@ -695,7 +706,9 @@ def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
 
         def _case(lo: float, hi: float) -> Column:
             return (
-                F.when(F.col("bits_per_token") <= lo, F.lit("head"))
+                F.when(F.col("bits_per_token").isNull(),
+                       F.lit(None).cast("string"))
+                .when(F.col("bits_per_token") <= lo, F.lit("head"))
                 .when(F.col("bits_per_token") <= hi, F.lit("middle"))
                 .otherwise(F.lit("tail"))
             )

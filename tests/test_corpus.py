@@ -1237,3 +1237,18 @@ def test_ann_ivf_pq_full_probe_equals_brute_force(spark):
     brute = sorted(rows(similarity.ann_ivf_pq_topk(
         df, k=2, n_cells=1, m=2, ksub=4, dim=8), *cols))
     assert full == brute and len(full) > 0
+
+
+def test_lm_score_grouped_ngram_and_short_docs(spark):
+    """Per-group bigram models: each group's features score under its
+    own model, and a doc too short for any bigram surfaces with NULL
+    score instead of vanishing."""
+    df = _docs_lang(spark, [
+        (0, "A", "a b a b"),   # A bigrams: {a b:2, b a:1}
+        (1, "A", "x"),          # featureless at ngram=2
+        (2, "B", "a b a b"),    # same text, separate model: same bits
+    ])
+    got = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"]) for r in
+           textstats.lm_score_grouped(df, by="lang", ngram=2).collect()}
+    assert got[1] == (0, None)
+    assert got[0] == got[2] and got[0][0] == 3 and got[0][1] > 0
