@@ -156,6 +156,15 @@ def substring_dedup(df: DataFrame, min_len: int = 5, id_col: str = "doc_id",
     base = df.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("toks")
     )
+    return _cut_spans(base, _repeat_windows(base, min_len), min_len)
+
+
+def _repeat_windows(base: DataFrame, min_len: int) -> DataFrame:
+    """All-but-first occurrences of repeated ``min_len``-grams in
+    ``base`` (doc_id, toks): gram occurrences keyed by content hash,
+    the global min (doc_id, pos) per gram survives (a combinable
+    min-of-struct aggregate, never a per-gram window), every later
+    occurrence emits its (doc_id, s) removal window."""
     occ = base.select(
         "doc_id", F.posexplode(shingles(F.col("toks"), min_len)).alias("s", "gram")
     ).select("doc_id", "s", F.md5("gram").alias("gh"))
@@ -163,7 +172,7 @@ def substring_dedup(df: DataFrame, min_len: int = 5, id_col: str = "doc_id",
         F.min(F.struct("doc_id", "s")).alias("f"),
         F.count(F.lit(1)).alias("occ_n"),
     )
-    dups = (
+    return (
         occ.join(firsts, "gh")
         .filter(
             (F.col("occ_n") > 1)
@@ -171,7 +180,38 @@ def substring_dedup(df: DataFrame, min_len: int = 5, id_col: str = "doc_id",
         )
         .select("doc_id", "s")
     )
-    return _cut_spans(base, dups, min_len)
+
+
+def substring_dedup_tokens(df: DataFrame, min_len: int = 5,
+                           id_col: str = "doc_id",
+                           tokens_col: str = "tokens") -> DataFrame:
+    """ExactSubstr dedup over PRE-TOKENIZED sequences — the paper's
+    actual setting (Lee et al. 2021 run their suffix array over token
+    ids, not words) and the north-rule input shape
+    ``(doc_id, tokens:array<int>, …)``. Same plan as
+    :func:`substring_dedup` (gram-hash keyed windows, keep-first by
+    global min (doc_id, pos), gaps-and-islands span merge); grams key
+    on the decimal rendering of the ids, so no re-tokenization pass and
+    an independent SQL oracle reproduces every hash.
+
+    Returns one row per input document:
+    ``(doc_id, n_tokens, dup_tokens, cleaned_tokens)`` — the cleaned
+    sequence as an int array (empty, never null, for a fully-cut doc)."""
+    elem_type = [f.dataType for f in df.schema.fields if f.name == tokens_col][
+        0
+    ].elementType.simpleString()
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("array<string>").alias("toks"),
+    )
+    out = _cut_spans(base, _repeat_windows(base, min_len), min_len)
+    cleaned = (
+        F.when(F.col("cleaned_text") == "", F.array().cast(f"array<{elem_type}>"))
+        .otherwise(F.split("cleaned_text", " ").cast(f"array<{elem_type}>"))
+    )
+    return out.select(
+        "doc_id", "n_tokens", "dup_tokens", cleaned.alias("cleaned_tokens")
+    )
 
 
 def _cut_spans(base: DataFrame, dups: DataFrame, min_len: int) -> DataFrame:

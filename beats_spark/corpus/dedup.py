@@ -70,11 +70,17 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature via ONE md5 per shingle + a universal
     hash family: ``base = h32(shingle) mod 2^31−1``, ``sig[i] = min of
     (a_i·base + b_i) mod 2^31−1``. Docs with < shingle_k tokens are
     dropped (no shingles → no signature).
+
+    With ``tokens_col`` set, shingles come straight from the
+    PRE-TOKENIZED id array (the north-rule input shape) — ids render as
+    decimal strings inside the shingle, so no re-tokenization pass and
+    the oracle stays bit-checkable.
 
     One md5 per shingle instead of ``num_hashes`` seeded md5s is a 16×
     cut of the dominant hash cost; the (a, b) family is md5-derived and
@@ -86,9 +92,14 @@ def minhash_signatures(
     per derived hash.
     """
     params = mh_params(num_hashes)
+    toks = (
+        F.col(tokens_col).cast("array<string>")
+        if tokens_col is not None
+        else word_tokens(F.col(text_col))
+    )
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(word_tokens(F.col(text_col)), shingle_k)).alias("s"),
+        F.explode(shingles(toks, shingle_k)).alias("s"),
     )
     based = sh.select(
         "doc_id", F.pmod(h32(F.col("s")), F.lit(MERSENNE31)).alias("hb")
@@ -117,6 +128,7 @@ def minhash_neardup_pairs(
     bands: int = 4,
     min_matches: int = 0,
     max_bucket: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash near-dup candidates with signature agreement counts.
 
@@ -130,7 +142,9 @@ def minhash_neardup_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, tokens_col=tokens_col
+    )
 
     banded = sigs.select(
         "doc_id",

@@ -1094,6 +1094,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
+        "substring_dedup_tokens": q_substring_dedup_tokens,
+        "minhash_neardup_tokens": q_minhash_neardup_tokens,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
         "pack_sequences": q_pack_sequences,
@@ -1148,6 +1150,8 @@ def corpus_oracles() -> dict[str, str]:
         "mix_sources": _MIX_SOURCES_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
+        "substring_dedup_tokens": _SUBSTRING_DEDUP_TOKENS_SQL,
+        "minhash_neardup_tokens": _MINHASH_NEARDUP_TOKENS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "decontaminate_spans": _DECONTAMINATE_SPANS_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
@@ -1509,6 +1513,94 @@ SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
        (len(b.toks) - coalesce(re.kept_n, 0))::BIGINT AS dup_tokens,
        coalesce(re.cleaned_text, '') AS cleaned_text
 FROM base b LEFT JOIN re ON re.doc_id = b.doc_id
+"""
+
+
+def q_substring_dedup_tokens(spark, sf_dir):
+    """ExactSubstr dedup over the PRE-TOKENIZED shape (Lee et al.'s
+    actual token-id setting): 5-id windows, keep-first, spans merged;
+    cleaned sequences verified via a content signature (the
+    driver-hashable face of the int array)."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    out = cleaning.substring_dedup_tokens(t, min_len=5)
+    return out.select(
+        "doc_id", "n_tokens", "dup_tokens",
+        F.md5(F.concat_ws(",", F.col("cleaned_tokens").cast("array<string>")))
+        .alias("sig"),
+    )
+
+
+_SUBSTRING_DEDUP_TOKENS_SQL = f"""
+WITH {_TOKENIZE_SQL},
+base AS (SELECT doc_id, list_transform(toks, t -> t::VARCHAR) AS toks FROM tk),
+occ AS (
+  SELECT doc_id, u.i AS s,
+         md5(array_to_string(toks[u.i:u.i+4], ' ')) AS gh
+  FROM base, unnest(range(1, greatest(len(toks)-3,1)::INT)) AS u(i)
+),
+r AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn,
+         count(*) OVER (PARTITION BY gh) AS n
+  FROM occ
+),
+dups AS (SELECT doc_id, s FROM r WHERE n > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s + 5) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dups
+),
+isl2 AS (
+  SELECT doc_id, s,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS iid
+  FROM isl
+),
+spans AS (SELECT doc_id, min(s) AS st, max(s) + 5 AS en
+          FROM isl2 GROUP BY doc_id, iid),
+cov AS (SELECT doc_id, u.p AS pos FROM spans, unnest(range(st, en)) AS u(p)),
+tokpos AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM base, unnest(range(1, len(toks)::INT + 1)) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+re AS (
+  SELECT doc_id, count(*) AS kept_n,
+         string_agg(tok, ',' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
+       (len(b.toks) - coalesce(re.kept_n, 0))::BIGINT AS dup_tokens,
+       md5(coalesce(re.cleaned, '')) AS sig
+FROM base b LEFT JOIN re ON re.doc_id = b.doc_id
+"""
+
+
+def q_minhash_neardup_tokens(spark, sf_dir):
+    """MinHash+LSH near-dup candidates over the PRE-TOKENIZED shape:
+    3-id shingles straight from the token array, no re-tokenization."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return dedup.minhash_neardup_pairs(t, tokens_col="tokens")
+
+
+_MINHASH_NEARDUP_TOKENS_SQL = f"""
+WITH {_TOKENIZE_SQL},
+t2 AS (SELECT doc_id, list_transform(toks, t -> t::VARCHAR) AS t FROM tk),
+sh AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM t2)
+), {_MINH_SQL}
+SELECT p.doc_a, p.doc_b, count(*) AS sig_matches
+FROM pairs p
+JOIN minh ma ON ma.doc_id = p.doc_a
+JOIN minh mb ON mb.doc_id = p.doc_b AND mb.seed = ma.seed AND mb.mh = ma.mh
+GROUP BY 1, 2
 """
 
 

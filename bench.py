@@ -47,6 +47,8 @@ HEADLINE = [
     "dsir_weights",
     "line_dedup",
     "substring_dedup",
+    "substring_dedup_tokens",
+    "minhash_neardup_tokens",
     "decontaminate",
     "decontaminate_spans",
     "corpus_pipeline",

@@ -954,6 +954,74 @@ def test_substring_dedup_short_docs_untouched(spark):
     assert got == {0: "tiny doc", 1: "tiny doc"}
 
 
+def _tokdocs(spark, seqs):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(seqs)], "doc_id long, tokens array<int>"
+    )
+
+
+def test_substring_dedup_tokens_cross_doc_keeps_first(spark):
+    from beats_spark.corpus.cleaning import substring_dedup_tokens
+
+    df = _tokdocs(spark, [[901, 1, 2, 3, 4, 5, 902], [77, 88, 1, 2, 3, 4, 5]])
+    got = {r["doc_id"]: r for r in substring_dedup_tokens(df, min_len=5).collect()}
+    assert got[0]["cleaned_tokens"] == [901, 1, 2, 3, 4, 5, 902]
+    assert got[0]["dup_tokens"] == 0
+    assert got[1]["cleaned_tokens"] == [77, 88] and got[1]["dup_tokens"] == 5
+
+
+def test_substring_dedup_tokens_merges_overlapping_windows(spark):
+    from beats_spark.corpus.cleaning import substring_dedup_tokens
+
+    run = [11, 12, 13, 14, 15, 16, 17]  # 7 ids → three overlapping 5-windows
+    df = _tokdocs(spark, [[1] + run + [2], [3, 4] + run + [5]])
+    got = {r["doc_id"]: r for r in substring_dedup_tokens(df, min_len=5).collect()}
+    assert got[1]["cleaned_tokens"] == [3, 4, 5]  # ONE merged 7-token span
+    assert got[1]["dup_tokens"] == 7
+
+
+def test_substring_dedup_tokens_fully_cut_and_short(spark):
+    from beats_spark.corpus.cleaning import substring_dedup_tokens
+
+    df = _tokdocs(spark, [[5, 6, 7, 8, 9], [5, 6, 7, 8, 9], [1, 2]])
+    got = {r["doc_id"]: r for r in substring_dedup_tokens(df, min_len=5).collect()}
+    assert got[1]["cleaned_tokens"] == [] and got[1]["dup_tokens"] == 5
+    assert got[0]["cleaned_tokens"] == [5, 6, 7, 8, 9]
+    assert got[2]["cleaned_tokens"] == [1, 2]  # < min_len: untouched
+
+
+def test_substring_dedup_tokens_no_cross_id_boundary_alias(spark):
+    """Decimal rendering must not alias across id boundaries:
+    [1, 23, 4, 5, 6] and [12, 3, 4, 5, 6] share no 5-gram."""
+    from beats_spark.corpus.cleaning import substring_dedup_tokens
+
+    df = _tokdocs(spark, [[1, 23, 4, 5, 6], [12, 3, 4, 5, 6]])
+    got = {r["doc_id"]: r["dup_tokens"] for r in substring_dedup_tokens(df, min_len=5).collect()}
+    assert got == {0: 0, 1: 0}
+
+
+def test_minhash_neardup_tokens_matches_text_mode(spark):
+    """tokens_col mode over the decimal renderings of a text corpus'
+    word ids must produce the identical candidate set and signature
+    agreement as text mode over the same sequences spelled as text."""
+    from beats_spark.corpus import tokens as toks
+
+    df = _docs(spark, [NEAR_A, NEAR_B, FAR])
+    t = toks.tokenize_ids(df)
+    as_text = t.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tokens").cast("array<string>")).alias("text"),
+    )
+    got_tok = rows(
+        dedup.minhash_neardup_pairs(t, tokens_col="tokens"),
+        "doc_a", "doc_b", "sig_matches",
+    )
+    got_txt = rows(
+        dedup.minhash_neardup_pairs(as_text), "doc_a", "doc_b", "sig_matches"
+    )
+    assert got_tok == got_txt and len(got_tok) == 1
+
+
 # -- DSIR importance weights -------------------------------------------------
 
 
