@@ -1105,6 +1105,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "vocab_histogram": q_vocab_histogram,
         "token_bigrams": q_token_bigrams,
+        "token_stats": q_token_stats,
         "frame_sample": q_frame_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
@@ -1161,6 +1162,7 @@ def corpus_oracles() -> dict[str, str]:
         "split_assign": _SPLIT_ASSIGN_SQL,
         "vocab_histogram": _VOCAB_HISTOGRAM_SQL,
         "token_bigrams": _TOKEN_BIGRAMS_SQL,
+        "token_stats": _TOKEN_STATS_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
@@ -1321,6 +1323,65 @@ WITH {_TOKENIZE_SQL}
 SELECT token_id::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM (SELECT unnest(toks) AS token_id FROM tk)
 GROUP BY 1
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token-sequence degeneracy stats (the Gopher repetition rules'
+    token-level face): diversity, mode-id mass, repeated-bigram mass,
+    longest single-id run — all per-row array folds, no shuffle."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return toks.token_stats(t)
+
+
+_TOKEN_STATS_SQL = f"""
+WITH {_TOKENIZE_SQL},
+pos AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM tk, unnest(range(1, len(toks)::INT + 1)) AS u(i)
+),
+brk AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS DISTINCT FROM tok THEN 1 ELSE 0 END AS b
+  FROM pos
+),
+isl AS (
+  SELECT doc_id, tok,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM brk
+),
+runl AS (
+  SELECT doc_id, max(c) AS max_run FROM (
+    SELECT doc_id, rid, count(*) AS c FROM isl GROUP BY doc_id, rid
+  ) GROUP BY doc_id
+),
+topn AS (
+  SELECT doc_id, max(c) AS top_n, count(*) AS n_distinct FROM (
+    SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+bigd AS (
+  SELECT doc_id,
+         count(DISTINCT toks[u.i]::VARCHAR || ',' || toks[u.i+1]::VARCHAR)
+           AS nd
+  FROM tk, unnest(range(1, greatest(len(toks) - 1, 0)::INT + 1)) AS u(i)
+  GROUP BY doc_id
+)
+SELECT tk.doc_id, len(toks)::BIGINT AS n_tok,
+       topn.n_distinct::BIGINT AS n_distinct,
+       (topn.n_distinct / len(toks))::DOUBLE AS distinct_ratio,
+       topn.top_n::BIGINT AS top_token_n,
+       (topn.top_n / len(toks))::DOUBLE AS top_token_frac,
+       greatest(len(toks) - 1, 0)::BIGINT AS n_bigrams,
+       CASE WHEN len(toks) > 1 THEN
+         ((len(toks) - 1 - bigd.nd) / (len(toks) - 1))::DOUBLE END
+         AS dup_bigram_frac,
+       runl.max_run::BIGINT AS max_run_len
+FROM tk
+JOIN topn USING (doc_id)
+JOIN runl USING (doc_id)
+LEFT JOIN bigd USING (doc_id)
 """
 
 

@@ -13,7 +13,7 @@ streams through."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beats_spark.corpus.hashing import h32, word_tokens
@@ -195,6 +195,70 @@ def token_bigrams(df: DataFrame, tokens_col: str = "tokens",
     if min_count > 1:
         out = out.filter(F.col("n") >= min_count)
     return out
+
+
+def _max_run(arr: Column) -> Column:
+    """Length of the longest run of one repeated id — a single array
+    fold (prev, cur, best), no explode: per-row work linear in the
+    sequence, the whole column stays inside codegen."""
+    init = F.struct(
+        F.lit(-1).cast("long").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        cur = F.when(x.cast("long") == acc["prev"], acc["cur"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.cast("long").alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+        )
+
+    return F.aggregate(arr, init, step, lambda a: a["best"])
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id",
+                tokens_col: str = "tokens") -> DataFrame:
+    """Degeneracy / repetition stats over PRE-TOKENIZED sequences — the
+    token-level face of the Gopher repetition rules, for filtering
+    collapsed or looping sequences before training:
+
+    - ``n_distinct`` / ``distinct_ratio`` — id diversity;
+    - ``top_token_n`` / ``top_token_frac`` — mode-id mass (computed as
+      the longest run of ``array_sort(tokens)``, no per-token shuffle);
+    - ``n_bigrams`` / ``dup_bigram_frac`` — repeated-adjacent-pair mass
+      (the 2-gram repetition rule);
+    - ``max_run_len`` — longest single-id run (the degenerate-loop
+      signal).
+
+    Everything is per-row array expressions (fold / zip_with /
+    array_distinct): narrow plan, no explode, no shuffle — at 10^12
+    sequences this is a pure scan. Ratios are NULL when undefined
+    (empty sequence; single-token docs have no bigrams)."""
+    t = F.col(tokens_col)
+    n = F.size(t)
+    m = F.greatest(n - 1, F.lit(0))
+    bigr = F.zip_with(
+        F.slice(t, 1, m), F.slice(t, 2, m),
+        lambda a, b: F.concat(a.cast("string"), F.lit(","), b.cast("string")),
+    )
+    n_distinct = F.size(F.array_distinct(t))
+    top_n = _max_run(F.array_sort(t))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tok"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.when(n > 0, n_distinct / n).cast("double").alias("distinct_ratio"),
+        top_n.cast("long").alias("top_token_n"),
+        F.when(n > 0, top_n / n).cast("double").alias("top_token_frac"),
+        m.cast("long").alias("n_bigrams"),
+        F.when(m > 0, (m - F.size(F.array_distinct(bigr))) / m)
+        .cast("double").alias("dup_bigram_frac"),
+        _max_run(t).cast("long").alias("max_run_len"),
+    )
 
 
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",

@@ -54,6 +54,7 @@ HEADLINE = [
     "corpus_pipeline",
     "pack_sequences",
     "chunk_tokens",
+    "token_stats",
     "top_ngram",
     "embedding_topk",
     "embedding_topk_blocked",

@@ -1000,6 +1000,52 @@ def test_substring_dedup_tokens_no_cross_id_boundary_alias(spark):
     assert got == {0: 0, 1: 0}
 
 
+def test_token_stats_hand_case(spark):
+    from beats_spark.corpus.tokens import token_stats
+
+    # [7,7,7,2]: distinct {7,2}=2, top id 7 ×3, bigrams [7,7][7,7][7,2]
+    # → 3 bigrams, 2 distinct → dup 1/3, max run 3
+    df = _tokdocs(spark, [[7, 7, 7, 2]])
+    (r,) = token_stats(df).collect()
+    assert r["n_tok"] == 4 and r["n_distinct"] == 2
+    assert r["top_token_n"] == 3 and r["max_run_len"] == 3
+    assert r["n_bigrams"] == 3 and abs(r["dup_bigram_frac"] - 1 / 3) < 1e-12
+    assert abs(r["distinct_ratio"] - 0.5) < 1e-12
+
+
+def test_token_stats_degenerate_loop(spark):
+    from beats_spark.corpus.tokens import token_stats
+
+    df = _tokdocs(spark, [[5] * 100, list(range(100))])
+    got = {r["doc_id"]: r for r in token_stats(df).collect()}
+    # 99 bigrams, one distinct: dup mass (99-1)/99 (first copy is not a dup)
+    assert got[0]["max_run_len"] == 100
+    assert abs(got[0]["dup_bigram_frac"] - 98 / 99) < 1e-12
+    assert got[0]["top_token_frac"] == 1.0 and got[0]["n_distinct"] == 1
+    assert got[1]["max_run_len"] == 1 and got[1]["dup_bigram_frac"] == 0.0
+    assert got[1]["distinct_ratio"] == 1.0
+
+
+def test_token_stats_top_not_a_run(spark):
+    """Mode mass must count NON-adjacent repeats: [1,2,1,3,1] has
+    max_run 1 but top_token_n 3 (the sorted-array run trick)."""
+    from beats_spark.corpus.tokens import token_stats
+
+    (r,) = token_stats(_tokdocs(spark, [[1, 2, 1, 3, 1]])).collect()
+    assert r["max_run_len"] == 1 and r["top_token_n"] == 3
+
+
+def test_token_stats_edge_rows(spark):
+    from beats_spark.corpus.tokens import token_stats
+
+    df = _tokdocs(spark, [[], [42]])
+    got = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert got[0]["n_tok"] == 0 and got[0]["distinct_ratio"] is None
+    assert got[0]["dup_bigram_frac"] is None and got[0]["max_run_len"] == 0
+    assert got[1]["n_tok"] == 1 and got[1]["top_token_frac"] == 1.0
+    assert got[1]["n_bigrams"] == 0 and got[1]["dup_bigram_frac"] is None
+
+
 def test_minhash_neardup_tokens_matches_text_mode(spark):
     """tokens_col mode over the decimal renderings of a text corpus'
     word ids must produce the identical candidate set and signature
