@@ -294,3 +294,44 @@ def decontaminate_spans(df: DataFrame, benchmark: DataFrame, n: int = 13,
     )
     dups = occ.join(F.broadcast(bench), "gh", "leftsemi").select("doc_id", "s")
     return _cut_spans(base, dups, n)
+
+
+def decontaminate_spans_tokens(df: DataFrame, benchmark: DataFrame,
+                               n: int = 13, id_col: str = "doc_id",
+                               tokens_col: str = "tokens",
+                               bench_tokens_col: str = "tokens") -> DataFrame:
+    """Span-level decontamination over PRE-TOKENIZED sequences (the
+    north-rule shape): cut every ``n``-id span a training sequence
+    shares with the tokenized benchmark. Same plan as
+    :func:`decontaminate_spans` — grams key on the decimal renderings,
+    benchmark grams broadcast, NO keep-first. Returns
+    ``(doc_id, n_tokens, dup_tokens, cleaned_tokens)`` with the cleaned
+    sequence as an int array (empty, never null, for a fully-cut doc)."""
+    elem_type = [f.dataType for f in df.schema.fields if f.name == tokens_col][
+        0
+    ].elementType.simpleString()
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("array<string>").alias("toks"),
+    )
+    occ = base.select(
+        "doc_id", F.posexplode(shingles(F.col("toks"), n)).alias("s", "gram")
+    ).select("doc_id", "s", F.md5("gram").alias("gh"))
+    bench = (
+        benchmark.select(
+            F.explode(F.array_distinct(
+                shingles(F.col(bench_tokens_col).cast("array<string>"), n)
+            )).alias("gram")
+        )
+        .select(F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    dups = occ.join(F.broadcast(bench), "gh", "leftsemi").select("doc_id", "s")
+    out = _cut_spans(base, dups, n)
+    cleaned = (
+        F.when(F.col("cleaned_text") == "", F.array().cast(f"array<{elem_type}>"))
+        .otherwise(F.split("cleaned_text", " ").cast(f"array<{elem_type}>"))
+    )
+    return out.select(
+        "doc_id", "n_tokens", "dup_tokens", cleaned.alias("cleaned_tokens")
+    )

@@ -1098,6 +1098,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_tokens": q_minhash_neardup_tokens,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
+        "decontaminate_spans_tokens": q_decontaminate_spans_tokens,
         "pack_sequences": q_pack_sequences,
         "chunk_tokens": q_chunk_tokens,
         "top_ngram": q_top_ngram,
@@ -1155,6 +1156,7 @@ def corpus_oracles() -> dict[str, str]:
         "minhash_neardup_tokens": _MINHASH_NEARDUP_TOKENS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "decontaminate_spans": _DECONTAMINATE_SPANS_SQL,
+        "decontaminate_spans_tokens": _DECONTAMINATE_SPANS_TOKENS_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "chunk_tokens": _CHUNK_TOKENS_SQL,
         "top_ngram": _TOP_NGRAM_SQL,
@@ -1721,6 +1723,71 @@ re AS (
 SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
        (len(b.toks) - coalesce(re.kept_n, 0))::BIGINT AS dup_tokens,
        coalesce(re.cleaned_text, '') AS cleaned_text
+FROM base b LEFT JOIN re ON re.doc_id = b.doc_id
+"""
+
+
+def q_decontaminate_spans_tokens(spark, sf_dir):
+    """Span-level decontamination over the PRE-TOKENIZED shape against
+    the tokenized every-20th-doc benchmark slice: shared 13-id spans
+    are CUT from the sequence; verified via a content signature."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    bench = t.filter(F.col("doc_id") % 20 == 0).select("tokens")
+    out = cleaning.decontaminate_spans_tokens(t, bench, n=13)
+    return out.select(
+        "doc_id", "n_tokens", "dup_tokens",
+        F.md5(F.concat_ws(",", F.col("cleaned_tokens").cast("array<string>")))
+        .alias("sig"),
+    )
+
+
+_DECONTAMINATE_SPANS_TOKENS_SQL = f"""
+WITH {_TOKENIZE_SQL},
+base AS (SELECT doc_id, list_transform(toks, t -> t::VARCHAR) AS toks FROM tk),
+occ AS (
+  SELECT doc_id, u.i AS s,
+         md5(array_to_string(toks[u.i:u.i+12], ' ')) AS gh
+  FROM base, unnest(range(1, greatest(len(toks)-11,1)::INT)) AS u(i)
+),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(toks[u.i:u.i+12], ' ')) AS gh
+  FROM (SELECT toks FROM base WHERE doc_id % 20 = 0) b,
+       unnest(range(1, greatest(len(toks)-11,1)::INT)) AS u(i)
+),
+dups AS (SELECT doc_id, s FROM occ WHERE gh IN (SELECT gh FROM bg)),
+isl AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s + 13) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dups
+),
+isl2 AS (
+  SELECT doc_id, s,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS iid
+  FROM isl
+),
+spans AS (SELECT doc_id, min(s) AS st, max(s) + 13 AS en
+          FROM isl2 GROUP BY doc_id, iid),
+cov AS (SELECT doc_id, u.p AS pos FROM spans, unnest(range(st, en)) AS u(p)),
+tokpos AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM base, unnest(range(1, len(toks)::INT + 1)) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+re AS (
+  SELECT doc_id, count(*) AS kept_n,
+         string_agg(tok, ',' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
+       (len(b.toks) - coalesce(re.kept_n, 0))::BIGINT AS dup_tokens,
+       md5(coalesce(re.cleaned, '')) AS sig
 FROM base b LEFT JOIN re ON re.doc_id = b.doc_id
 """
 

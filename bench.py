@@ -51,6 +51,7 @@ HEADLINE = [
     "minhash_neardup_tokens",
     "decontaminate",
     "decontaminate_spans",
+    "decontaminate_spans_tokens",
     "corpus_pipeline",
     "pack_sequences",
     "chunk_tokens",

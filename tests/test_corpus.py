@@ -1000,6 +1000,27 @@ def test_substring_dedup_tokens_no_cross_id_boundary_alias(spark):
     assert got == {0: 0, 1: 0}
 
 
+def test_decontaminate_spans_tokens_surgical_cut(spark):
+    """A sequence quoting a benchmark 5-gram loses exactly the merged
+    span — every occurrence, no keep-first — and clean docs pass
+    through with their exact token arrays (the north-rule per-row
+    token-array invariant)."""
+    from beats_spark.corpus.cleaning import decontaminate_spans_tokens
+
+    bench = _tokdocs(spark, [[10, 11, 12, 13, 14]]).select("tokens")
+    df = _tokdocs(spark, [
+        [1, 10, 11, 12, 13, 14, 2],          # quotes the benchmark once
+        [10, 11, 12, 13, 14, 10, 11, 12, 13, 14],  # twice: both cut
+        [7, 8, 9, 7, 8],                     # clean
+    ])
+    got = {r["doc_id"]: r for r in
+           decontaminate_spans_tokens(df, bench, n=5).collect()}
+    assert got[0]["cleaned_tokens"] == [1, 2] and got[0]["dup_tokens"] == 5
+    assert got[1]["cleaned_tokens"] == [] and got[1]["dup_tokens"] == 10
+    assert got[2]["cleaned_tokens"] == [7, 8, 9, 7, 8]
+    assert got[2]["dup_tokens"] == 0
+
+
 def test_token_stats_hand_case(spark):
     from beats_spark.corpus.tokens import token_stats
 
