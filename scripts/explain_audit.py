@@ -91,8 +91,12 @@ AUDITED = {
     "pii_redact": dict(),
     "line_dedup": dict(),
     "substring_dedup": dict(),
+    "substring_dedup_tokens": dict(),
+    "minhash_neardup_tokens": dict(),
+    "token_stats": dict(),
     "decontaminate": dict(broadcast=True),
     "decontaminate_spans": dict(broadcast=True),
+    "decontaminate_spans_tokens": dict(broadcast=True),
     # composed cleaning pipeline: the decon benchmark broadcast runs
     # EAGERLY inside the stage materialization (localCheckpoint), so the
     # audited final plan starts from the checkpointed RDD; its only
