@@ -1091,6 +1091,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tokens": q_dedup_tokens,
         "pii_redact": q_pii_redact,
         "hash_sample": q_hash_sample,
+        "shuffle_shards": q_shuffle_shards,
         "mix_sources": q_mix_sources,
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
@@ -1149,6 +1150,7 @@ def corpus_oracles() -> dict[str, str]:
         "dedup_tokens": _DEDUP_TOKENS_SQL,
         "pii_redact": _pii_redact_sql(),
         "hash_sample": _HASH_SAMPLE_SQL,
+        "shuffle_shards": _SHUFFLE_SHARDS_SQL,
         "mix_sources": _MIX_SOURCES_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
@@ -1789,6 +1791,26 @@ SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
        (len(b.toks) - coalesce(re.kept_n, 0))::BIGINT AS dup_tokens,
        md5(coalesce(re.cleaned, '')) AS sig
 FROM base b LEFT JOIN re ON re.doc_id = b.doc_id
+"""
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into 16 training shards with
+    within-shard positions — reproducible on any cluster size."""
+    out = toks.shuffle_shards(_docs(spark, sf_dir), n_shards=16, with_pos=True)
+    return out.select("doc_id", "shard", "sort_key", "pos")
+
+
+_SHUFFLE_SHARDS_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         {H32_SQL.format(expr="'shuffle:' || doc_id::VARCHAR")} AS sort_key
+  FROM documents
+)
+SELECT doc_id, (sort_key % 16)::INT AS shard, sort_key,
+       (row_number() OVER (PARTITION BY sort_key % 16
+                           ORDER BY sort_key, doc_id) - 1)::INT AS pos
+FROM k
 """
 
 

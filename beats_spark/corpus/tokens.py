@@ -261,6 +261,31 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def shuffle_shards(df: DataFrame, n_shards: int = 1024,
+                   id_col: str = "doc_id", salt: str = "shuffle",
+                   with_pos: bool = False) -> DataFrame:
+    """Deterministic global shuffle into training shards — the final
+    ordering step of a training-data pipeline. Every row gets a
+    content-independent pseudo-random key (md5 of its id): ``shard`` =
+    key mod ``n_shards``, ``sort_key`` = the key itself; reading shards
+    in order and rows by (sort_key, id) within a shard is a
+    REPRODUCIBLE permutation — identical on any cluster size, any
+    partition layout, any rerun, unlike ``orderBy(rand())`` (whose
+    output depends on both the seed plumbing and partition placement).
+
+    Pure projection (narrow, no shuffle) unless ``with_pos``: then one
+    keyed shuffle on shard assigns ``pos`` (row_number within shard) —
+    each shard's window runs where its rows land, no global window."""
+    k = h32(F.col(id_col).cast("string"), seed=salt)
+    out = df.withColumn("sort_key", k).withColumn(
+        "shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int")
+    )
+    if with_pos:
+        w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+        out = out.withColumn("pos", F.row_number().over(w) - 1)
+    return out
+
+
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
                 salt: str = "sample") -> DataFrame:
     """Deterministic content-independent sampling: keep a row iff its

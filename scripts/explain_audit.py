@@ -89,6 +89,7 @@ AUDITED = {
     "token_bigrams": dict(),
     "split_assign": dict(),
     "pii_redact": dict(),
+    "shuffle_shards": dict(),
     "line_dedup": dict(),
     "substring_dedup": dict(),
     "substring_dedup_tokens": dict(),

@@ -1021,6 +1021,28 @@ def test_decontaminate_spans_tokens_surgical_cut(spark):
     assert got[2]["dup_tokens"] == 0
 
 
+def test_shuffle_shards_reproducible_across_layouts(spark):
+    """The permutation must be identical regardless of partition
+    layout (the whole point vs orderBy(rand()))."""
+    from beats_spark.corpus.tokens import shuffle_shards
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df.repartition(1), n_shards=8, with_pos=True)
+    b = shuffle_shards(df.repartition(13), n_shards=8, with_pos=True)
+    ra = sorted(map(tuple, a.select("doc_id", "shard", "pos").collect()))
+    rb = sorted(map(tuple, b.select("doc_id", "shard", "pos").collect()))
+    assert ra == rb
+    # every shard's positions are dense 0..k-1
+    from collections import defaultdict
+    by = defaultdict(list)
+    for d, s, p in ra:
+        by[s].append(p)
+    assert all(sorted(v) == list(range(len(v))) for v in by.values())
+    # and the permutation is non-trivial (not id order)
+    first = [d for d, s, p in ra if s == ra[0][1]]
+    assert first != sorted(first) or len(by) > 1
+
+
 def test_token_stats_hand_case(spark):
     from beats_spark.corpus.tokens import token_stats
 
