@@ -1108,6 +1108,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_histogram": q_vocab_histogram,
         "token_bigrams": q_token_bigrams,
         "token_stats": q_token_stats,
+        "bpe_merges": q_bpe_merges,
+        "bpe_apply": q_bpe_apply,
         "frame_sample": q_frame_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
@@ -1167,6 +1169,8 @@ def corpus_oracles() -> dict[str, str]:
         "vocab_histogram": _VOCAB_HISTOGRAM_SQL,
         "token_bigrams": _TOKEN_BIGRAMS_SQL,
         "token_stats": _TOKEN_STATS_SQL,
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_apply": _bpe_apply_sql(),
         "frame_sample": _FRAME_SAMPLE_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
@@ -1386,6 +1390,90 @@ FROM tk
 JOIN topn USING (doc_id)
 JOIN runl USING (doc_id)
 LEFT JOIN bigd USING (doc_id)
+"""
+
+
+_BPE_MERGES, _BPE_START = 6, _TOKVOCAB
+
+
+def _bpe_sql_ctes(k: int, start: int) -> tuple[str, str]:
+    """Templated k-round BPE oracle: per round, pair counts → argmax
+    (ties by (t1, t2), HAVING n ≥ 2) → indexed-lambda rewrite. The
+    1-row merge CTE joins in via LEFT JOIN ON TRUE (DuckDB forbids
+    subqueries inside lambdas; a NULL merge makes the round identity)."""
+    parts, sel = [], []
+    for r in range(k):
+        c = start + r
+        parts.append(f"""
+p{r} AS (
+  SELECT toks[u.i] AS t1, toks[u.i+1] AS t2
+  FROM tk{r}, unnest(range(1, greatest(len(toks),1)::INT)) AS u(i)
+  WHERE toks[u.i] != toks[u.i+1]
+),
+m{r} AS (
+  SELECT t1, t2, count(*) AS n FROM p{r} GROUP BY 1, 2
+  HAVING count(*) >= 2
+  ORDER BY n DESC, t1, t2 LIMIT 1
+),
+tk{r + 1} AS (
+  SELECT doc_id,
+    CASE WHEN m.t1 IS NULL THEN toks ELSE
+      list_filter(
+        list_transform(toks, (x, i) ->
+          CASE WHEN x = m.t1 AND i < len(toks) AND toks[i+1] = m.t2 THEN {c}
+               WHEN i > 1 AND toks[i-1] = m.t1 AND x = m.t2 THEN NULL
+               ELSE x END),
+        x -> x IS NOT NULL)
+    END AS toks
+  FROM tk{r} LEFT JOIN m{r} m ON TRUE
+)""")
+        sel.append(
+            f"SELECT {r}::INT AS rank, t1::BIGINT AS t1, t2::BIGINT AS t2, "
+            f"{c}::BIGINT AS new_id, n::BIGINT AS n_pairs FROM m{r}"
+        )
+    return ",".join(parts), " UNION ALL ".join(sel)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE-merge learning over the tokenized corpus: 6
+    rounds of pair-count argmax (self-pairs excluded, deterministic
+    ties), each rewriting the corpus through one Arrow-batched pass."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return toks.learn_bpe_merges(t, n_merges=_BPE_MERGES,
+                                 new_id_start=_BPE_START)
+
+
+def _bpe_merges_sql() -> str:
+    ctes, sel = _bpe_sql_ctes(_BPE_MERGES, _BPE_START)
+    return f"""
+WITH {_TOKENIZE_SQL},
+tk0 AS (SELECT doc_id, toks FROM tk), {ctes}
+{sel}
+"""
+
+
+def q_bpe_apply(spark, sf_dir):
+    """The corpus after the learned 6-merge table: per-doc token count
+    + content signature (the driver-hashable face of the arrays)."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    m = toks.learn_bpe_merges(t, n_merges=_BPE_MERGES,
+                              new_id_start=_BPE_START)
+    out = toks.apply_bpe_merges(t, m)
+    return out.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>")))
+        .alias("sig"),
+    )
+
+
+def _bpe_apply_sql() -> str:
+    ctes, _ = _bpe_sql_ctes(_BPE_MERGES, _BPE_START)
+    return f"""
+WITH {_TOKENIZE_SQL},
+tk0 AS (SELECT doc_id, toks FROM tk), {ctes}
+SELECT doc_id, len(toks)::BIGINT AS n_tok,
+       md5(array_to_string(toks, ',')) AS sig
+FROM tk{_BPE_MERGES}
 """
 
 

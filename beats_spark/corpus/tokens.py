@@ -261,6 +261,140 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _pair_mask(t: Column, a: int, b: int) -> Column:
+    """Boolean mask m[i] = (t[i], t[i+1]) == (a, b), built from shifted
+    slices (never element_at inside a lambda — see :func:`shingles`)."""
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(t, 1, m), F.slice(t, 2, m),
+        lambda x, y: (x == a) & (y == b),
+    )
+
+
+def _apply_merges_udf(merges: list[tuple[int, int, int]]):
+    """Arrow-batched merge rewriter: the whole batch flattens into ONE
+    numpy array with ``-1`` separators between sequences (ids must be
+    non-negative, so a separator never matches), then each (a, b → c)
+    merge is one vectorized pass — mask the (a, b) adjacencies, write
+    ``c`` at the match starts, delete the followers. a ≠ b guarantees
+    matches are never adjacent, so the simultaneous rewrite is exact.
+
+    A pandas UDF rather than nested array expressions on purpose: k
+    chained zip_with/filter/transform trees multiply the Catalyst
+    expression count per merge (measured: minutes of ANALYSIS time by
+    k=5); one opaque Arrow node keeps the plan flat and the work in
+    numpy."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # no annotations: module-level `from __future__ import annotations`
+    # turns them into strings referencing the local `pd`, which the
+    # pandas_udf type-hint resolver cannot evaluate — pass returnType
+    # explicitly instead
+    def apply_all(series):
+        if len(series) == 0:
+            return series
+        arrs = [np.asarray(v, dtype=np.int64) for v in series]
+        flat = np.full(sum(a.size for a in arrs) + len(arrs), -1, np.int64)
+        pos = 0
+        for a in arrs:
+            flat[pos:pos + a.size] = a
+            pos += a.size + 1  # leave one -1 separator
+        for a, b, c in merges:
+            m = (flat[:-1] == a) & (flat[1:] == b)
+            idx = np.nonzero(m)[0]
+            if idx.size:
+                flat[idx] = c
+                flat = np.delete(flat, idx + 1)
+        segs = np.split(flat, np.nonzero(flat == -1)[0])
+        out = [segs[0].tolist()] + [s[1:].tolist() for s in segs[1:-1]]
+        return pd.Series(out)
+
+    return pandas_udf(apply_all, "array<long>")
+
+
+def learn_bpe_merges(df: DataFrame, n_merges: int = 8,
+                     tokens_col: str = "tokens",
+                     new_id_start: int | None = None,
+                     min_count: int = 2) -> DataFrame:
+    """Distributed BPE-merge learning over a token corpus: per round,
+    ONE pair-count aggregate (explode of shifted-slice pairs → hash
+    agg, map-side combined) finds the most frequent adjacent pair
+    (ties broken by (t1, t2) — deterministic on any engine), which
+    becomes a new id; the corpus re-writes via the vectorized
+    :func:`_apply_merge` and the next round counts again.
+
+    Self-pairs (a == b) are excluded by design: with a ≠ b matches are
+    never adjacent, so the apply step is conflict-free and purely
+    array-parallel (no per-sequence greedy scan) — the standard
+    simplification that keeps the trainer order-independent.
+
+    Scale: round r is one Arrow-batched rewrite (the merges-so-far in
+    one opaque UDF node — plan depth stays constant; see
+    :func:`_apply_merges_udf`) + one pair-count shuffle over the
+    corpus, re-built from the base scan each round (recompute beats a
+    corpus-sized checkpoint at 100 TB; total rewrite work O(k²) cheap
+    vectorized passes). Real trainers learn merges on a
+    :func:`hash_sample` slice and apply everywhere.
+
+    Returns (rank, t1, t2, new_id, n_pairs) — the merge table, tiny."""
+    spark = df.sparkSession
+    base = df.select(F.col(tokens_col).cast("array<long>").alias("t"))
+    if new_id_start is None:
+        new_id_start = int(
+            base.select(F.max(F.array_max("t")).alias("m")).first()["m"] or 0
+        ) + 1
+    rows: list[tuple[int, int, int, int, int]] = []
+    learned: list[tuple[int, int, int]] = []
+    for r in range(n_merges):
+        cur = (
+            base if not learned
+            else base.select(_apply_merges_udf(learned)(F.col("t")).alias("t"))
+        )
+        n1 = F.greatest(F.size("t") - 1, F.lit(0))
+        pr = cur.select(
+            F.explode(F.zip_with(
+                F.slice("t", 1, n1), F.slice("t", 2, n1),
+                lambda x, y: F.struct(x.alias("t1"), y.alias("t2")),
+            )).alias("p")
+        ).select("p.t1", "p.t2").filter(F.col("t1") != F.col("t2"))
+        best = (
+            pr.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "t1", "t2").limit(1).collect()
+        )
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b, nn = int(best[0]["t1"]), int(best[0]["t2"]), int(best[0]["n"])
+        c = new_id_start + r
+        rows.append((r, a, b, c, nn))
+        learned.append((a, b, c))
+    return spark.createDataFrame(
+        rows, "rank int, t1 long, t2 long, new_id long, n_pairs long"
+    )
+
+
+def apply_bpe_merges(df: DataFrame, merges, tokens_col: str = "tokens",
+                     target: str | None = None) -> DataFrame:
+    """Re-write a token corpus with a learned merge table, in rank
+    order. ``merges`` is the :func:`learn_bpe_merges` output (tiny —
+    collected to drive the plan) or a pre-collected list of
+    ``(t1, t2, new_id)``. ONE Arrow-batched pass over the corpus
+    (:func:`_apply_merges_udf`), all merges applied per batch."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (int(r["t1"]), int(r["t2"]), int(r["new_id"]))
+            for r in merges.orderBy("rank").collect()
+        ]
+    out_col = target or tokens_col
+    if not merges:
+        return df.withColumn(out_col, F.col(tokens_col).cast("array<long>"))
+    return df.withColumn(
+        out_col,
+        _apply_merges_udf(list(merges))(F.col(tokens_col).cast("array<long>")),
+    )
+
+
 def shuffle_shards(df: DataFrame, n_shards: int = 1024,
                    id_col: str = "doc_id", salt: str = "shuffle",
                    with_pos: bool = False) -> DataFrame:

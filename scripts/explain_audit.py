@@ -95,6 +95,7 @@ AUDITED = {
     "substring_dedup_tokens": dict(),
     "minhash_neardup_tokens": dict(),
     "token_stats": dict(),
+    "bpe_apply": dict(),
     "decontaminate": dict(broadcast=True),
     "decontaminate_spans": dict(broadcast=True),
     "decontaminate_spans_tokens": dict(broadcast=True),

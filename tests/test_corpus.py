@@ -1021,6 +1021,85 @@ def test_decontaminate_spans_tokens_surgical_cut(spark):
     assert got[2]["dup_tokens"] == 0
 
 
+def _bpe_reference(seqs, n_merges, start, min_count=2):
+    """Pure-Python reference model of learn_bpe_merges (self-pairs
+    excluded, ties by (t1, t2), merge replaces every match)."""
+    from collections import Counter
+
+    seqs = [list(s) for s in seqs]
+    merges = []
+    for r in range(n_merges):
+        cnt = Counter()
+        for s in seqs:
+            for x, y in zip(s, s[1:]):
+                if x != y:
+                    cnt[(x, y)] += 1
+        if not cnt:
+            break
+        (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        c = start + r
+        merges.append((r, a, b, c, n))
+        out = []
+        for s in seqs:
+            t, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    t.append(c)
+                    i += 2
+                else:
+                    t.append(s[i])
+                    i += 1
+            out.append(t)
+        seqs = out
+    return merges, seqs
+
+
+def test_bpe_learn_hand_case(spark):
+    from beats_spark.corpus.tokens import learn_bpe_merges
+
+    # (1,2) appears 3x, (2,3) 2x (one (2,3) is consumed inside "1 2 3"?
+    # no — counting is simultaneous per round, apply happens after)
+    df = _tokdocs(spark, [[1, 2, 3, 1, 2], [1, 2, 3]])
+    m = learn_bpe_merges(df, n_merges=2, new_id_start=100).collect()
+    assert (m[0]["t1"], m[0]["t2"], m[0]["new_id"], m[0]["n_pairs"]) == (1, 2, 100, 3)
+    # after merge 1: [100,3,100], [100,3] → best pair (100,3) x2
+    assert (m[1]["t1"], m[1]["t2"], m[1]["new_id"], m[1]["n_pairs"]) == (100, 3, 101, 2)
+
+
+def test_bpe_apply_repeated_run_no_overlap(spark):
+    """a≠b guarantees matches are never adjacent: 'a b a b' merges
+    twice; 'a a b' merges once (the pair starts at index 1)."""
+    from beats_spark.corpus.tokens import apply_bpe_merges
+
+    df = _tokdocs(spark, [[1, 2, 1, 2], [1, 1, 2], [2, 1]])
+    got = {r["doc_id"]: r["tokens"]
+           for r in apply_bpe_merges(df, [(1, 2, 9)]).collect()}
+    assert got == {0: [9, 9], 1: [1, 9], 2: [2, 1]}
+
+
+def test_bpe_matches_reference_model(spark):
+    """Property: Spark trainer ≡ the sequential reference on a messy
+    corpus (repeats, runs, short docs, empties)."""
+    import random
+
+    from beats_spark.corpus.tokens import apply_bpe_merges, learn_bpe_merges
+
+    rng = random.Random(7)
+    seqs = [[rng.randrange(6) for _ in range(rng.randrange(0, 30))]
+            for _ in range(40)]
+    ref_merges, ref_seqs = _bpe_reference(seqs, n_merges=5, start=50)
+    df = _tokdocs(spark, seqs)
+    m = learn_bpe_merges(df, n_merges=5, new_id_start=50)
+    got = [(r["rank"], r["t1"], r["t2"], r["new_id"], r["n_pairs"])
+           for r in m.orderBy("rank").collect()]
+    assert got == ref_merges
+    applied = {r["doc_id"]: r["tokens"]
+               for r in apply_bpe_merges(df, m).collect()}
+    assert [applied[i] for i in range(len(seqs))] == ref_seqs
+
+
 def test_shuffle_shards_reproducible_across_layouts(spark):
     """The permutation must be identical regardless of partition
     layout (the whole point vs orderBy(rand()))."""
