@@ -1110,6 +1110,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_merges": q_bpe_merges,
         "bpe_apply": q_bpe_apply,
+        "token_pipeline": q_token_pipeline,
         "frame_sample": q_frame_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
@@ -1171,6 +1172,7 @@ def corpus_oracles() -> dict[str, str]:
         "token_stats": _TOKEN_STATS_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "bpe_apply": _bpe_apply_sql(),
+        "token_pipeline": _TOKEN_PIPELINE_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
@@ -1474,6 +1476,158 @@ tk0 AS (SELECT doc_id, toks FROM tk), {ctes}
 SELECT doc_id, len(toks)::BIGINT AS n_tok,
        md5(array_to_string(toks, ',')) AS sig
 FROM tk{_BPE_MERGES}
+"""
+
+
+def q_token_pipeline(spark, sf_dir):
+    """The composed token-native cleaning pipeline (degeneracy filter →
+    span decon → ExactSubstr cut → drop-empty + exact dedup → pack),
+    verified through its funnel: (stage_no, stage, n_docs, n_tokens)."""
+    from beats_spark.corpus.pipeline import clean_tokens
+
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    bench = t.filter(F.col("doc_id") % 20 == 0).select("tokens")
+    return clean_tokens(t, bench).funnel
+
+
+_TOKEN_PIPELINE_SQL = f"""
+WITH {_TOKENIZE_SQL},
+base AS (SELECT doc_id, list_transform(toks, x -> x::VARCHAR) AS toks FROM tk),
+-- stage 1: degeneracy stats (token_stats rules)
+pos0 AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM base, unnest(range(1, len(toks)::INT + 1)) AS u(i)
+),
+brk0 AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS DISTINCT FROM tok THEN 1 ELSE 0 END AS b
+  FROM pos0
+),
+isl0 AS (
+  SELECT doc_id, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM brk0
+),
+runl0 AS (
+  SELECT doc_id, max(c) AS max_run FROM (
+    SELECT doc_id, rid, count(*) AS c FROM isl0 GROUP BY doc_id, rid
+  ) GROUP BY doc_id
+),
+bigd0 AS (
+  SELECT doc_id,
+         count(DISTINCT toks[u.i] || ',' || toks[u.i+1]) AS nd
+  FROM base, unnest(range(1, greatest(len(toks) - 1, 0)::INT + 1)) AS u(i)
+  GROUP BY doc_id
+),
+k1 AS (
+  SELECT b.doc_id, b.toks
+  FROM base b JOIN runl0 r USING (doc_id) LEFT JOIN bigd0 g USING (doc_id)
+  WHERE len(b.toks) >= 5 AND r.max_run <= 4
+    AND coalesce(CASE WHEN len(b.toks) > 1 THEN
+          ((len(b.toks) - 1 - g.nd) / (len(b.toks) - 1))::DOUBLE END, 0)
+        <= 0.3
+),
+-- stage 2: span decontamination vs the tokenized every-20th benchmark
+occ2 AS (
+  SELECT doc_id, u.i AS s,
+         md5(array_to_string(toks[u.i:u.i+12], ' ')) AS gh
+  FROM k1, unnest(range(1, greatest(len(toks)-11,1)::INT)) AS u(i)
+),
+bg2 AS (
+  SELECT DISTINCT md5(array_to_string(toks[u.i:u.i+12], ' ')) AS gh
+  FROM (SELECT toks FROM base WHERE doc_id % 20 = 0) b,
+       unnest(range(1, greatest(len(toks)-11,1)::INT)) AS u(i)
+),
+d2 AS (SELECT doc_id, s FROM occ2 WHERE gh IN (SELECT gh FROM bg2)),
+i2 AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s + 13) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM d2
+),
+i2b AS (SELECT doc_id, s, sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS iid
+        FROM i2),
+sp2 AS (SELECT doc_id, min(s) AS st, max(s) + 13 AS en
+        FROM i2b GROUP BY doc_id, iid),
+cv2 AS (SELECT doc_id, u.p AS pos FROM sp2, unnest(range(st, en)) AS u(p)),
+tp2 AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM k1, unnest(range(1, len(toks)::INT + 1)) AS u(i)
+),
+kp2 AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tp2 t LEFT JOIN cv2 c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+re2 AS (SELECT doc_id, list(tok ORDER BY pos) AS toks FROM kp2 GROUP BY doc_id),
+k2 AS (
+  SELECT k1.doc_id, coalesce(re2.toks, CAST([] AS VARCHAR[])) AS toks
+  FROM k1 LEFT JOIN re2 USING (doc_id)
+),
+-- stage 3: corpus-wide ExactSubstr cut (keep-first, 5-id windows)
+occ3 AS (
+  SELECT doc_id, u.i AS s,
+         md5(array_to_string(toks[u.i:u.i+4], ' ')) AS gh
+  FROM k2, unnest(range(1, greatest(len(toks)-3,1)::INT)) AS u(i)
+),
+r3 AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn,
+         count(*) OVER (PARTITION BY gh) AS n
+  FROM occ3
+),
+d3 AS (SELECT doc_id, s FROM r3 WHERE n > 1 AND rn > 1),
+i3 AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s + 5) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM d3
+),
+i3b AS (SELECT doc_id, s, sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS iid
+        FROM i3),
+sp3 AS (SELECT doc_id, min(s) AS st, max(s) + 5 AS en
+        FROM i3b GROUP BY doc_id, iid),
+cv3 AS (SELECT doc_id, u.p AS pos FROM sp3, unnest(range(st, en)) AS u(p)),
+tp3 AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM k2, unnest(range(1, len(toks)::INT + 1)) AS u(i)
+),
+kp3 AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tp3 t LEFT JOIN cv3 c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+re3 AS (SELECT doc_id, list(tok ORDER BY pos) AS toks FROM kp3 GROUP BY doc_id),
+k3 AS (
+  SELECT k2.doc_id, coalesce(re3.toks, CAST([] AS VARCHAR[])) AS toks
+  FROM k2 LEFT JOIN re3 USING (doc_id)
+),
+-- stage 4: drop-empty + exact dedup (identical arrays keep min id)
+k4 AS (
+  SELECT min(doc_id) AS doc_id, any_value(toks) AS toks, count(*) AS _n
+  FROM k3 WHERE len(toks) > 0 GROUP BY toks
+),
+tot AS (SELECT coalesce(sum(len(toks)), 0)::BIGINT AS n FROM k4)
+SELECT 0::INT AS stage_no, 'raw' AS stage, count(*)::BIGINT AS n_docs,
+       coalesce(sum(len(toks)), 0)::BIGINT AS n_tokens FROM base
+UNION ALL
+SELECT 1::INT, 'degeneracy', count(*)::BIGINT,
+       coalesce(sum(len(toks)), 0)::BIGINT FROM k1
+UNION ALL
+SELECT 2::INT, 'decontaminated', count(*)::BIGINT,
+       coalesce(sum(len(toks)), 0)::BIGINT FROM k2
+UNION ALL
+SELECT 3::INT, 'substring_dedup', count(*)::BIGINT,
+       coalesce(sum(len(toks)), 0)::BIGINT FROM k3
+UNION ALL
+SELECT 4::INT, 'exact_dedup', count(*)::BIGINT,
+       coalesce(sum(len(toks)), 0)::BIGINT FROM k4
+UNION ALL
+SELECT 5::INT, 'packed', ((n + 127) // 128)::BIGINT, n FROM tot
 """
 
 

@@ -163,3 +163,132 @@ def clean_corpus(
     )
     return CorpusPipelineResult(survivors=survivors, tokenized=tokenized,
                                 funnel=funnel)
+
+
+#: token-pipeline funnel stages, in execution order
+TOKEN_FUNNEL_STAGES = [
+    "raw", "degeneracy", "decontaminated", "substring_dedup",
+    "exact_dedup", "packed",
+]
+
+
+@dataclass
+class TokenPipelineResult:
+    """Outputs of :func:`clean_tokens`.
+
+    survivors: (doc_id, tokens) after every cut/filter/dedup stage;
+    packed:    the training sequences (pack_sequences output);
+    funnel:    (stage_no, stage, n_docs, n_tokens) per stage — for
+               "packed", n_docs is the SEQUENCE count.
+    """
+
+    survivors: DataFrame
+    packed: DataFrame
+    funnel: DataFrame
+
+
+def _count_tokens_stage(df: DataFrame, stage_no: int, stage: str,
+                        tokens_col: str = "tokens") -> DataFrame:
+    return df.agg(
+        F.lit(stage_no).alias("stage_no"),
+        F.lit(stage).alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokens_col)), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def clean_tokens(
+    t: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_tok: int = 5,
+    max_run: int = 4,
+    max_dup_bigram: float = 0.3,
+    decontam_n: int = 13,
+    substring_min_len: int = 5,
+    max_len: int = 128,
+    materialize: bool = True,
+) -> TokenPipelineResult:
+    """The token-native cleaning composition — the north-rule shape
+    ``(doc_id, tokens:array<int>, …)`` in, training sequences out,
+    with the funnel accounting a real run needs:
+
+        pre-tokenized corpus
+          → degeneracy filter  (token_stats rules: length, longest
+            single-id run, repeated-bigram mass — narrow, fused into
+            the scan, so every later gram stage sees less)
+          → span decontamination vs the tokenized benchmark
+            (decontaminate_spans_tokens: shared n-id spans CUT,
+            rows never drop)
+          → corpus-wide ExactSubstr cut (substring_dedup_tokens:
+            all-but-first occurrences of repeated id windows)
+          → drop-empty + exact dedup on the final arrays (identical
+            sequences keep the smallest id)
+          → pack_sequences into fixed-length training rows
+
+    Stage outputs after the two cut stages are **materialized once**
+    (`localCheckpoint`) before the gram-explode of the next stage
+    consumes them repeatedly — same discipline as :func:`clean_corpus`
+    (a production run spools to durable storage instead). Every stage
+    is linear in corpus tokens; nothing is quadratic in documents."""
+    base = t.select(F.col(id_col).alias("doc_id"),
+                    F.col(tokens_col).alias("tokens"))
+    stages: list[tuple[str, DataFrame]] = [("raw", base)]
+
+    # 1. degeneracy filter — narrow scan
+    st = tokens.token_stats(base, id_col="doc_id", tokens_col="tokens")
+    ok = st.filter(
+        (F.col("n_tok") >= min_tok)
+        & (F.col("max_run_len") <= max_run)
+        & (F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0)) <= max_dup_bigram)
+    ).select("doc_id")
+    k1 = base.join(ok, "doc_id", "leftsemi")
+    stages.append(("degeneracy", k1))
+
+    # 2. span decontamination — rows never drop, arrays shrink
+    k2 = cleaning.decontaminate_spans_tokens(
+        k1, benchmark, n=decontam_n,
+        bench_tokens_col=tokens_col if tokens_col in benchmark.columns
+        else benchmark.columns[0],
+    ).select("doc_id", F.col("cleaned_tokens").alias("tokens"))
+    if materialize:
+        k2 = k2.localCheckpoint(eager=True)
+    stages.append(("decontaminated", k2))
+
+    # 3. corpus-wide ExactSubstr cut
+    k3 = cleaning.substring_dedup_tokens(
+        k2, min_len=substring_min_len
+    ).select("doc_id", F.col("cleaned_tokens").alias("tokens"))
+    if materialize:
+        k3 = k3.localCheckpoint(eager=True)
+    stages.append(("substring_dedup", k3))
+
+    # 4. drop-empty + exact dedup on the final arrays
+    nonempty = k3.filter(F.size("tokens") > 0)
+    keep = nonempty.groupBy("tokens").agg(F.min("doc_id").alias("doc_id")) \
+        .select("doc_id")
+    k4 = nonempty.join(keep, "doc_id", "leftsemi")
+    stages.append(("exact_dedup", k4))
+
+    # 5. pack into training sequences
+    packed = tokens.pack_sequences(k4, max_len=max_len)
+
+    funnel = reduce(
+        DataFrame.unionAll,
+        [
+            _count_tokens_stage(frame, i, name)
+            for i, (name, frame) in enumerate(stages)
+        ]
+        + [
+            packed.agg(
+                F.lit(len(stages)).alias("stage_no"),
+                F.lit("packed").alias("stage"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum(F.size("tokens")), F.lit(0)).cast("long")
+                .alias("n_tokens"),
+            )
+        ],
+    )
+    return TokenPipelineResult(survivors=k4, packed=packed, funnel=funnel)

@@ -53,6 +53,7 @@ HEADLINE = [
     "decontaminate_spans",
     "decontaminate_spans_tokens",
     "corpus_pipeline",
+    "token_pipeline",
     "pack_sequences",
     "chunk_tokens",
     "token_stats",

@@ -107,6 +107,7 @@ AUDITED = {
     # would be the 100 TB bug). decontaminate's own broadcast is audited
     # standalone above.
     "corpus_pipeline": dict(),
+    "token_pipeline": dict(),
     "corpus_pipeline_funnel": dict(),
 }
 

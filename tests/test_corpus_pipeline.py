@@ -98,3 +98,47 @@ def test_clean_corpus_optional_substring_stage(spark):
     # doc 1 holds the first occurrence and stays intact; doc 2's copy cut
     assert rows(cut.tokenized, "doc_id", "n_tok") == [(1, 12), (2, 12)]
     assert rows(cut.funnel) == rows(base.funnel)
+
+
+def test_clean_tokens_funnel_and_stages(spark):
+    """One engineered doc per stage: a degenerate looper (filtered), a
+    benchmark quoter (span cut), cross-doc repeats (ExactSubstr cut),
+    an exact pair (deduped), plus clean survivors; the funnel must
+    account for every one."""
+    from pyspark.sql import functions as F
+
+    base = list(range(100, 120))          # 20 distinct ids: clean doc
+    quote = list(range(200, 213))         # a 13-id benchmark line
+    rep = list(range(300, 305))           # a 5-id run repeated across docs
+    docs = [
+        (0, base),                        # clean, survives everything
+        (1, [7] * 30),                    # degenerate: max_run 30 → filtered
+        (2, [1, 2] + quote + [3, 4]),     # quotes the benchmark → span cut
+        (3, [5, 6] + rep + [8, 9]),       # first occurrence: kept intact
+        (4, [10, 11] + rep + [12, 13]),   # later occurrence: rep cut
+        (5, base),                        # exact copy of 0 → deduped
+    ]
+    t = spark.createDataFrame(docs, "doc_id long, tokens array<long>")
+    bench = spark.createDataFrame([(quote,)], "tokens array<long>")
+    res = cpipe.clean_tokens(t, bench, min_tok=5, max_run=4,
+                             substring_min_len=5, decontam_n=13,
+                             max_len=16)
+    f = {r["stage"]: (r["n_docs"], r["n_tokens"]) for r in res.funnel.collect()}
+    n_raw = sum(len(d[1]) for d in docs)
+    assert f["raw"] == (6, n_raw)
+    assert f["degeneracy"] == (5, n_raw - 30)          # looper gone
+    assert f["decontaminated"] == (5, n_raw - 30 - 13)  # quote span cut
+    # ExactSubstr cuts the later rep occurrence (5 ids) AND fully
+    # shreds doc 5 (every 5-gram repeats doc 0's — 20 ids): exact
+    # copies die HERE, not at the dedup stage
+    assert f["substring_dedup"] == (5, n_raw - 30 - 13 - 5 - len(base))
+    # exact_dedup then only drops the now-empty doc 5 row
+    assert f["exact_dedup"] == (4, f["substring_dedup"][1])
+    total = f["exact_dedup"][1]
+    assert f["packed"] == ((total + 15) // 16, total)
+    surv = {r["doc_id"]: r["tokens"] for r in res.survivors.collect()}
+    assert sorted(surv) == [0, 2, 3, 4]
+    assert surv[3] == [5, 6] + rep + [8, 9]            # first copy intact
+    assert surv[4] == [10, 11, 12, 13]                 # rep removed
+    assert surv[2] == [1, 2, 3, 4]                     # quote removed
+    assert surv[0] == base                              # untouched (invariant)
