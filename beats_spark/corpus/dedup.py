@@ -202,16 +202,24 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on LSH candidate pairs: intersection/union
     sizes of the distinct shingle sets (integers — exact cross-engine).
-    The expensive set intersection runs only on candidates."""
+    The expensive set intersection runs only on candidates.
+    ``tokens_col``: shingle the pre-tokenized id array instead."""
     cands = minhash_neardup_pairs(
-        df, id_col, text_col, num_hashes, shingle_k, bands
+        df, id_col, text_col, num_hashes, shingle_k, bands,
+        tokens_col=tokens_col,
     ).select("doc_a", "doc_b")
+    toks = (
+        F.col(tokens_col).cast("array<string>")
+        if tokens_col is not None
+        else word_tokens(F.col(text_col))
+    )
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(word_tokens(F.col(text_col)), shingle_k)).alias("sh"),
+        F.array_distinct(shingles(toks, shingle_k)).alias("sh"),
     ).filter(F.size("sh") > 0)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -229,15 +237,21 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 6,
     max_bucket: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup: byte-banding the 32-bit sketch (equal byte in
     any of the 4 positions → candidate), exact Hamming check after.
     Returns (doc_a, doc_b, hamming). ``max_bucket`` skips whole byte
     buckets above that size before the self-join (drop counts on the
-    ``simhash_bucket_cap`` observe metric)."""
+    ``simhash_bucket_cap`` observe metric). ``tokens_col``: sketch the
+    pre-tokenized id array instead of splitting ``text_col``."""
     from beats_spark.corpus.textstats import simhash as _simhash
 
-    s = _simhash(df.select(F.col(id_col).alias("doc_id"), text_col), text_col)
+    src_col = tokens_col if tokens_col is not None else text_col
+    s = _simhash(
+        df.select(F.col(id_col).alias("doc_id"), src_col),
+        text_col, tokens_col=tokens_col,
+    )
     s = s.select("doc_id", "simhash")
     banded = s.select(
         "doc_id",

@@ -1111,6 +1111,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_apply": q_bpe_apply,
         "token_pipeline": q_token_pipeline,
+        "winnow_neardup_tokens": q_winnow_neardup_tokens,
         "frame_sample": q_frame_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
@@ -1173,6 +1174,7 @@ def corpus_oracles() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "bpe_apply": _bpe_apply_sql(),
         "token_pipeline": _TOKEN_PIPELINE_SQL,
+        "winnow_neardup_tokens": _WINNOW_NEARDUP_TOKENS_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
@@ -1333,6 +1335,45 @@ WITH {_TOKENIZE_SQL}
 SELECT token_id::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM (SELECT unnest(toks) AS token_id FROM tk)
 GROUP BY 1
+"""
+
+
+def q_winnow_neardup_tokens(spark, sf_dir):
+    """Winnowing near-dup pairs over the PRE-TOKENIZED shape: token
+    k-gram fingerprints (k=5 ids, window 4) — the guarantee becomes
+    'any shared run of ≥ w+k−1 ids yields a shared fingerprint'."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return textstats.winnow_neardup_pairs(t, k=5, w=4, min_shared=2,
+                                          tokens_col="tokens")
+
+
+_WINNOW_NEARDUP_TOKENS_SQL = f"""
+WITH {_TOKENIZE_SQL},
+tt AS (SELECT doc_id, list_transform(toks, x -> x::VARCHAR) AS t FROM tk),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) - 4 >= 1 THEN
+           list_transform(range(1, (len(t) - 4)::INT + 1),
+                          i -> {H32_SQL.format(
+                              expr="array_to_string(list_slice(t, i::INT, i::INT + 4), ' ')")})
+         ELSE [] END AS h
+  FROM tt
+), sel AS (
+  SELECT doc_id,
+         CASE WHEN len(h) - 3 >= 1 THEN
+           list_transform(range(1, (len(h) - 3)::INT + 1),
+                          i -> list_min(list_slice(h, i::INT, i::INT + 3)))
+         WHEN len(h) >= 1 THEN [list_min(h)]
+         ELSE [] END AS fps
+  FROM g
+), ex AS (
+  SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM sel
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM ex a JOIN ex b ON a.fp = b.fp
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """
 
 

@@ -140,7 +140,8 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", target: str = "fp") -
 
 def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        tokens_col: str | None = None) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS rolling-hash scheme): hash every character k-gram of the
     normalized text, slide a window of ``w`` consecutive k-gram hashes,
@@ -163,17 +164,30 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     identical whole-array references across slices CSE to one
     evaluation. Each k-gram is hashed exactly once. Returns (doc_id,
     fps array<bigint>) — explode + equi-join on the hash for candidate
-    pairs (:func:`winnow_neardup_pairs`)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    normed = df.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
-    ng = F.length("_norm") - (k - 1)
-    grams = F.when(
-        ng >= 1,
-        F.transform(F.sequence(F.lit(1), F.greatest(ng, F.lit(1))),
-                    lambda i: F.substr(F.col("_norm"), i, F.lit(k))),
-    ).otherwise(F.array().cast("array<string>"))
-    h = F.transform(grams, lambda g: h32(g))
-    prepped = normed.select("doc_id", h.alias("_h"))
+    pairs (:func:`winnow_neardup_pairs`).
+
+    With ``tokens_col`` set, the k-grams are TOKEN k-grams of the
+    pre-tokenized id array (ids are already canonical — no text
+    normalization step); the shared-substring guarantee then holds in
+    token units: any shared run of ≥ w + k − 1 ids yields a shared
+    fingerprint."""
+    if tokens_col is not None:
+        sh = shingles(F.col(tokens_col).cast("array<string>"), k)
+        prepped = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(sh, lambda g: h32(g)).alias("_h"),
+        )
+    else:
+        norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        normed = df.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
+        ng = F.length("_norm") - (k - 1)
+        grams = F.when(
+            ng >= 1,
+            F.transform(F.sequence(F.lit(1), F.greatest(ng, F.lit(1))),
+                        lambda i: F.substr(F.col("_norm"), i, F.lit(k))),
+        ).otherwise(F.array().cast("array<string>"))
+        h = F.transform(grams, lambda g: h32(g))
+        prepped = normed.select("doc_id", h.alias("_h"))
     harr = F.col("_h")
 
     def shifted_fold(arr: Column, width: int, combine) -> Column:
@@ -199,7 +213,8 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
 
 def winnow_fingerprints_exploded(df: DataFrame, k: int = 5, w: int = 4,
                                  id_col: str = "doc_id",
-                                 text_col: str = "text") -> DataFrame:
+                                 text_col: str = "text",
+                                 tokens_col: str | None = None) -> DataFrame:
     """Exploded (doc_id, fp) winnowing rows — the candidate-join shape.
 
     The ``localCheckpoint(eager=False)`` between fingerprinting and the
@@ -213,7 +228,7 @@ def winnow_fingerprints_exploded(df: DataFrame, k: int = 5, w: int = 4,
     on a production cluster with lossy executors set a durable
     ``spark.sparkContext.setCheckpointDir`` and swap to checkpoint —
     same plan shape."""
-    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    fps = winnow_fingerprints(df, k, w, id_col, text_col, tokens_col)
     return fps.localCheckpoint(eager=False).select(
         "doc_id", F.explode("fps").alias("fp")
     )
@@ -221,12 +236,13 @@ def winnow_fingerprints_exploded(df: DataFrame, k: int = 5, w: int = 4,
 
 def winnow_neardup_pairs(df: DataFrame, k: int = 5, w: int = 4,
                          min_shared: int = 2, id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         tokens_col: str | None = None) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints:
     explode → equi-join on the fingerprint hash (never all-pairs) →
     count shared fingerprints per pair. ``min_shared`` filters
     incidental single-hash collisions."""
-    ex = winnow_fingerprints_exploded(df, k, w, id_col, text_col)
+    ex = winnow_fingerprints_exploded(df, k, w, id_col, text_col, tokens_col)
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, "fp")
@@ -238,15 +254,21 @@ def winnow_neardup_pairs(df: DataFrame, k: int = 5, w: int = 4,
 
 
 def simhash(df: DataFrame, text_col: str = "text", target: str = "simhash",
-            bits: int = 32) -> DataFrame:
+            bits: int = 32, tokens_col: str | None = None) -> DataFrame:
     """SimHash over word tokens: per-token 32-bit hash votes ±1 on each
     bit position; the sign vector is packed into a bigint.
 
     One pass over the token array: hashes precomputed with transform
     (md5 once per token), votes folded with a single aggregate over a
-    bits-wide accumulator array — entirely JVM-side.
+    bits-wide accumulator array — entirely JVM-side. With ``tokens_col``
+    set, votes come from the PRE-TOKENIZED id array (decimal
+    renderings hashed) instead of splitting ``text_col``.
     """
-    toks = word_tokens(F.col(text_col))
+    toks = (
+        F.col(tokens_col).cast("array<string>")
+        if tokens_col is not None
+        else word_tokens(F.col(text_col))
+    )
     hashes = F.transform(toks, lambda t: h32(t))
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
 

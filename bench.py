@@ -39,6 +39,7 @@ HEADLINE = [
     "simhash",
     "minhash_neardup",
     "winnow_neardup",
+    "winnow_neardup_tokens",
     "neardup_clusters",
     "quality_filters",
     "lm_score",

@@ -61,6 +61,7 @@ AUDITED = {
     "journald_parse": dict(),
     "winnow_fp": dict(),
     "winnow_neardup": dict(),
+    "winnow_neardup_tokens": dict(),
     "quality_filters": dict(),
     "neardup_clusters": dict(),
     "neardup_survivors": dict(),

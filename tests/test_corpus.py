@@ -1100,6 +1100,51 @@ def test_bpe_matches_reference_model(spark):
     assert [applied[i] for i in range(len(seqs))] == ref_seqs
 
 
+def test_tokens_mode_family_matches_text_mode(spark):
+    """simhash / ngram_jaccard tokens_col mode ≡ text mode when the
+    text IS the decimal rendering of the ids (both hash the same
+    decimal strings)."""
+    from beats_spark.corpus import tokens as toks
+
+    df = _docs(spark, [NEAR_A, NEAR_B, FAR])
+    t = toks.tokenize_ids(df)
+    as_text = t.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tokens").cast("array<string>")).alias("text"),
+    )
+    sim_tok = rows(dedup.simhash_neardup_pairs(t, tokens_col="tokens"),
+                   "doc_a", "doc_b", "hamming")
+    sim_txt = rows(dedup.simhash_neardup_pairs(as_text),
+                   "doc_a", "doc_b", "hamming")
+    assert sim_tok == sim_txt
+    jac_tok = rows(dedup.ngram_jaccard_pairs(t, tokens_col="tokens"),
+                   "doc_a", "doc_b", "n_inter", "n_union")
+    jac_txt = rows(dedup.ngram_jaccard_pairs(as_text),
+                   "doc_a", "doc_b", "n_inter", "n_union")
+    assert jac_tok == jac_txt and len(jac_tok) == 1
+
+
+def test_winnow_tokens_shared_run_guarantee(spark):
+    """Token winnowing keeps the paper's guarantee in token units: a
+    shared run of ≥ w+k−1 ids yields ≥1 shared fingerprint; disjoint
+    id sets share none."""
+    from beats_spark.corpus.textstats import winnow_neardup_pairs
+
+    run = list(range(700, 712))  # 12 ids ≥ w+k-1 = 8
+    df = _tokdocs(spark, [
+        [1, 2, 3] + run,
+        run + [4, 5, 6],
+        list(range(900, 930)),
+    ])
+    got = rows(
+        winnow_neardup_pairs(df, k=5, w=4, min_shared=1,
+                             tokens_col="tokens"),
+        "doc_a", "doc_b",
+    )
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
 def test_shuffle_shards_reproducible_across_layouts(spark):
     """The permutation must be identical regardless of partition
     layout (the whole point vs orderBy(rand()))."""
