@@ -1112,6 +1112,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "token_pipeline": q_token_pipeline,
         "winnow_neardup_tokens": q_winnow_neardup_tokens,
+        "pack_bins": q_pack_bins,
         "frame_sample": q_frame_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
@@ -1175,6 +1176,7 @@ def corpus_oracles() -> dict[str, str]:
         "bpe_apply": _bpe_apply_sql(),
         "token_pipeline": _TOKEN_PIPELINE_SQL,
         "winnow_neardup_tokens": _WINNOW_NEARDUP_TOKENS_SQL,
+        "pack_bins": _PACK_BINS_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
@@ -1669,6 +1671,44 @@ SELECT 4::INT, 'exact_dedup', count(*)::BIGINT,
        coalesce(sum(len(toks)), 0)::BIGINT FROM k4
 UNION ALL
 SELECT 5::INT, 'packed', ((n + 127) // 128)::BIGINT, n FROM tot
+"""
+
+
+def q_pack_bins(spark, sf_dir):
+    """Whole-document bin packing (no-split packing): 16 independent
+    hash-bucket packers, next-fit-decreasing within each — exact
+    assignment verified against a recursive-CTE replay."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return toks.pack_bins(t, max_len=128, n_buckets=16)
+
+
+_PACK_BINS_SQL = f"""
+WITH RECURSIVE {_TOKENIZE_SQL},
+d AS (
+  SELECT doc_id, len(toks)::INT AS n,
+         ({H32_SQL.format(expr="'packbins:' || doc_id::VARCHAR")} % 16)::INT
+           AS bucket
+  FROM tk
+),
+o AS (
+  SELECT doc_id, n, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY n DESC, doc_id)
+           AS rn
+  FROM d
+),
+rec AS (
+  SELECT bucket, rn, doc_id, n, 0::BIGINT AS bin_no,
+         (128 - n)::BIGINT AS rem
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n,
+         CASE WHEN o.n <= r.rem THEN r.bin_no ELSE r.bin_no + 1 END,
+         CASE WHEN o.n <= r.rem THEN r.rem - o.n ELSE 128 - o.n END
+  FROM rec r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1
+)
+SELECT doc_id, n AS n_tok, bucket, bin_no,
+       (bucket::BIGINT * 4294967296 + bin_no)::BIGINT AS bin_id
+FROM rec
 """
 
 

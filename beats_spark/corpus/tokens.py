@@ -500,3 +500,55 @@ def chunk_tokens(df: DataFrame, size: int = 128, stride: int | None = None,
         F.col("_c.tokens").alias("tokens"),
         F.size("_c.tokens").alias("n_tok"),
     )
+
+
+def pack_bins(df: DataFrame, max_len: int = 128, id_col: str = "doc_id",
+              tokens_col: str = "tokens", n_buckets: int = 16,
+              salt: str = "packbins") -> DataFrame:
+    """Whole-document bin packing — the no-split alternative to
+    :func:`pack_sequences` ("packing without cross-document
+    contamination": a document never straddles two training
+    sequences; bins may end short).
+
+    Scale design: documents hash into ``n_buckets`` INDEPENDENT
+    packers (the same md5 id-hash as :func:`hash_sample` — layout- and
+    rerun-independent), so there is no global sequential state; each
+    bucket packs its own docs in one Arrow batch (``applyInPandas``),
+    ordered (n_tok DESC, doc_id) and assigned next-fit-decreasing: a
+    doc joins the current bin if it fits, else opens a new bin. The
+    recurrence is per-bucket and bounded by bucket size; at 10^12 docs
+    you raise ``n_buckets`` so buckets stay batch-sized — packing
+    quality is per-bucket NFD either way. A doc longer than
+    ``max_len`` naturally lands in its own (overfull) bin.
+
+    Returns (doc_id, n_tok, bucket, bin_no, bin_id) — ``bin_id``
+    globally unique as bucket·2³² + bin_no."""
+    import pandas as pd
+
+    b = F.pmod(h32(F.col(id_col).cast("string"), seed=salt),
+               F.lit(n_buckets)).cast("int")
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col).alias("n_tok"),
+        b.alias("bucket"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(["n_tok", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+        bins, rem = [], -1
+        bin_no = -1
+        for n in pdf["n_tok"]:
+            if n <= rem:
+                rem -= n
+            else:
+                bin_no += 1
+                rem = max_len - n
+            bins.append(bin_no)
+        pdf = pdf.assign(bin_no=pd.array(bins, dtype="int64"))
+        pdf["bin_id"] = pdf["bucket"].astype("int64") * (1 << 32) + pdf["bin_no"]
+        return pdf
+
+    return src.groupBy("bucket").applyInPandas(
+        pack, "doc_id long, n_tok int, bucket int, bin_no long, bin_id long"
+    )

@@ -56,6 +56,7 @@ HEADLINE = [
     "corpus_pipeline",
     "token_pipeline",
     "pack_sequences",
+    "pack_bins",
     "chunk_tokens",
     "token_stats",
     "top_ngram",

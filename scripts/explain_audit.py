@@ -84,6 +84,7 @@ AUDITED = {
     "token_bucket": dict(),
     "dedup_tokens": dict(),
     "pack_sequences": dict(),
+    "pack_bins": dict(),
     "chunk_tokens": dict(),
     "top_ngram": dict(),
     "vocab_histogram": dict(),

@@ -1145,6 +1145,45 @@ def test_winnow_tokens_shared_run_guarantee(spark):
     assert all(2 not in p for p in got)
 
 
+def test_pack_bins_invariants(spark):
+    """No-split packing: every doc assigned exactly once; no bin's
+    token total exceeds max_len (except a single oversize doc alone in
+    its bin); assignment is layout-independent."""
+    from collections import defaultdict
+
+    from beats_spark.corpus.tokens import pack_bins
+
+    seqs = [[i] * ((i * 37) % 90 + 1) for i in range(60)] + [[7] * 200]
+    df = _tokdocs(spark, seqs)
+    out = pack_bins(df, max_len=128, n_buckets=4).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(61))
+    by_bin = defaultdict(list)
+    for r in out:
+        by_bin[r["bin_id"]].append(r["n_tok"])
+    for ns in by_bin.values():
+        assert sum(ns) <= 128 or (len(ns) == 1 and ns[0] > 128)
+    # oversize doc is alone in its bin
+    (big,) = [r for r in out if r["doc_id"] == 60]
+    assert by_bin[big["bin_id"]] == [200]
+    # layout independence
+    out2 = pack_bins(df.repartition(13), max_len=128, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_bins_nfd_order(spark):
+    """Within a bucket, next-fit-decreasing: [100, 90, 30, 20, 10]
+    at max_len=128 packs as [100+20], wait — NFD is sequential:
+    100 → bin0 (rem 28), 90 doesn't fit → bin1 (rem 38), 30 fits
+    bin1 (rem 8), 20 doesn't → bin2 (rem 108), 10 fits bin2."""
+    from beats_spark.corpus.tokens import pack_bins
+
+    lens = [100, 90, 30, 20, 10]
+    df = _tokdocs(spark, [[1] * n for n in lens])
+    out = pack_bins(df, max_len=128, n_buckets=1).collect()
+    got = {r["n_tok"]: r["bin_no"] for r in out}
+    assert got == {100: 0, 90: 1, 30: 1, 20: 2, 10: 2}
+
+
 def test_shuffle_shards_reproducible_across_layouts(spark):
     """The permutation must be identical regardless of partition
     layout (the whole point vs orderBy(rand()))."""
