@@ -34,24 +34,46 @@ def tokenize_ids(df: DataFrame, text_col: str = "text",
 
 
 def _global_starts(sel: DataFrame, n_parts: int | None) -> DataFrame:
-    """Distributed prefix sum of ``size(_t)`` in ``_id`` order: range
-    partition on ``_id`` (range k's ids all precede range k+1's), cumsum
-    WITHIN each range, and add per-range base offsets computed from the
-    per-range totals (one tiny aggregate collected on the driver —
-    #partitions rows, never data). No global single-partition window
-    anywhere; each range's window runs where its rows already live."""
+    """Distributed prefix sum of ``size(_t)`` in ``_id`` order: split
+    the id domain into ranges, cumsum WITHIN each range, and add
+    per-range base offsets computed from the per-range totals (one
+    tiny aggregate collected on the driver — #ranges rows, never
+    data). No global single-partition window anywhere; each range's
+    window runs where its rows shuffle to.
+
+    The range index is a PURE FUNCTION of ``_id`` against boundary
+    literals collected ONCE at plan build (approx percentiles of the
+    id domain). It must NOT be ``repartitionByRange`` +
+    ``spark_partition_id()``: the RangePartitioner re-SAMPLES
+    boundaries on every re-execution of the plan, and this frame is
+    consumed by two branches (the totals aggregate and the window) —
+    with sampled boundaries the two branches disagree and the offsets
+    land on the wrong ranges (observed non-deterministic output at
+    sf0.1). Correctness here is boundary-invariant — any split of the
+    id domain yields the same global prefix sum — so approximate,
+    even lopsided, percentiles are fine; they only affect balance."""
     spark = sel.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = sel.repartitionByRange(n_parts, "_id").withColumn(
-        "_rg", F.spark_partition_id()
-    )
+    bounds: list = []
+    if n_parts > 1:
+        qs = [i / n_parts for i in range(1, n_parts)]
+        row = sel.agg(
+            F.percentile_approx("_id", qs, 10_000).alias("bs")
+        ).first()
+        bounds = sorted(set(row["bs"] or []))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        rg = F.size(F.filter(barr, lambda b: F.col("_id") > b))
+    else:
+        rg = F.lit(0)
+    ranged = sel.withColumn("_rg", rg.cast("int"))
     totals = {
         r["_rg"]: r["_n"]
         for r in ranged.groupBy("_rg").agg(F.sum(F.size("_t")).alias("_n")).collect()
     }
     base, offsets = 0, []
-    for pid in range(n_parts):
+    for pid in range(len(bounds) + 1):
         offsets.append((pid, base))
         base += int(totals.get(pid, 0) or 0)
     off = spark.createDataFrame(offsets, "_rg int, _base long")

@@ -725,6 +725,35 @@ def test_pack_sequences_distributed_matches_naive(spark):
     assert "SinglePartition" not in plan
 
 
+def test_pack_sequences_distributed_deterministic_at_scale(spark):
+    """Regression (found by the sf0.1 oracle gate): the prefix-sum
+    range index must be a pure function of the id against PLAN-BUILD
+    boundary literals. repartitionByRange + spark_partition_id
+    re-samples boundaries on every re-execution, so the totals branch
+    and the window branch disagreed — non-deterministic output from
+    ~5k docs up. Two materializations of the same plan AND the naive
+    global window must all be byte-identical."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.corpus.tokens import pack_sequences
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.pmod(F.col("id") * 7919, F.lit(13))),
+            lambda j: (F.col("id") * 31 + j).cast("int"),
+        ).alias("tokens"),
+    ).repartition(11)
+    h = lambda d: d.agg(
+        F.sum(F.col("seq_no") * F.col("token_id") + F.col("pos_in_seq"))
+    ).first()[0]
+    dist = pack_sequences(docs, max_len=128, emit="exploded",
+                          distributed=True, n_parts=8)
+    naive = pack_sequences(docs, max_len=128, emit="exploded",
+                           distributed=False)
+    assert h(dist) == h(naive) == h(dist)
+
+
 def test_pack_sequences_sharded(spark):
     """shard_col packs one independent stream per shard: sequences are
     numbered within the shard and never mix tokens across shards."""
