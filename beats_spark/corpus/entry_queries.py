@@ -1676,8 +1676,9 @@ SELECT 5::INT, 'packed', ((n + 127) // 128)::BIGINT, n FROM tot
 
 def q_pack_bins(spark, sf_dir):
     """Whole-document bin packing (no-split packing): 16 independent
-    hash-bucket packers, next-fit-decreasing within each — exact
-    assignment verified against a recursive-CTE replay."""
+    hash-bucket packers, first-fit-decreasing within each — exact
+    assignment verified against a recursive-CTE replay carrying the
+    open-bin remainder LIST as state."""
     t = toks.tokenize_ids(_docs(spark, sf_dir))
     return toks.pack_bins(t, max_len=128, n_buckets=16)
 
@@ -1698,13 +1699,20 @@ o AS (
 ),
 rec AS (
   SELECT bucket, rn, doc_id, n, 0::BIGINT AS bin_no,
-         (128 - n)::BIGINT AS rem
+         [128 - n]::BIGINT[] AS rems
   FROM o WHERE rn = 1
   UNION ALL
   SELECT o.bucket, o.rn, o.doc_id, o.n,
-         CASE WHEN o.n <= r.rem THEN r.bin_no ELSE r.bin_no + 1 END,
-         CASE WHEN o.n <= r.rem THEN r.rem - o.n ELSE 128 - o.n END
-  FROM rec r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1
+         CASE WHEN coalesce(fit.i, 0) = 0 THEN len(r.rems)::BIGINT
+              ELSE (fit.i - 1)::BIGINT END,
+         CASE WHEN coalesce(fit.i, 0) = 0
+              THEN list_append(r.rems, (128 - o.n)::BIGINT)
+              ELSE list_transform(r.rems, (x, j) ->
+                     CASE WHEN j = fit.i THEN x - o.n ELSE x END) END
+  FROM rec r
+  JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1,
+  LATERAL (SELECT list_position(list_transform(r.rems, x -> x >= o.n), true)
+             AS i) fit
 )
 SELECT doc_id, n AS n_tok, bucket, bin_no,
        (bucket::BIGINT * 4294967296 + bin_no)::BIGINT AS bin_id

@@ -526,7 +526,7 @@ def chunk_tokens(df: DataFrame, size: int = 128, stride: int | None = None,
 
 def pack_bins(df: DataFrame, max_len: int = 128, id_col: str = "doc_id",
               tokens_col: str = "tokens", n_buckets: int = 16,
-              salt: str = "packbins") -> DataFrame:
+              salt: str = "packbins", strategy: str = "ffd") -> DataFrame:
     """Whole-document bin packing — the no-split alternative to
     :func:`pack_sequences` ("packing without cross-document
     contamination": a document never straddles two training
@@ -536,12 +536,14 @@ def pack_bins(df: DataFrame, max_len: int = 128, id_col: str = "doc_id",
     packers (the same md5 id-hash as :func:`hash_sample` — layout- and
     rerun-independent), so there is no global sequential state; each
     bucket packs its own docs in one Arrow batch (``applyInPandas``),
-    ordered (n_tok DESC, doc_id) and assigned next-fit-decreasing: a
-    doc joins the current bin if it fits, else opens a new bin. The
-    recurrence is per-bucket and bounded by bucket size; at 10^12 docs
-    you raise ``n_buckets`` so buckets stay batch-sized — packing
-    quality is per-bucket NFD either way. A doc longer than
-    ``max_len`` naturally lands in its own (overfull) bin.
+    ordered (n_tok DESC, doc_id) and assigned first-fit-decreasing
+    (``strategy='ffd'``, the canonical ≤11/9·OPT+1 heuristic: a doc
+    joins the FIRST open bin with room, else opens a new one) or
+    next-fit (``strategy='nfd'``: current bin only — cheaper state,
+    weaker fill). The recurrence is per-bucket and bounded by bucket
+    size; at 10^12 docs you raise ``n_buckets`` so buckets stay
+    batch-sized. A doc longer than ``max_len`` naturally lands in its
+    own (overfull) bin.
 
     Returns (doc_id, n_tok, bucket, bin_no, bin_id) — ``bin_id``
     globally unique as bucket·2³² + bin_no."""
@@ -558,15 +560,27 @@ def pack_bins(df: DataFrame, max_len: int = 128, id_col: str = "doc_id",
     def pack(pdf):
         pdf = pdf.sort_values(["n_tok", "doc_id"],
                               ascending=[False, True], kind="mergesort")
-        bins, rem = [], -1
-        bin_no = -1
-        for n in pdf["n_tok"]:
-            if n <= rem:
-                rem -= n
-            else:
-                bin_no += 1
-                rem = max_len - n
-            bins.append(bin_no)
+        bins: list[int] = []
+        if strategy == "ffd":
+            rems: list[int] = []
+            for n in pdf["n_tok"]:
+                for i, r in enumerate(rems):
+                    if r >= n:
+                        rems[i] = r - n
+                        bins.append(i)
+                        break
+                else:
+                    rems.append(max_len - n)
+                    bins.append(len(rems) - 1)
+        else:  # next-fit: current bin only
+            rem, bin_no = -1, -1
+            for n in pdf["n_tok"]:
+                if n <= rem:
+                    rem -= n
+                else:
+                    bin_no += 1
+                    rem = max_len - n
+                bins.append(bin_no)
         pdf = pdf.assign(bin_no=pd.array(bins, dtype="int64"))
         pdf["bin_id"] = pdf["bucket"].astype("int64") * (1 << 32) + pdf["bin_no"]
         return pdf

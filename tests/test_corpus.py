@@ -1199,18 +1199,22 @@ def test_pack_bins_invariants(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
-def test_pack_bins_nfd_order(spark):
-    """Within a bucket, next-fit-decreasing: [100, 90, 30, 20, 10]
-    at max_len=128 packs as [100+20], wait — NFD is sequential:
-    100 → bin0 (rem 28), 90 doesn't fit → bin1 (rem 38), 30 fits
-    bin1 (rem 8), 20 doesn't → bin2 (rem 108), 10 fits bin2."""
+def test_pack_bins_ffd_and_nfd_order(spark):
+    """Hand-checkable strategies on [100, 90, 30, 20, 10] at
+    max_len=128. FFD: 100→bin0(28), 90→bin1(38), 30→bin1(8),
+    20→bin0(8), 10 fits neither → bin2. NFD (current bin only):
+    100→bin0, 90→bin1(38), 30→bin1(8), 20→bin2(108), 10→bin2."""
     from beats_spark.corpus.tokens import pack_bins
 
     lens = [100, 90, 30, 20, 10]
     df = _tokdocs(spark, [[1] * n for n in lens])
-    out = pack_bins(df, max_len=128, n_buckets=1).collect()
-    got = {r["n_tok"]: r["bin_no"] for r in out}
-    assert got == {100: 0, 90: 1, 30: 1, 20: 2, 10: 2}
+    ffd = {r["n_tok"]: r["bin_no"]
+           for r in pack_bins(df, max_len=128, n_buckets=1).collect()}
+    assert ffd == {100: 0, 90: 1, 30: 1, 20: 0, 10: 2}
+    nfd = {r["n_tok"]: r["bin_no"]
+           for r in pack_bins(df, max_len=128, n_buckets=1,
+                              strategy="nfd").collect()}
+    assert nfd == {100: 0, 90: 1, 30: 1, 20: 2, 10: 2}
 
 
 def test_shuffle_shards_reproducible_across_layouts(spark):
