@@ -92,6 +92,45 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def line_dedup_within(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """C4's WITHIN-document line dedup (the other half of
+    :func:`line_dedup`'s cross-document pass): keep the first
+    occurrence of each exact line inside a document, drop later
+    repeats. Explode lines with position → per-(doc, line) keep-first
+    (row_number over a doc-local window — partitions are
+    document-sized, no hot key) → reassemble in position order.
+    Returns (doc_id, n_lines, dup_lines, cleaned_text); rows never
+    drop."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("doc_id", "line").orderBy("pos")
+    kept = lines.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_n"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return totals.join(re, "doc_id").select(
+        "doc_id", "n_lines",
+        (F.col("n_lines") - F.col("kept_n")).cast("long").alias("dup_lines"),
+        "cleaned_text",
+    )
+
+
 def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 13,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str = "text") -> DataFrame:

@@ -1094,6 +1094,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "mix_sources": q_mix_sources,
         "line_dedup": q_line_dedup,
+        "line_dedup_within": q_line_dedup_within,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_tokens": q_substring_dedup_tokens,
         "minhash_neardup_tokens": q_minhash_neardup_tokens,
@@ -1158,6 +1159,7 @@ def corpus_oracles() -> dict[str, str]:
         "shuffle_shards": _SHUFFLE_SHARDS_SQL,
         "mix_sources": _MIX_SOURCES_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "line_dedup_within": _LINE_DEDUP_WITHIN_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
         "substring_dedup_tokens": _SUBSTRING_DEDUP_TOKENS_SQL,
         "minhash_neardup_tokens": _MINHASH_NEARDUP_TOKENS_SQL,
@@ -1909,6 +1911,54 @@ SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
        (len(b.toks) - coalesce(re.kept_n, 0))::BIGINT AS dup_tokens,
        coalesce(re.cleaned_text, '') AS cleaned_text
 FROM base b LEFT JOIN re ON re.doc_id = b.doc_id
+"""
+
+
+def q_line_dedup_within(spark, sf_dir):
+    """C4's within-document line dedup over synthetic multi-line docs:
+    every doc repeats a header line (twice for every third doc); later
+    repeats must vanish, order otherwise preserved."""
+    docs = _docs(spark, sf_dir)
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("header line"))
+        .otherwise(F.concat(F.lit("uid "), F.col("doc_id").cast("string")))
+    )
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("header line"), F.col("text"),
+                    F.lit("header line"), tail).alias("text"),
+    )
+    return cleaning.line_dedup_within(multi)
+
+
+_LINE_DEDUP_WITHIN_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         'header line' || chr(10) || text || chr(10) || 'header line'
+           || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN 'header line'
+              ELSE 'uid ' || doc_id::VARCHAR END AS text
+  FROM documents
+),
+s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+l AS (
+  SELECT doc_id, u.i AS pos, ls[u.i] AS line
+  FROM s, unnest(range(1, len(ls)::INT + 1)) AS u(i)
+),
+k AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+  FROM l
+),
+re AS (
+  SELECT doc_id, count(*) AS kept_n,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT s.doc_id, len(s.ls)::BIGINT AS n_lines,
+       (len(s.ls) - re.kept_n)::BIGINT AS dup_lines,
+       re.cleaned_text
+FROM s JOIN re ON re.doc_id = s.doc_id
 """
 
 

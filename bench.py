@@ -47,6 +47,7 @@ HEADLINE = [
     "lm_score_lang",
     "dsir_weights",
     "line_dedup",
+    "line_dedup_within",
     "substring_dedup",
     "substring_dedup_tokens",
     "minhash_neardup_tokens",

@@ -93,6 +93,7 @@ AUDITED = {
     "pii_redact": dict(),
     "shuffle_shards": dict(),
     "line_dedup": dict(),
+    "line_dedup_within": dict(),
     "substring_dedup": dict(),
     "substring_dedup_tokens": dict(),
     "minhash_neardup_tokens": dict(),

@@ -1430,6 +1430,46 @@ def test_substring_dedup_matches_reference_on_random_corpora(spark):
         assert got == want, f"seed {seed}"
 
 
+def test_substring_dedup_tokens_matches_reference_on_random_corpora(spark):
+    """Tokens twin of the reference-model property: the int-array path
+    must equal the pure-python spec run on the decimal renderings."""
+    import random
+
+    from beats_spark.corpus.cleaning import substring_dedup_tokens
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        seqs = [[rng.randrange(5) for _ in range(rng.randint(0, 15))]
+                for _ in range(30)]
+        texts = [" ".join(map(str, s)) for s in seqs]
+        want = {
+            d: (n, dup, [int(x) for x in c.split()] if c else [])
+            for d, (n, dup, c) in _ref_substring_dedup(texts, 3).items()
+        }
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_tokens"],
+                          list(r["cleaned_tokens"]))
+            for r in substring_dedup_tokens(
+                _tokdocs(spark, seqs), min_len=3).collect()
+        }
+        # empty seqs: word_tokens('') gives [''] (1 token) in the text
+        # reference, the array path gives a true empty — align those
+        for d, s in enumerate(seqs):
+            if not s:
+                want[d] = (0, 0, [])
+        assert got == want, f"seed {seed}"
+
+
+def test_line_dedup_within_keeps_first_and_order(spark):
+    from beats_spark.corpus.cleaning import line_dedup_within
+
+    df = _docs(spark, ["a\nb\na\nc\nb\na", "x\ny"])
+    got = {r["doc_id"]: r for r in line_dedup_within(df).collect()}
+    assert got[0]["cleaned_text"] == "a\nb\nc" and got[0]["dup_lines"] == 3
+    assert got[0]["n_lines"] == 6
+    assert got[1]["cleaned_text"] == "x\ny" and got[1]["dup_lines"] == 0
+
+
 # -- IVF-PQ ------------------------------------------------------------------
 
 
