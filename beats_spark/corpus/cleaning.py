@@ -167,6 +167,34 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 13,
     )
 
 
+def contamination_report(df: DataFrame, benchmark: DataFrame, n: int = 13,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         bench_id_col: str = "doc_id",
+                         bench_text_col: str = "text") -> DataFrame:
+    """The audit face of :func:`decontaminate`: WHICH benchmark item
+    contaminated WHICH training document. One row per (train doc,
+    benchmark doc) pair sharing ≥1 word ``n``-gram, with the count of
+    distinct shared grams — what an eval-integrity review actually
+    reads. Same plan shape: distinct gram hashes on both sides, the
+    benchmark side broadcast; the join output is proportional to
+    contamination, not corpus size."""
+    def grams(frame: DataFrame, idc: str, txt: str, out: str) -> DataFrame:
+        return frame.select(
+            F.col(idc).alias(out),
+            F.explode(
+                F.array_distinct(shingles(word_tokens(F.col(txt)), n))
+            ).alias("gram"),
+        ).select(out, h32(F.col("gram")).alias("gh"))
+
+    doc_g = grams(df, id_col, text_col, "doc_id")
+    bench_g = grams(benchmark, bench_id_col, bench_text_col, "bench_id")
+    return (
+        doc_g.join(F.broadcast(bench_g), "gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
 def substring_dedup(df: DataFrame, min_len: int = 5, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """ExactSubstr-style dedup (Lee et al. 2021, arXiv:2107.06499):

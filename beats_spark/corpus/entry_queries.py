@@ -1099,6 +1099,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_tokens": q_substring_dedup_tokens,
         "minhash_neardup_tokens": q_minhash_neardup_tokens,
         "decontaminate": q_decontaminate,
+        "decontaminate_report": q_decontaminate_report,
         "decontaminate_spans": q_decontaminate_spans,
         "decontaminate_spans_tokens": q_decontaminate_spans_tokens,
         "pack_sequences": q_pack_sequences,
@@ -1164,6 +1165,7 @@ def corpus_oracles() -> dict[str, str]:
         "substring_dedup_tokens": _SUBSTRING_DEDUP_TOKENS_SQL,
         "minhash_neardup_tokens": _MINHASH_NEARDUP_TOKENS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "decontaminate_report": _DECONTAMINATE_REPORT_SQL,
         "decontaminate_spans": _DECONTAMINATE_SPANS_SQL,
         "decontaminate_spans_tokens": _DECONTAMINATE_SPANS_TOKENS_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
@@ -1851,6 +1853,37 @@ SELECT d.doc_id,
        coalesce(h.n_shared_ngrams, 0)::BIGINT AS n_shared_ngrams,
        coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+def q_decontaminate_report(spark, sf_dir):
+    """Contamination audit pairs: which benchmark doc (the every-20th
+    slice) shares 13-grams with which training doc, with counts."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    return cleaning.contamination_report(docs, bench, n=13,
+                                         bench_id_col="doc_id")
+
+
+_DECONTAMINATE_REPORT_SQL = f"""
+WITH dg AS (
+  SELECT DISTINCT doc_id,
+         {H32_SQL.format(expr="array_to_string(list_slice(t, i::INT, i::INT + 12), ' ')")} AS gh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, greatest(len(string_split(text, ' ')) - 11, 1))) AS i
+        FROM documents)
+  WHERE len(t) >= 13
+), bg AS (
+  SELECT DISTINCT doc_id AS bench_id,
+         {H32_SQL.format(expr="array_to_string(list_slice(t, i::INT, i::INT + 12), ' ')")} AS gh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, greatest(len(string_split(text, ' ')) - 11, 1))) AS i
+        FROM documents WHERE doc_id % 20 = 0)
+  WHERE len(t) >= 13
+)
+SELECT dg.doc_id, bg.bench_id, count(*)::BIGINT AS shared_ngrams
+FROM dg JOIN bg USING (gh)
+GROUP BY 1, 2
 """
 
 

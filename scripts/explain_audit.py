@@ -100,6 +100,7 @@ AUDITED = {
     "token_stats": dict(),
     "bpe_apply": dict(),
     "decontaminate": dict(broadcast=True),
+    "decontaminate_report": dict(broadcast=True),
     "decontaminate_spans": dict(broadcast=True),
     "decontaminate_spans_tokens": dict(broadcast=True),
     # composed cleaning pipeline: the decon benchmark broadcast runs

@@ -1645,3 +1645,18 @@ def test_lm_score_grouped_ngram_and_short_docs(spark):
            textstats.lm_score_grouped(df, by="lang", ngram=2).collect()}
     assert got[1] == (0, None)
     assert got[0] == got[2] and got[0][0] == 3 and got[0][1] > 0
+
+
+def test_contamination_report_pairs(spark):
+    from beats_spark.corpus.cleaning import contamination_report
+
+    quote = " ".join(f"q{i}" for i in range(13))
+    docs = _docs(spark, [f"intro {quote} outro", "totally clean text here",
+                         f"{quote} and {quote}"])
+    bench = spark.createDataFrame([(100, quote)], "doc_id long, text string")
+    got = {(r["doc_id"], r["bench_id"]): r["shared_ngrams"]
+           for r in contamination_report(docs, bench, n=13).collect()}
+    # doc 0 shares exactly the one 13-gram; doc 2 quotes it twice but
+    # grams are DISTINCT per doc, and its junction grams don't match
+    assert got[(0, 100)] == 1 and got[(2, 100)] == 1
+    assert (1, 100) not in got
