@@ -1115,6 +1115,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pipeline": q_token_pipeline,
         "winnow_neardup_tokens": q_winnow_neardup_tokens,
         "pack_bins": q_pack_bins,
+        "pack_bins_sequences": q_pack_bins_sequences,
         "frame_sample": q_frame_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
@@ -1181,6 +1182,7 @@ def corpus_oracles() -> dict[str, str]:
         "token_pipeline": _TOKEN_PIPELINE_SQL,
         "winnow_neardup_tokens": _WINNOW_NEARDUP_TOKENS_SQL,
         "pack_bins": _PACK_BINS_SQL,
+        "pack_bins_sequences": _PACK_BINS_SEQ_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
@@ -1721,6 +1723,48 @@ rec AS (
 SELECT doc_id, n AS n_tok, bucket, bin_no,
        (bucket::BIGINT * 4294967296 + bin_no)::BIGINT AS bin_id
 FROM rec
+"""
+
+
+def q_pack_bins_sequences(spark, sf_dir):
+    """Materialized no-split packed rows: per-bin doc table + the
+    concatenated token array, verified via content signatures."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    out = toks.pack_bins_sequences(t, max_len=128, n_buckets=16)
+    return out.select(
+        "bin_id", "n_docs", "n_tok",
+        F.md5(F.concat_ws(",", F.col("doc_ids").cast("array<string>")))
+        .alias("ids_sig"),
+        F.md5(F.concat_ws(",", F.col("doc_starts").cast("array<string>")))
+        .alias("starts_sig"),
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>")))
+        .alias("toks_sig"),
+    )
+
+
+_PACK_BINS_SEQ_SQL = _PACK_BINS_SQL.rsplit("SELECT doc_id", 1)[0] + """,
+t2 AS (
+  SELECT r.bucket, r.bin_no, r.doc_id, r.n, tk.toks
+  FROM rec r JOIN tk ON tk.doc_id = r.doc_id
+),
+st AS (
+  SELECT bucket, bin_no, doc_id, n, toks,
+         coalesce(sum(n) OVER (PARTITION BY bucket, bin_no
+                               ORDER BY n DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS strt
+  FROM t2
+)
+SELECT (bucket::BIGINT * 4294967296 + bin_no)::BIGINT AS bin_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_tok,
+       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY n DESC, doc_id))
+         AS ids_sig,
+       md5(string_agg(strt::VARCHAR, ',' ORDER BY n DESC, doc_id))
+         AS starts_sig,
+       md5(string_agg(array_to_string(toks, ','), ',' ORDER BY n DESC, doc_id))
+         AS toks_sig
+FROM st GROUP BY bucket, bin_no
 """
 
 

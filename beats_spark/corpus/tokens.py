@@ -588,3 +588,55 @@ def pack_bins(df: DataFrame, max_len: int = 128, id_col: str = "doc_id",
     return src.groupBy("bucket").applyInPandas(
         pack, "doc_id long, n_tok int, bucket int, bin_no long, bin_id long"
     )
+
+
+def pack_bins_sequences(df: DataFrame, max_len: int = 128,
+                        id_col: str = "doc_id", tokens_col: str = "tokens",
+                        n_buckets: int = 16, salt: str = "packbins",
+                        strategy: str = "ffd") -> DataFrame:
+    """Materialize :func:`pack_bins` assignments into the actual
+    training rows: one row per bin with the concatenated token array
+    plus the document boundary table (ids + start offsets + lengths,
+    in-bin order = (n_tok DESC, doc_id) — deterministic), which is
+    exactly what a downstream attention-mask / position-id builder
+    consumes for packing WITHOUT cross-document attention.
+
+    One extra keyed shuffle on bin_id after the assignment (uniform by
+    construction — bins are capacity-bounded); the concat is a per-bin
+    sort + flatten, never a global order. Returns
+    ``(bin_id, n_docs, n_tok, doc_ids, doc_starts, doc_lens, tokens)``."""
+    asg = pack_bins(df, max_len=max_len, id_col=id_col,
+                    tokens_col=tokens_col, n_buckets=n_buckets,
+                    salt=salt, strategy=strategy)
+    joined = asg.join(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(tokens_col).alias("_t")),
+        "doc_id",
+    )
+    per_bin = joined.groupBy("bin_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                (-F.col("n_tok")).alias("_nk"), F.col("doc_id").alias("_id"),
+                F.col("n_tok").alias("_n"), F.col("_t").alias("_t"),
+            ))
+        ).alias("ds")
+    )
+    starts = F.slice(
+        F.aggregate(
+            "ds", F.array(F.lit(0).cast("long")),
+            lambda acc, d: F.concat(
+                acc, F.array(F.element_at(acc, -1) + d["_n"].cast("long"))
+            ),
+        ),
+        1, F.size("ds"),
+    )
+    return per_bin.select(
+        "bin_id",
+        F.size("ds").alias("n_docs"),
+        F.aggregate("ds", F.lit(0).cast("long"),
+                    lambda acc, d: acc + d["_n"]).alias("n_tok"),
+        F.transform("ds", lambda d: d["_id"]).alias("doc_ids"),
+        starts.alias("doc_starts"),
+        F.transform("ds", lambda d: d["_n"].cast("long")).alias("doc_lens"),
+        F.flatten(F.transform("ds", lambda d: d["_t"])).alias("tokens"),
+    )

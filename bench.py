@@ -58,6 +58,7 @@ HEADLINE = [
     "token_pipeline",
     "pack_sequences",
     "pack_bins",
+    "pack_bins_sequences",
     "chunk_tokens",
     "token_stats",
     "top_ngram",

@@ -85,6 +85,7 @@ AUDITED = {
     "dedup_tokens": dict(),
     "pack_sequences": dict(),
     "pack_bins": dict(),
+    "pack_bins_sequences": dict(),
     "chunk_tokens": dict(),
     "top_ngram": dict(),
     "vocab_histogram": dict(),

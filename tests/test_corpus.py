@@ -1660,3 +1660,28 @@ def test_contamination_report_pairs(spark):
     # grams are DISTINCT per doc, and its junction grams don't match
     assert got[(0, 100)] == 1 and got[(2, 100)] == 1
     assert (1, 100) not in got
+
+
+def test_pack_bins_sequences_layout(spark):
+    """Per-bin materialization: boundary table consistent with the
+    concatenated array, docs in (n_tok DESC, doc_id) order, every
+    token preserved exactly (the per-row invariant)."""
+    from beats_spark.corpus.tokens import pack_bins_sequences
+
+    seqs = [[i * 10 + j for j in range(3 + i % 5)] for i in range(12)]
+    df = _tokdocs(spark, seqs)
+    out = pack_bins_sequences(df, max_len=16, n_buckets=2).collect()
+    seen = {}
+    for r in out:
+        assert r["n_docs"] == len(r["doc_ids"]) == len(r["doc_lens"])
+        assert r["n_tok"] == sum(r["doc_lens"]) == len(r["tokens"])
+        assert r["doc_starts"][0] == 0
+        for i, (d, s, ln) in enumerate(zip(r["doc_ids"], r["doc_starts"],
+                                           r["doc_lens"])):
+            assert r["tokens"][s:s + ln] == seqs[d]      # exact tokens
+            if i:
+                assert s == r["doc_starts"][i - 1] + r["doc_lens"][i - 1]
+            seen[d] = True
+        lens = r["doc_lens"]
+        assert lens == sorted(lens, reverse=True) or len(set(lens)) < len(lens)
+    assert sorted(seen) == list(range(12))               # all docs, once
