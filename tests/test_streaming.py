@@ -621,3 +621,50 @@ def test_corpus_quality_filters_streaming_parity(spark, tmp_path):
         for r in quality_filters(docs).select("doc_id", "passes_quality").collect()
     )
     assert got == want and len(got) == 500
+
+
+def test_corpus_ops_on_stream_match_batch(spark, tmp_path):
+    """The stateless corpus cleaning projections (PII redaction,
+    quality rules, text stats) compose unchanged onto a readStream —
+    streaming ingest-time cleaning produces byte-identical rows to the
+    batch pass over the same files."""
+    from beats_spark.corpus.cleaning import pii_redact
+    from beats_spark.corpus.textstats import quality_filters
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact bob@example.com or 10.1.2.3 now"),
+        ).alias("text"),
+    )
+    noisy.coalesce(2).write.mode("append").parquet(src)
+
+    def clean(df):
+        red = pii_redact(df)
+        return quality_filters(red).select(
+            "doc_id", "text", "email_redactions", "ipv4_redactions",
+            "n_words", "passes_quality",
+        )
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        clean(stream_parquet_dir(spark, src))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    cols = ("doc_id", "text", "email_redactions", "ipv4_redactions",
+            "n_words", "passes_quality")
+    got = sorted(rows(spark.read.parquet(out_dir), *cols))
+    want = sorted(rows(clean(noisy), *cols))
+    assert got == want and len(got) == 500
+    # redactions actually happened on the stream
+    assert all(r[2] >= 1 and r[3] >= 1 for r in got)
