@@ -1116,6 +1116,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup_tokens": q_winnow_neardup_tokens,
         "pack_bins": q_pack_bins,
         "pack_bins_sequences": q_pack_bins_sequences,
+        "sample_per_source": q_sample_per_source,
+        "vocab_coverage": q_vocab_coverage,
         "frame_sample": q_frame_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
@@ -1183,6 +1185,8 @@ def corpus_oracles() -> dict[str, str]:
         "winnow_neardup_tokens": _WINNOW_NEARDUP_TOKENS_SQL,
         "pack_bins": _PACK_BINS_SQL,
         "pack_bins_sequences": _PACK_BINS_SEQ_SQL,
+        "sample_per_source": _SAMPLE_PER_SOURCE_SQL,
+        "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
@@ -1765,6 +1769,58 @@ SELECT (bucket::BIGINT * 4294967296 + bin_no)::BIGINT AS bin_id,
        md5(string_agg(array_to_string(toks, ','), ',' ORDER BY n DESC, doc_id))
          AS toks_sig
 FROM st GROUP BY bucket, bin_no
+"""
+
+
+def q_sample_per_source(spark, sf_dir):
+    """Deterministic 3 examples per source (id-hash ranked — same
+    draw on any engine/run/layout, never RNG)."""
+    out = toks.sample_per_group(_docs(spark, sf_dir), n=3,
+                                group_col="source")
+    return out.select("doc_id", "source")
+
+
+_SAMPLE_PER_SOURCE_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {H32_SQL.format(expr="'gsample:' || doc_id::VARCHAR")},
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rk <= 3
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer diagnostics: cumulative corpus-token mass of the
+    top-{{10,100,1000}} most frequent ids."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return toks.vocab_coverage(t)
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH {_TOKENIZE_SQL},
+h AS (
+  SELECT token_id, count(*) AS n
+  FROM (SELECT unnest(toks) AS token_id FROM tk) GROUP BY 1
+),
+r AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n DESC, token_id) AS rk,
+         sum(n) OVER (ORDER BY n DESC, token_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM h
+),
+t AS (SELECT sum(n) AS total FROM h)
+SELECT ks.top_k,
+       (SELECT max(cum) FROM r WHERE rk <= ks.top_k)::BIGINT AS covered,
+       t.total::BIGINT AS total,
+       ((SELECT max(cum) FROM r WHERE rk <= ks.top_k) / t.total)::DOUBLE
+         AS coverage
+FROM (VALUES (10), (100), (1000)) ks(top_k), t
 """
 
 

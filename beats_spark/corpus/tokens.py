@@ -640,3 +640,51 @@ def pack_bins_sequences(df: DataFrame, max_len: int = 128,
         F.transform("ds", lambda d: d["_n"].cast("long")).alias("doc_lens"),
         F.flatten(F.transform("ds", lambda d: d["_t"])).alias("tokens"),
     )
+
+
+def sample_per_group(df: DataFrame, n: int = 5, group_col: str = "source",
+                     id_col: str = "doc_id", salt: str = "gsample") -> DataFrame:
+    """Deterministic N examples per group (the "show me a few docs per
+    source" debugging view): rows ranked inside each group by their
+    content-independent id hash (md5 — same draw on any engine, run,
+    or layout; never RNG), keep rank ≤ n. One keyed shuffle on the
+    group column; groups are few, rows per group capped at n."""
+    w = Window.partitionBy(group_col).orderBy(
+        h32(F.col(id_col).cast("string"), seed=salt), id_col
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def vocab_coverage(df: DataFrame, tokens_col: str = "tokens",
+                   top_k: tuple[int, ...] = (10, 100, 1000)) -> DataFrame:
+    """Tokenizer diagnostics: what fraction of all corpus tokens the
+    top-k most frequent ids cover, for each k. One vocab-sized hash
+    aggregate (:func:`vocab_histogram`) then a window cumsum over the
+    tiny frequency table (vocab-sized, not corpus-sized). Ties rank by
+    id for cross-engine determinism. Returns (top_k, covered, total,
+    coverage) — one row per requested k."""
+    hist = vocab_histogram(df, tokens_col)
+    w = Window.orderBy(F.desc("n"), "token_id")
+    ranked = hist.select(
+        "n", F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    total = ranked.agg(F.sum("n").alias("t"))
+    ks = df.sparkSession.createDataFrame([(k,) for k in top_k], "top_k int")
+    best = (
+        ranked.join(F.broadcast(ks), F.col("rk") <= F.col("top_k"))
+        .groupBy("top_k").agg(F.max("cum").alias("covered"))
+    )
+    return (
+        best.crossJoin(F.broadcast(total))
+        .select(
+            "top_k", F.col("covered").cast("long").alias("covered"),
+            F.col("t").cast("long").alias("total"),
+            (F.col("covered") / F.col("t")).cast("double").alias("coverage"),
+        )
+    )

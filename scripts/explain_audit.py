@@ -89,6 +89,8 @@ AUDITED = {
     "chunk_tokens": dict(),
     "top_ngram": dict(),
     "vocab_histogram": dict(),
+    "vocab_coverage": dict(),
+    "sample_per_source": dict(),
     "token_bigrams": dict(),
     "split_assign": dict(),
     "pii_redact": dict(),

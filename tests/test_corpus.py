@@ -1685,3 +1685,29 @@ def test_pack_bins_sequences_layout(spark):
         lens = r["doc_lens"]
         assert lens == sorted(lens, reverse=True) or len(set(lens)) < len(lens)
     assert sorted(seen) == list(range(12))               # all docs, once
+
+
+def test_sample_per_group_deterministic_and_capped(spark):
+    from beats_spark.corpus.tokens import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(100)], "doc_id long, source string"
+    )
+    a = sorted(map(tuple, sample_per_group(df, n=5).collect()))
+    b = sorted(map(tuple,
+                   sample_per_group(df.repartition(13), n=5).collect()))
+    assert a == b and len(a) == 20
+    from collections import Counter
+    assert all(v == 5 for v in Counter(s for _, s in a).values())
+
+
+def test_vocab_coverage_hand_case(spark):
+    from beats_spark.corpus.tokens import vocab_coverage
+
+    # id 1 ×6, id 2 ×3, id 3 ×1 → top-1 covers 0.6, top-2 covers 0.9
+    df = _tokdocs(spark, [[1, 1, 1, 2, 2], [1, 1, 1, 2, 3]])
+    got = {r["top_k"]: (r["covered"], r["total"], r["coverage"])
+           for r in vocab_coverage(df, top_k=(1, 2, 3)).collect()}
+    assert got[1] == (6, 10, 0.6)
+    assert got[2] == (9, 10, 0.9)
+    assert got[3] == (10, 10, 1.0)
