@@ -674,17 +674,23 @@ def vocab_coverage(df: DataFrame, tokens_col: str = "tokens",
         F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum"),
     )
-    total = ranked.agg(F.sum("n").alias("t"))
-    ks = df.sparkSession.createDataFrame([(k,) for k in top_k], "top_k int")
-    best = (
-        ranked.join(F.broadcast(ks), F.col("rk") <= F.col("top_k"))
-        .groupBy("top_k").agg(F.max("cum").alias("covered"))
+    one = ranked.agg(
+        F.sum("n").alias("t"),
+        *[
+            F.max(F.when(F.col("rk") <= k, F.col("cum"))).alias(f"_c{k}")
+            for k in top_k
+        ],
     )
-    return (
-        best.crossJoin(F.broadcast(total))
-        .select(
-            "top_k", F.col("covered").cast("long").alias("covered"),
-            F.col("t").cast("long").alias("total"),
-            (F.col("covered") / F.col("t")).cast("double").alias("coverage"),
+    rows = F.array(*[
+        F.struct(
+            F.lit(int(k)).alias("top_k"),
+            F.col(f"_c{k}").cast("long").alias("covered"),
         )
+        for k in top_k
+    ])
+    return one.select(F.explode(rows).alias("s"), "t").select(
+        F.col("s.top_k").alias("top_k"),
+        F.col("s.covered").alias("covered"),
+        F.col("t").cast("long").alias("total"),
+        (F.col("s.covered") / F.col("t")).cast("double").alias("coverage"),
     )
