@@ -210,6 +210,7 @@ def clean_tokens(
     substring_min_len: int = 5,
     max_len: int = 128,
     materialize: bool = True,
+    packing: str = "concat",
 ) -> TokenPipelineResult:
     """The token-native cleaning composition — the north-rule shape
     ``(doc_id, tokens:array<int>, …)`` in, training sequences out,
@@ -226,7 +227,10 @@ def clean_tokens(
             all-but-first occurrences of repeated id windows)
           → drop-empty + exact dedup on the final arrays (identical
             sequences keep the smallest id)
-          → pack_sequences into fixed-length training rows
+          → packing into training rows: ``packing='concat'`` is
+            pack_sequences (GPT-style concat-then-chunk, docs may
+            straddle); ``packing='bins'`` is pack_bins_sequences
+            (no-split FFD bins with the document boundary table)
 
     Stage outputs after the two cut stages are **materialized once**
     (`localCheckpoint`) before the gram-explode of the next stage
@@ -273,7 +277,10 @@ def clean_tokens(
     stages.append(("exact_dedup", k4))
 
     # 5. pack into training sequences
-    packed = tokens.pack_sequences(k4, max_len=max_len)
+    if packing == "bins":
+        packed = tokens.pack_bins_sequences(k4, max_len=max_len)
+    else:
+        packed = tokens.pack_sequences(k4, max_len=max_len)
 
     funnel = reduce(
         DataFrame.unionAll,

@@ -142,3 +142,27 @@ def test_clean_tokens_funnel_and_stages(spark):
     assert surv[4] == [10, 11, 12, 13]                 # rep removed
     assert surv[2] == [1, 2, 3, 4]                     # quote removed
     assert surv[0] == base                              # untouched (invariant)
+
+
+def test_clean_tokens_bins_packing(spark):
+    """packing='bins' swaps the no-split packer in: token totals are
+    conserved through the funnel and every surviving doc appears
+    intact in exactly one bin."""
+    from pyspark.sql import functions as F
+
+    docs = [(i, [i * 100 + j for j in range(3 + i % 7)]) for i in range(20)]
+    t = spark.createDataFrame(docs, "doc_id long, tokens array<long>")
+    bench = spark.createDataFrame([([1, 2, 3],)], "tokens array<long>")
+    res = cpipe.clean_tokens(t, bench, min_tok=1, max_run=10,
+                             substring_min_len=5, max_len=16,
+                             packing="bins")
+    f = {r["stage"]: (r["n_docs"], r["n_tokens"]) for r in res.funnel.collect()}
+    assert f["packed"][1] == f["exact_dedup"][1]
+    packed = res.packed.collect()
+    surv = {r["doc_id"]: r["tokens"] for r in res.survivors.collect()}
+    placed = {}
+    for b in packed:
+        for d, s, ln in zip(b["doc_ids"], b["doc_starts"], b["doc_lens"]):
+            assert b["tokens"][s:s + ln] == surv[d]
+            placed[d] = placed.get(d, 0) + 1
+    assert placed == {d: 1 for d in surv}
