@@ -166,6 +166,31 @@ def main() -> None:
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
+    # preserve the live hand-maintained variance section (everything
+    # from its marker onward) instead of re-emitting the stale embedded
+    # copy, and auto-append this run as a new table row so no
+    # measurement is ever silently lost to a regeneration.
+    marker = "## Measurement-variance history"
+    tail = None
+    if os.path.exists(md):
+        cur = open(md).read()
+        if marker in cur:
+            tail = cur[cur.index(marker):]
+    if tail is not None:
+        import datetime
+
+        stamp = datetime.date.today().isoformat()
+        row = (f"| dedicated auto-run {stamp} | {args.rows // 1_000_000}M "
+               f"| {lo['events_per_sec']:,} | {hi['events_per_sec']:,} "
+               f"| {eff:.3f} | {ceiling:.3f} | {eff / ceiling:.2f} |")
+        lines = tail.splitlines()
+        last_row = max(
+            (i for i, ln in enumerate(lines) if ln.startswith("| ")),
+            default=None,
+        )
+        if last_row is not None:
+            lines.insert(last_row + 1, row)
+            tail = "\n".join(lines) + ("\n" if tail.endswith("\n") else "")
     with open(md, "w") as f:
         f.write(f"""# BENCH — measured pipeline throughput & scaling efficiency
 
@@ -215,7 +240,8 @@ Per-sink ack counts are byte-identical across the two runs
 {json.dumps(lo['sink_counts'], indent=2)}
 ```
 
-## Measurement-variance history (hand-maintained; survives regeneration)
+""")
+        f.write(tail if tail is not None else f"""{marker} (hand-maintained; survives regeneration)
 
 Same code path, same protocol, different host windows — this sandbox's
 vCPU delivery drifts on the order of minutes; efficiency moves with it,
@@ -223,29 +249,11 @@ throughput peaks do not lie:
 
 | run | rows | N eps | 4N eps | raw eff | ceiling | pipeline/ceiling |
 |---|---|---|---|---|---|---|
-| r2 dedicated, contended window | 16M | 506,009 | 1,397,746 | 0.691 | 0.622 | 1.11 |
-| r2 dedicated, idle host (best) | 16M | 474,426 | 1,560,215 | **0.822** | 0.772 | 1.07 |
-| r3 in-bench scaling (BENCH artifact) | 8M | 395,902 | 1,215,990 | 0.768 | 0.476 | 1.61 |
-| r3 dedicated | 16M | 435,102 | 1,300,813 | 0.747 | 0.659 | 1.14 |
-
-Round-1 history: 0.632/0.48/0.672 raw in windows whose measured machine
-ceiling never exceeded 0.865. On the round-3 measurement day the host
-delivered only 0.48–0.66 N→4N scaling to the pure-register calibration
-loop in EVERY sampled window (vs 0.77 on the round-2 idle day) — no
-plan can scale above what the vCPUs deliver. Takeaway: whenever the
-host delivers its vCPUs, the pipeline scales at or ABOVE the
-pure-register-loop ceiling (ratio ≥ 1.0 in every calibrated round-2/3
-run); the plan has no serial section. Per-sink counts stayed
-byte-identical across parallelism in every run. Best observed absolute
-throughput: 2.02M events/s at 32 pinned cores (r2); 1.65M events/s in
-the r3 artifact on the throttled day, same protocol.
+| dedicated run | {args.rows // 1_000_000}M | {lo['events_per_sec']:,} | {hi['events_per_sec']:,} | {eff:.3f} | {ceiling:.3f} | {eff / ceiling:.2f} |
 
 Reference comparison: the reference repo publishes no benchmark numbers
 (see BASELINE.md at repo root); its load-test harness targets 10,000
 events/s per Filebeat process (`filebeat/tests/load/load.py:19-21`).
-The measurements above are {lo['events_per_sec'] // 10000}×/{hi['events_per_sec'] // 10000}× that
-rate at 8/32 cores respectively, on richer per-event work (dissect
-parse + enrich join + routing + windowed aggregation).
 
 Regenerate: `python scripts/scaling_bench.py --rows {args.rows}`.
 """)
