@@ -58,7 +58,25 @@ def read_log_lines(
         )
         .drop("_mono")
     )
-    return df
+    return strip_bom(df)
+
+
+def strip_bom(df: DataFrame, line_col: str = "message",
+              offset_col: str = "offset") -> DataFrame:
+    """UTF-8 BOM removal at file start (the reference's line decoder
+    consumes a leading U+FEFF before the first line —
+    ``libbeat/reader/readfile/encode.go``, fixture
+    ``filebeat/tests/files/logs/bom8.log``). Only the FIRST line of a
+    file (offset 0) is touched; offsets keep counting the consumed
+    BOM bytes, exactly like the harvester's ``state.Offset``."""
+    c = F.col(line_col)
+    return df.withColumn(
+        line_col,
+        F.when(
+            (F.col(offset_col) == 0) & c.startswith("﻿"),
+            c.substr(F.lit(2), F.length(c)),
+        ).otherwise(c),
+    )
 
 
 def strip_newline(df: DataFrame, line_col: str = "message") -> DataFrame:

@@ -199,3 +199,18 @@ def test_native_identity_survives_rotation_resume(spark, tmp_path):
     got = sorted(r["message"] for r in ev2.collect())
     # ONLY the appended tail of the rotated file + the fresh file
     assert got == ["new 1", "tail 1", "tail 2"]
+
+
+def test_strip_bom_first_line_only(spark, tmp_path):
+    """UTF-8 BOM at file start is consumed (reference fixture
+    bom8.log); offsets still count the BOM bytes, and a stray U+FEFF
+    mid-file is NOT touched."""
+    p = tmp_path / "bom.log"
+    p.write_bytes("﻿hello world\n﻿not a bom\n".encode("utf-8"))
+    rows_ = {
+        r["line_no"]: (r["message"], r["offset"])
+        for r in read_log_lines(spark, str(p)).collect()
+    }
+    assert rows_[1][0] == "hello world" and rows_[1][1] == 0
+    # line 1 consumed 3 BOM bytes + 11 text + 1 terminator = 15
+    assert rows_[2] == ("﻿not a bom", 15)
