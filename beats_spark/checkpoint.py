@@ -56,19 +56,56 @@ def load_state(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def resume_filter(df: DataFrame, state: DataFrame) -> DataFrame:
+def resume_filter(
+    df: DataFrame, state: DataFrame, detect_truncation: bool = True
+) -> DataFrame:
     """Keep only rows past the committed offset of their partition.
 
     The state table has one row per (source, part_id) — thousands of
     rows even at 10^12 events — so this is a broadcast join; the fact
     side never shuffles and the offset predicate prunes immediately
     after the scan.
+
+    ``detect_truncation`` mirrors the reference's registrar: when a
+    file's size drops below the committed offset the harvester
+    restarts from 0 ("Old file was truncated. Starting from the
+    beginning", ``filebeat/input/log/input.go:565-578``; registrar
+    system tests cover it). Batch form: a key whose CURRENT max offset
+    is below its committed offset has shrunk — its committed state is
+    voided so the whole key re-reads. This also catches inode reuse
+    (``filebeat/tests/system/test_registrar.py``): a new file that
+    inherits a deleted file's inode-device id resumes against the old
+    state; when it is smaller it re-reads instead of silently losing
+    its head. (A truncated file regrown PAST the old offset is
+    undetectable for the reference too — both see only size vs
+    offset.) Costs one map-side-combining max() over the scan — a
+    ≤ one-row-per-key-per-partition shuffle, the batch analogue of the
+    reference's per-file stat.
     """
     st = state.select(
         F.col("source").alias("_cp_source"),
         F.col("part_id").alias("_cp_part"),
         "committed_offset",
     )
+    if detect_truncation:
+        cur = df.groupBy("source", "part_id").agg(
+            F.max("offset").alias("_cur_max")
+        )
+        st = (
+            st.join(
+                cur,
+                (cur["source"] == st["_cp_source"])
+                & (cur["part_id"] == st["_cp_part"]),
+                "left",
+            )
+            .withColumn(
+                "committed_offset",
+                F.when(
+                    F.col("_cur_max") < F.col("committed_offset"), F.lit(None)
+                ).otherwise(F.col("committed_offset")),
+            )
+            .select("_cp_source", "_cp_part", "committed_offset")
+        )
     return (
         df.join(
             F.broadcast(st),

@@ -32,6 +32,16 @@ def read_log_lines(
     harvester's ``state.Offset`` analogue, advanced by line bytes +
     terminator — ``filebeat/input/log/harvester.go:443``): a running
     sum over a per-file window. ``line_no`` is the 1-based line number.
+
+    UTF-8 BOM accounting: Hadoop's text reader consumes a file-start
+    BOM before Spark sees the first line (the reference's decoder does
+    the same — ``libbeat/reader/readfile/encode.go``, fixture
+    ``filebeat/tests/files/logs/bom8.log``), so a pure line-length sum
+    would undercount every offset after line 1 by 3 bytes. A
+    driver-side 3-byte head probe over the globbed files (file-count
+    sized, same scan scale as :func:`file_identity`) broadcast-joins a
+    per-file correction so offsets keep counting the consumed BOM,
+    exactly like the harvester's ``state.Offset``.
     """
     if isinstance(paths, str):
         paths = [paths]
@@ -58,7 +68,77 @@ def read_log_lines(
         )
         .drop("_mono")
     )
-    return strip_bom(df)
+    bom_paths = _bom_file_paths(spark, paths)
+    if bom_paths:
+        dim = spark.createDataFrame([(p,) for p in bom_paths], "_bom_path string")
+        key = _normalize_uri(F.col("source"))
+        df = (
+            df.join(
+                F.broadcast(dim),
+                key == _normalize_uri(F.col("_bom_path")),
+                "left",
+            )
+            # the BOM bytes belong to line 1's advance: line 1 still
+            # starts at offset 0, every later line shifts by 3.
+            .withColumn(
+                "offset",
+                F.col("offset")
+                + F.when(
+                    F.col("_bom_path").isNotNull() & (F.col("line_no") > 1), F.lit(3)
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_bom_path")
+        )
+    return df
+
+
+def _normalize_uri(col):
+    """Collapse scheme + slash-count differences between
+    ``input_file_name()`` (``file:///x``) and Hadoop ``Path`` strings
+    (``file:/x``) to a bare ``/x`` join key."""
+    return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+
+
+def _bom_file_paths(spark: SparkSession, paths: Sequence[str]) -> list[str]:
+    """Driver-side probe: which globbed files start with a UTF-8 BOM.
+
+    Uses the Hadoop FileSystem API (not ``glob.glob``) so the probe
+    resolves the same paths ``spark.read.text`` will — local, HDFS, or
+    object-store. Cost is 3 bytes per matched FILE, so it scales with
+    file count (like the reference's prospector scan), never with
+    data volume.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    bom = []
+    try:
+        for pat in paths:
+            jpath = jvm.org.apache.hadoop.fs.Path(pat)
+            fs = jpath.getFileSystem(conf)
+            statuses = fs.globStatus(jpath)
+            if statuses is None:
+                continue
+            stack = list(statuses)
+            while stack:
+                st = stack.pop()
+                if st.isDirectory():
+                    stack.extend(fs.listStatus(st.getPath()))
+                    continue
+                if st.getLen() < 3:
+                    continue
+                stream = fs.open(st.getPath())
+                try:
+                    head = bytes(stream.read() & 0xFF for _ in range(3))
+                finally:
+                    stream.close()
+                if head == b"\xef\xbb\xbf":
+                    bom.append(st.getPath().toString())
+    except Exception:
+        # probe is a best-effort offset refinement; a filesystem that
+        # can't be probed falls back to uncorrected offsets rather
+        # than failing the scan.
+        return []
+    return bom
 
 
 def strip_bom(df: DataFrame, line_col: str = "message",
@@ -68,7 +148,13 @@ def strip_bom(df: DataFrame, line_col: str = "message",
     ``libbeat/reader/readfile/encode.go``, fixture
     ``filebeat/tests/files/logs/bom8.log``). Only the FIRST line of a
     file (offset 0) is touched; offsets keep counting the consumed
-    BOM bytes, exactly like the harvester's ``state.Offset``."""
+    BOM bytes, exactly like the harvester's ``state.Offset``.
+
+    Only needed on the binary-read path (:func:`decode_charset`),
+    where the BOM reaches the frame intact — ``spark.read.text``'s
+    Hadoop line reader already consumes it, and
+    :func:`read_log_lines` accounts for those bytes via its
+    driver-side head probe instead."""
     c = F.col(line_col)
     return df.withColumn(
         line_col,

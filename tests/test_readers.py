@@ -201,6 +201,78 @@ def test_native_identity_survives_rotation_resume(spark, tmp_path):
     assert got == ["new 1", "tail 1", "tail 2"]
 
 
+def test_registrar_truncation_rereads_from_start(spark, tmp_path):
+    """Reference registrar truncation case
+    (filebeat/tests/system/test_registrar.py, input.go:565-578): a
+    file truncated below its committed offset re-reads from the
+    beginning — the committed state is voided, not applied."""
+    from beats_spark.checkpoint import (
+        commit, load_state, partition_stats, resume_filter,
+    )
+    from beats_spark.readers import read_log_lines
+
+    log = tmp_path / "trunc.log"
+    log.write_text("".join(f"first run line {i}\n" for i in range(20)))
+    cp = str(tmp_path / "registry")
+
+    def scan():
+        return read_log_lines(spark, str(log)).withColumn(
+            "part_id", F.lit(0)
+        )
+
+    ev1 = resume_filter(scan(), load_state(spark, cp))
+    assert ev1.count() == 20
+    commit(partition_stats(ev1, ev1, run_id="r1"), cp)
+
+    # logrotate copytruncate: file shrinks below the committed offset
+    log.write_text("after truncate A\nafter truncate B\n")
+    ev2 = resume_filter(scan(), load_state(spark, cp))
+    got = sorted(r["message"] for r in ev2.collect())
+    assert got == ["after truncate A", "after truncate B"]
+
+    # and with detection off, the old behavior: everything filtered
+    assert resume_filter(scan(), load_state(spark, cp),
+                         detect_truncation=False).count() == 0
+
+
+def test_registrar_inode_reuse_smaller_file_rereads(spark, tmp_path):
+    """Inode-reuse case from the reference registrar tests: a NEW file
+    that inherits a deleted file's inode-device id (simulated with an
+    explicit identity dim — real inode recycling can't be forced)
+    resumes against the dead file's state; being smaller, it must take
+    the truncation path and re-read fully — not lose its head."""
+    from beats_spark.checkpoint import (
+        commit, load_state, partition_stats, resume_filter,
+    )
+    from beats_spark.readers import attach_file_identity, read_log_lines
+
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    a = log_dir / "a.log"
+    a.write_text("".join(f"file A line {i}\n" for i in range(15)))
+    cp = str(tmp_path / "registry")
+    reused_id = "inode-777-dev-1"
+
+    def scan(path):
+        ident = spark.createDataFrame(
+            [(path.resolve().as_uri(), reused_id)], "source string, file_id string"
+        )
+        return attach_file_identity(
+            read_log_lines(spark, str(path)), ident
+        ).withColumn("part_id", F.lit(0))
+
+    ev1 = resume_filter(scan(a), load_state(spark, cp))
+    assert ev1.count() == 15
+    commit(partition_stats(ev1, ev1, run_id="r1"), cp)
+
+    a.unlink()
+    b = log_dir / "b.log"  # new file, recycled inode → same file_id
+    b.write_text("fresh B 1\nfresh B 2\n")
+    ev2 = resume_filter(scan(b), load_state(spark, cp))
+    got = sorted(r["message"] for r in ev2.collect())
+    assert got == ["fresh B 1", "fresh B 2"]
+
+
 def test_strip_bom_first_line_only(spark, tmp_path):
     """UTF-8 BOM at file start is consumed (reference fixture
     bom8.log); offsets still count the BOM bytes, and a stray U+FEFF
