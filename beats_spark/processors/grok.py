@@ -144,10 +144,21 @@ def _noncapture(rx: str) -> str:
             out.append(rx[i : min(j + 1, n)])
             i = j + 1
             continue
-        if c == "(" and not rx.startswith("(?", i):
-            out.append("(?:")
-            i += 1
-            continue
+        if c == "(":
+            if not rx.startswith("(?", i):
+                out.append("(?:")
+                i += 1
+                continue
+            # named groups still CAPTURE — '(?<name>' (Java) and
+            # '(?P<name>' (PCRE) would silently shift the semantic
+            # $g numbering of every field after them; demote them to
+            # non-capturing too. Lookbehinds '(?<=' / '(?<!' are
+            # already non-capturing and pass through untouched.
+            m = re.match(r"\(\?P?<(?![=!])[^>]*>", rx[i:])
+            if m:
+                out.append("(?:")
+                i += m.end()
+                continue
         out.append(c)
         i += 1
     return "".join(out)

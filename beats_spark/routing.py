@@ -334,7 +334,9 @@ def sink_window_percentiles(
     cols = [c for c in (sink_col,) if c in df.columns]
 
     def pct(q: float) -> Column:
-        name = f"p{int(q * 100)}"
+        # full-decimal naming so qs like (0.99, 0.995) or (0.999,)
+        # never collide: 0.5→p50, 0.995→p99_5, 0.999→p99_9
+        name = "p" + f"{q * 100:g}".replace(".", "_")
         if exact:
             return F.expr(f"percentile({value_col}, {q})").alias(name)
         return F.percentile_approx(value_col, q, accuracy).alias(name)

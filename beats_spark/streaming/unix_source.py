@@ -124,6 +124,10 @@ class _UnixSimpleReader(SimpleDataSourceStreamReader):
         delimiter arrives; flush the (possibly delimiter-less) tail on
         close, the reference line reader's EOF behavior."""
         tail = b""
+        discarding = False  # oversize line: truncated head emitted,
+        # rest of the SAME logical line dropped until the next
+        # delimiter (the reference line reader's behavior — never a
+        # second, spurious event from the line's remainder).
         d = self.delim.encode()
         with c:
             while True:
@@ -135,13 +139,22 @@ class _UnixSimpleReader(SimpleDataSourceStreamReader):
                     break
                 tail += data
                 *complete, tail = tail.split(d)
+                if discarding:
+                    if complete:
+                        # first completed chunk is the remainder of
+                        # the truncated line — drop it, resume.
+                        complete = complete[1:]
+                        discarding = False
+                    else:
+                        tail = b""  # still inside the oversize line
                 if len(tail) > self.max_message:  # truncate, don't grow
                     complete.append(tail[: self.max_message])
                     tail = b""
+                    discarding = True
                 for msg in complete:
                     if msg:
                         self._push(msg.decode("utf-8", errors="replace"), cid)
-        if tail:
+        if tail and not discarding:
             self._push(tail.decode("utf-8", errors="replace"), cid)
 
     def _datagram_loop(self) -> None:

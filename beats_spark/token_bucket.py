@@ -70,10 +70,17 @@ def _run_bucket(
     allowed = np.zeros(len(ts_us), dtype=bool)
     for i in range(len(ts_us)):
         t = float(ts_us[i])
-        tokens = tokens + (t - last_us) * rate_per_us
-        if tokens > depth:
-            tokens = depth
-        last_us = t
+        # late arrivals (t < last_us — only possible across streaming
+        # micro-batches; the batch kernel sorts the whole group) must
+        # never UN-refill the bucket or rewind its clock: clamp the
+        # replenish delta at 0 and keep last_us monotone, so a late
+        # event only withdraws — matching what the batch kernel would
+        # have decided for the in-order events around it.
+        if t > last_us:
+            tokens = tokens + (t - last_us) * rate_per_us
+            if tokens > depth:
+                tokens = depth
+            last_us = t
         if tokens >= 1.0:
             allowed[i] = True
             tokens -= 1.0

@@ -616,6 +616,27 @@ def test_grok_nested_semantics_and_custom_definitions(spark):
     assert out["endpoint"] == "db1:5432"
 
 
+def test_grok_named_group_in_definition_does_not_shift_fields(spark):
+    """A user pattern_definition carrying a Java named group
+    '(?<x>...)' (common in grok patterns copied from public libraries)
+    must be demoted to non-capturing — otherwise it shifts $g group
+    numbering and corrupts every extracted field after it. Lookbehind
+    '(?<=...)' must survive untouched."""
+    from beats_spark.processors.grok import _noncapture, grok
+
+    df = spark.createDataFrame([("job=etl-7 host=db1:5432",)], "message string")
+    out = grok(
+        df,
+        "job=%{JOBNAME:job} host=%{HOSTPORT:endpoint}",
+        pattern_definitions={"JOBNAME": r"(?<word>[a-z]+)-(?P<num>[0-9]+)"},
+        target_prefix="",
+    ).collect()[0]
+    assert out["job"] == "etl-7"
+    assert out["endpoint"] == "db1:5432"
+    assert _noncapture(r"(?<=x)(?<name>a)(b)") == r"(?<=x)(?:a)(?:b)"
+    assert _noncapture(r"(?<!x)(?P<n>a)") == r"(?<!x)(?:a)"
+
+
 def test_grok_duplicate_names_coalesce(spark):
     from beats_spark.processors.grok import grok
 

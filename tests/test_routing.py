@@ -313,3 +313,6 @@ def test_window_percentiles_exact_vs_approx(spark):
         for p in ("p50", "p95", "p99"):
             # rank error 1/accuracy over a 0..999 uniform support
             assert abs(a[p] - e[p]) <= 5.0, (k, p, a[p], e[p])
+    # full-decimal quantile names never collide (0.99 vs 0.995 vs 0.999)
+    hi = sink_window_percentiles(ev, window="1 day", qs=(0.99, 0.995, 0.999))
+    assert [c for c in hi.columns if c.startswith("p")] == ["p99", "p99_5", "p99_9"]

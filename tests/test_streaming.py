@@ -483,6 +483,37 @@ def test_unix_events_projection(spark):
     assert all(r["offset"] is None for r in out)
 
 
+def test_unix_oversize_line_truncate_then_discard(tmp_path):
+    """An oversize line emits ONE truncated event; the rest of that
+    logical line — even spread over several sends with no delimiter —
+    is discarded until the next delimiter, then framing resumes (the
+    reference line reader's behavior). No Spark needed: drives the
+    reader's accept/frame loop over a real AF_UNIX socket."""
+    import socket as _socket
+    import time as _time
+
+    from beats_spark.streaming.unix_source import _UnixSimpleReader
+
+    path = str(tmp_path / "oversize.sock")
+    rd = _UnixSimpleReader({"path": path, "maxMessageSize": "10"})
+    rd._ensure_bound()
+    try:
+        c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+        c.connect(path)
+        c.sendall(b"0123456789ABCDEF")      # oversize, no delimiter yet
+        _time.sleep(0.1)
+        c.sendall(b"stillsameline")          # continuation, still no delim
+        _time.sleep(0.1)
+        c.sendall(b"tail-end\nnext line\n")  # delimiter ends the discard
+        _time.sleep(0.3)
+        c.close()
+        _time.sleep(0.2)
+        msgs = [v for v, _, _ in rd._buf]
+        assert msgs == ["0123456789", "next line"]
+    finally:
+        rd._sock.close()
+
+
 def test_stream_unix_end_to_end(spark, tmp_path):
     """Real bytes through the unix_lines Python Data Source: listen on
     a socket file, connect twice, send line-framed messages (one split

@@ -160,3 +160,31 @@ def test_kernel_state_split_property():
         b, tok_b, last_b = _run_bucket(ts[split:], tok, last, rate, depth)
         assert np.array_equal(np.concatenate([a, b]), whole), (trial, split)
         assert (tok_b, last_b) == (tok_w, last_w)
+
+
+def test_kernel_late_event_never_unrefills():
+    """A late event (ts earlier than the carried last_us — possible
+    only across streaming micro-batches) must only withdraw: the
+    replenish delta clamps at 0 and last_us stays monotone, so one
+    straggler can never drive tokens negative or rewind the clock and
+    deny in-order events beyond the configured rate."""
+    import numpy as np
+
+    from beats_spark.token_bucket import _run_bucket
+
+    rate = 1.0 / 1e6  # 1 token/second
+    depth = 2.0
+    # batch 1 ends with last_us = 10 s, bucket at 1.0 tokens
+    _, tok, last = _run_bucket(np.array([9e6, 10e6]), depth, 9e6, rate, depth)
+    assert last == 10e6
+    # batch 2 leads with a 7 s straggler, then an in-order 11 s event
+    allowed, tok2, last2 = _run_bucket(np.array([7e6, 11e6]), tok, last,
+                                       rate, depth)
+    assert last2 == 11e6          # clock never rewound
+    assert tok2 >= 0.0            # never negative
+    assert bool(allowed[1])       # in-order event still admitted
+    # many stragglers deny only themselves once tokens run dry
+    lots = np.full(10, 5e6)
+    allowed3, tok3, last3 = _run_bucket(lots, 1.5, 10e6, rate, depth)
+    assert last3 == 10e6 and tok3 >= 0.0
+    assert int(allowed3.sum()) == 1  # 1.5 tokens → one withdrawal fits
