@@ -61,6 +61,10 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     which AQE decides from its actual size) → surviving lines reassemble
     in position order. Returns (doc_id, text) with boilerplate lines
     removed; short lines are exempt (never removed) like C4's rule.
+    Every input doc keeps its row — a document whose every
+    qualifying line is boilerplate comes back with ``text = ''``
+    (same one-row-per-doc contract as :func:`_cut_spans` /
+    :func:`line_dedup_within`, so funnel/doc counts stay honest).
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
@@ -78,17 +82,21 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     ).filter(
         F.col("_boiler").isNull() | (F.length(F.trim("line")) < min_line_chars)
     )
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-            ).alias("text")
-        )
+    re = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text")
+    )
+    # a fully-boilerplate doc has no surviving exploded line and
+    # would vanish from the groupBy — left-join back to the input ids
+    # so every doc keeps its row (text = '').
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(re, "doc_id", "left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
 
 

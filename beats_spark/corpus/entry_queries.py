@@ -492,8 +492,20 @@ def q_ann_ivf_pq_nprobe(spark, sf_dir):
                                       m=4, ksub=16, dim=64, nprobe=3)
 
 
+def q_ann_ivf_pq_rerank(spark, sf_dir):
+    """IVF-PQ with the FAISS refine stage (rerank=4): ADC keeps the
+    top 4·k candidates per query, an exact fold-cos re-rank over just
+    those rows picks the final k — the quality path measured in the
+    recall gates (tests/test_corpus.py), here with the md5 fixture
+    codebooks so the DuckDB oracle stays bit-exact."""
+    return similarity.ann_ivf_pq_topk(_emb(spark, sf_dir), k=1, n_cells=8,
+                                      m=4, ksub=16, dim=64, nprobe=3,
+                                      rerank=4)
+
+
 def _ann_ivf_pq_sql(n_cells: int = 8, m: int = 4, ksub: int = 16,
-                    dim: int = 64, k: int = 1, nprobe: int = 1) -> str:
+                    dim: int = 64, k: int = 1, nprobe: int = 1,
+                    rerank: int = 1) -> str:
     dsub = dim // m
     cents = similarity.ivf_centroids(n_cells, dim)
     cent_rows = ",\n    ".join(
@@ -555,10 +567,36 @@ adc AS (
   FROM cand JOIN enc ON enc.vec_id = cand.nid
        JOIN lutt l ON l.qid = cand.qid AND l.j = enc.j AND l.i = enc.code
   GROUP BY 1, 2
-)
+){_pq_final_sql(k, rerank)}"""
+
+
+def _pq_final_sql(k: int, rerank: int) -> str:
+    if rerank <= 1:
+        return f"""
 SELECT qid AS vec_id, nid, adc,
        row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC)::INT AS rank
 FROM adc
+QUALIFY rank <= {k}
+"""
+    # refine stage: exact cosine over the rerank*k ADC survivors only
+    # (the same sequential-fold cos as every other oracle)
+    return f""",
+survivors AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS arn
+  FROM adc QUALIFY arn <= {k * rerank}
+),
+refined AS (
+  SELECT s.qid, s.nid,
+         list_sum(list_transform(list_zip(qa.v, qb.v), x -> x[1] * x[2]))
+           / (qa.nrm * qb.nrm) AS cos
+  FROM survivors s
+  JOIN e qa ON qa.vec_id = s.qid
+  JOIN e qb ON qb.vec_id = s.nid
+)
+SELECT qid AS vec_id, nid, cos,
+       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)::INT AS rank
+FROM refined
 QUALIFY rank <= {k}
 """
 
@@ -1085,6 +1123,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_ivf_pq_nprobe": q_ann_ivf_pq_nprobe,
+        "ann_ivf_pq_rerank": q_ann_ivf_pq_rerank,
         "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "media_embed": q_media_embed,
@@ -1154,6 +1193,7 @@ def corpus_oracles() -> dict[str, str]:
         "ann_ivf_nprobe": _ann_ivf_sql(45, nprobe=3),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
         "ann_ivf_pq_nprobe": _ann_ivf_pq_sql(nprobe=3),
+        "ann_ivf_pq_rerank": _ann_ivf_pq_sql(nprobe=3, rerank=4),
         "semantic_dedup": _semantic_dedup_sql(),
         "media_features": _MEDIA_FEATURES_SQL,
         "media_embed": _MEDIA_EMBED_SQL,
@@ -1914,12 +1954,15 @@ WITH d AS (
 ), boiler AS (
   SELECT lh FROM l WHERE length(trim(line)) >= 8
   GROUP BY lh HAVING count(DISTINCT doc_id) >= 2
+), re AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM l
+  WHERE lh NOT IN (SELECT lh FROM boiler) OR length(trim(line)) < 8
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       string_agg(line, chr(10) ORDER BY pos) AS text
-FROM l
-WHERE lh NOT IN (SELECT lh FROM boiler) OR length(trim(line)) < 8
-GROUP BY doc_id
+SELECT d.doc_id, coalesce(re.text, '') AS text
+FROM d LEFT JOIN re ON re.doc_id = d.doc_id
 """
 
 

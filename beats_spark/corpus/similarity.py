@@ -85,23 +85,44 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
 SMALL_N_CROSSJOIN = 1000
 
 
+def _auto_mode(df: DataFrame, small_n: int,
+               approx_count: int | None) -> str:
+    """Resolve mode='auto' without an eager action when avoidable:
+    a caller-supplied ``approx_count`` hint decides directly (any
+    estimate on the right side of ``small_n`` gives the same rows —
+    both paths are exact, the gate is purely a cost choice); a
+    streaming frame can't be counted and takes the scale-safe blocked
+    path; only a batch frame with no hint pays the count() (parquet
+    footer metadata — cheap, never a full scan)."""
+    if approx_count is not None:
+        n = approx_count
+    elif df.isStreaming:
+        return "blocked"
+    else:
+        n = df.count()
+    return "crossjoin" if n <= small_n else "blocked"
+
+
 def cosine_topk(df: DataFrame, k: int = 1, id_col: str = "vec_id",
                 vec_col: str = "embedding", mode: str = "auto",
                 n_blocks: int = 8,
-                small_n: int = SMALL_N_CROSSJOIN) -> DataFrame:
+                small_n: int = SMALL_N_CROSSJOIN,
+                approx_count: int | None = None) -> DataFrame:
     """Exact top-k neighbors per vector (ties broken by neighbor id).
 
-    ``mode='auto'`` (default) gates on the input row count — one cheap
-    count() action (parquet footer metadata) at plan build: at or below
+    ``mode='auto'`` (default) gates on the input row count: at or below
     ``small_n`` rows the cross-join + per-pair fold runs (less overhead
     than Arrow cogroups at tiny n); above it the plan delegates to
     :func:`cosine_topk_blocked` — identical rows by construction (GEMM
     candidate generation, fold-cos re-rank, so emitted doubles are the
-    same sequential fold), no cartesian product. ``mode='crossjoin'``
-    forces the O(n²) baseline — the ≤10⁵-row exactness oracle for
-    tests, never the scale path."""
+    same sequential fold), no cartesian product. The gate is lazy when
+    it can be: pass ``approx_count`` (any row-count estimate) and no
+    action runs at plan build; a streaming input goes blocked
+    unconditionally; otherwise one cheap count() (parquet footer
+    metadata) decides. ``mode='crossjoin'`` forces the O(n²) baseline —
+    the ≤10⁵-row exactness oracle for tests, never the scale path."""
     if mode == "auto":
-        mode = "crossjoin" if df.count() <= small_n else "blocked"
+        mode = _auto_mode(df, small_n, approx_count)
     if mode == "blocked":
         return cosine_topk_blocked(df, k, n_blocks, id_col, vec_col)
     if mode != "crossjoin":
@@ -119,12 +140,14 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding", mode: str = "auto",
                             n_blocks: int = 8,
-                            small_n: int = SMALL_N_CROSSJOIN) -> DataFrame:
-    """Unordered near-dup pairs with cosine ≥ threshold. Same row-count
-    gate as :func:`cosine_topk`: above ``small_n`` the blocked GEMM
-    path runs (identical rows, no cartesian product)."""
+                            small_n: int = SMALL_N_CROSSJOIN,
+                            approx_count: int | None = None) -> DataFrame:
+    """Unordered near-dup pairs with cosine ≥ threshold. Same lazy
+    row-count gate as :func:`cosine_topk`: above ``small_n`` the
+    blocked GEMM path runs (identical rows, no cartesian product);
+    ``approx_count`` skips the eager count."""
     if mode == "auto":
-        mode = "crossjoin" if df.count() <= small_n else "blocked"
+        mode = _auto_mode(df, small_n, approx_count)
     if mode == "blocked":
         return embedding_neardup_blocked(df, threshold, n_blocks, id_col, vec_col)
     if mode != "crossjoin":
@@ -431,7 +454,8 @@ def ivf_probe_assign(cents: list[list[float]], nprobe: int):
 def ann_ivf_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
                  dim: int | None = None, id_col: str = "vec_id",
                  vec_col: str = "embedding", assign: str = "pandas",
-                 pairs: str = "gemm", nprobe: int = 1) -> DataFrame:
+                 pairs: str = "gemm", nprobe: int = 1,
+                 centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-style ANN: coarse-quantize each vector to its nearest
     centroid cell, then exact cosine top-k within the probed cells.
 
@@ -455,13 +479,15 @@ def ann_ivf_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
     sequential fold).
 
     ``dim`` is required: the embedding dimension is config, not
-    something to probe with a driver-side action at plan-build time."""
+    something to probe with a driver-side action at plan-build time.
+    ``centroids`` (e.g. from :func:`ivf_train_centroids`) replaces the
+    deterministic md5 placeholders — same plan, better cells."""
     if dim is None:
         raise ValueError(
             "ann_ivf_topk requires dim= (embedding dimension); plan build "
             "must not run a driver-side first() probe"
         )
-    cents = ivf_centroids(n_cells, dim)
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     if nprobe > 1:
         if assign != "pandas":
             raise ValueError("nprobe > 1 requires assign='pandas'")
@@ -701,6 +727,87 @@ def pq_codebooks(m: int, ksub: int, dsub: int) -> list[list[list[float]]]:
     ]
 
 
+def _kmeans(X: np.ndarray, k: int, iters: int = 25,
+            seed: int = 0) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (numpy).
+    Init: seeded choice without replacement; an emptied cluster keeps
+    its previous centroid (stable, no resampling). Fixed iteration
+    count — training reproducibility beats convergence wobble here."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            members = a == j
+            if members.any():
+                C[j] = X[members].mean(0)
+    return C
+
+
+def sample_vectors(df: DataFrame, n: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic bounded training sample: top-``n`` rows by
+    ``xxhash64(id)`` — a TakeOrdered (per-partition top-n + driver
+    merge, never a full sort or full collect), so the SAME ``n``
+    vectors come back at any scale, any partitioning, any rerun.
+    This is the one sanctioned driver-side collect in this module:
+    quantizer TRAINING is bounded by design (FAISS trains IVF-PQ on a
+    fixed-size sample too); search never collects."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h", F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
+def ivf_train_centroids(df: DataFrame, n_cells: int, dim: int,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        sample_n: int = 16384, iters: int = 25,
+                        seed: int = 13) -> list[list[float]]:
+    """K-means-trained coarse-quantizer centroids (the production
+    substitute for :func:`ivf_centroids`' md5 placeholders): bounded
+    deterministic sample → Lloyd on the driver. The assignment / probe
+    plan downstream is identical — only the literals change. Trained
+    centroids track the data's cluster structure, so fewer probes reach
+    the same recall (measured in tests/test_corpus.py recall gates)."""
+    X = sample_vectors(df, sample_n, id_col, vec_col)
+    if X.shape[1] != dim:
+        raise ValueError(f"dim={dim} but sampled vectors have {X.shape[1]}")
+    return [[float(x) for x in row] for row in _kmeans(X, n_cells, iters, seed)]
+
+
+def pq_train_codebooks(df: DataFrame, m: int, ksub: int, dim: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       sample_n: int = 16384, iters: int = 25,
+                       seed: int = 13) -> list[list[list[float]]]:
+    """FAISS-style PQ training: per subspace, k-means over the
+    subvectors of a bounded deterministic sample (see
+    :func:`sample_vectors`). Returns the same nested-list format as
+    :func:`pq_codebooks`, so it drops into :func:`ann_ivf_pq_topk`
+    unchanged. Untrained (md5) codebooks keep cross-engine oracle
+    parity for the correctness gate; TRAINED codebooks are what make
+    the index an index — ADC recall@10 roughly triples on clustered
+    data (numbers in SCALE.md + tests/test_corpus.py)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    X = sample_vectors(df, sample_n, id_col, vec_col)
+    if X.shape[1] != dim:
+        raise ValueError(f"dim={dim} but sampled vectors have {X.shape[1]}")
+    dsub = dim // m
+    return [
+        [
+            [float(x) for x in c]
+            for c in _kmeans(X[:, j * dsub:(j + 1) * dsub], ksub, iters,
+                             seed + j)
+        ]
+        for j in range(m)
+    ]
+
+
 def pq_encode_assign(cbs: list[list[list[float]]]):
     """Arrow-batched PQ encoder: per subspace, one GEMM argmin against
     the subspace codebook (expanded ``|q|²+|c|²−2qc``, stable ties →
@@ -758,7 +865,10 @@ def pq_lut_assign(cbs: list[list[list[float]]]):
 def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
                     m: int = 4, ksub: int = 16, dim: int | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    nprobe: int = 1) -> DataFrame:
+                    nprobe: int = 1,
+                    codebooks: list[list[list[float]]] | None = None,
+                    centroids: list[list[float]] | None = None,
+                    rerank: int = 1) -> DataFrame:
     """FAISS-style IVF-PQ: coarse-quantize to IVF cells, PQ-encode the
     database side to ``m`` byte codes, search by asymmetric distance
     (per-query LUT, summed over code entries) within the cell.
@@ -780,7 +890,18 @@ def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
     candidate rows per query — exact by integer ordering);
     ``nprobe == n_cells`` degenerates to brute-force ADC over the
     whole database (tested). Returns ``(vec_id, nid, adc, rank)``
-    with ``adc`` in integer 1e-9 units of squared L2."""
+    with ``adc`` in integer 1e-9 units of squared L2.
+
+    ``codebooks`` / ``centroids`` (from :func:`pq_train_codebooks` /
+    :func:`ivf_train_centroids`) replace the md5 placeholders — the md5
+    defaults keep the DuckDB oracle bit-exact; trained ones are the
+    quality path. ``rerank > 1`` is FAISS's refine stage: the ADC keeps
+    the top ``rerank·k`` candidates per query and an EXACT fold-cos
+    re-rank over just those rows (``rerank·k`` vectors per query — a
+    candidate equi-join, never a scan) picks the final k; output then
+    becomes ``(vec_id, nid, cos, rank)``. On clustered data this lifts
+    recall@10 from ~0.56 (pure ADC, trained m=4) to ≥0.95 at
+    ``rerank=4`` (tests/test_corpus.py)."""
     if dim is None:
         raise ValueError(
             "ann_ivf_pq_topk requires dim= (embedding dimension); plan "
@@ -788,8 +909,12 @@ def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
         )
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
-    cbs = pq_codebooks(m, ksub, dim // m)
-    cents = ivf_centroids(n_cells, dim)
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
+    cbs = codebooks if codebooks is not None else pq_codebooks(m, ksub, dim // m)
+    m, ksub = len(cbs), len(cbs[0])
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    k_eff = k * rerank  # ADC keeps k_eff candidates; refine picks k
     if nprobe > 1:
         assigned = _prepped(df, id_col, vec_col).withColumn(
             "_cells", ivf_probe_assign(cents, nprobe)(F.col("v"))
@@ -829,7 +954,7 @@ def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
         bid = b_pdf["bid"].to_numpy()
         self_mask = qid[:, None] == bid[None, :]
         adc[self_mask] = np.iinfo(np.int64).max      # exclude self-pairs
-        kk = min(k, adc.shape[1])
+        kk = min(k_eff, adc.shape[1])
         order = np.argsort(adc, axis=1, kind="stable")[:, :kk]
         ri = np.repeat(np.arange(adc.shape[0]), kk)
         cj = order.ravel()
@@ -847,11 +972,24 @@ def ann_ivf_pq_topk(df: DataFrame, k: int = 1, n_cells: int = 8,
         .cogroup(b.groupby("bcell"))
         .applyInPandas(part, schema="vec_id long, nid long, adc long, rank int")
     )
-    if nprobe <= 1:
-        return cand  # one group per query: the per-group rank is final
-    w = Window.partitionBy("vec_id").orderBy(F.asc("adc"), F.asc("nid"))
+    if nprobe > 1:
+        # one global ADC window over ≤ nprobe·k_eff candidate rows/query
+        w_adc = Window.partitionBy("vec_id").orderBy(F.asc("adc"), F.asc("nid"))
+        cand = (
+            cand.drop("rank")
+            .withColumn("rank", F.row_number().over(w_adc))
+            .filter(F.col("rank") <= k_eff)
+        )
+    if rerank <= 1:
+        return cand  # pure-ADC ranking (the oracle-parity face)
+    # FAISS refine stage: exact fold-cos over ONLY the k_eff ADC
+    # survivors per query (candidate equi-join against the vectors),
+    # final top-k by exact cosine.
+    p_all = _prepped(df, id_col, vec_col)
+    exact = _fold_cos_for_pairs(cand.select("vec_id", "nid"), p_all)
+    w_cos = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
     return (
-        cand.drop("rank")
-        .withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w_cos))
         .filter(F.col("rank") <= k)
+        .select("vec_id", "nid", "cos", "rank")
     )
