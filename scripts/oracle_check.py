@@ -42,6 +42,53 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
+def duck_con(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def compare_query(spark, con, name: str, sf_dir: str, qs=None,
+                  oracles=None) -> str | None:
+    """Run one registry query on Spark and its oracle on DuckDB;
+    return None on match, else a failure description (the same
+    count/cols/value-hash comparison the driver gate runs). Importable
+    from tests — the second-scale CI gate (tests/
+    test_second_scale_oracle.py) reuses exactly this comparison."""
+    import __spark_entry__ as entry
+
+    qs = qs if qs is not None else entry.queries()
+    oracles = oracles if oracles is not None else entry.oracle_sql()
+    try:
+        sdf = qs[name](spark, sf_dir)
+        scols = list(sdf.columns)
+        srows = sdf.collect()
+    except Exception as e:
+        return f"spark error: {e}"
+    if name not in oracles:
+        return None  # rows-only query: ran without error
+    try:
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    except Exception as e:
+        return f"duckdb error: {str(e)[:300]}"
+    sc, sv = norm_rows(scols, [tuple(r) for r in srows])
+    dc, dv = norm_rows(dcols, drows)
+    status = []
+    if len(sv) != len(dv):
+        status.append(f"rowcount spark={len(sv)} duck={len(dv)}")
+    if sc != dc:
+        status.append(f"cols spark={sc} duck={dc}")
+    if not status and sv != dv:
+        diff = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+        s_only = [r for r in sv[:2000] if r not in set(dv)][:3]
+        status.append(f"values differ; first diffs={diff} spark_only={s_only}")
+    return "; ".join(status) if status else None
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -51,9 +98,7 @@ def main():
 
     spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=8)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duck_con(sf_dir)
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
