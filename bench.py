@@ -197,16 +197,24 @@ def main() -> None:
 
     qs = entry.queries()
     times: dict[str, float] = {}
+    query_reps: dict[str, int] = {}
     for name in HEADLINE:
         reps = []
-        for _ in range(2):  # min-of-2: the host stalls runs at random
+        # min-of-reps: the host stalls runs at random. Sub-second
+        # queries drift 1.3-1.8x on host windows alone, so they get
+        # min-of-5; anything slower amortizes the stall and min-of-2
+        # suffices (r3 verdict ask #6).
+        for i in range(5):
             # build INSIDE the timer: eager operators (the connected-
             # components loop, the auto-gate count) do real work at
             # plan-build time and must be charged
             t0 = time.time()
             materialize(qs[name](spark, sf_dir))
             reps.append(time.time() - t0)
+            if i >= 1 and min(reps) >= 1.0:
+                break
         times[name] = round(min(reps), 3)
+        query_reps[name] = len(reps)
 
     # scale-unsafe exactness baselines: timed once, outside the headline
     from beats_spark.corpus import similarity as _sim
@@ -232,6 +240,7 @@ def main() -> None:
         ),
         "unit": "sec",
         "queries": times,
+        "query_reps": query_reps,
         "baselines": baselines,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # in-process measurement — superseded below by the pinned
@@ -345,7 +354,63 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - environment-dependent
             out["scaling_error"] = str(e)[:200]
 
-    print(json.dumps(out))
+    # Full-detail record: a PRECEDING stdout line + BENCH/queries.json.
+    # The driver keeps only the last ~2000 bytes of stdout and parses
+    # the final JSON line — r3's final line overflowed that tail and
+    # recorded parsed=null — so the FINAL line below is a compact
+    # summary guaranteed to fit, and everything verbose lives here.
+    print(json.dumps({**out, "detail": True}), flush=True)
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/queries.json", "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "value_r2_subset", "unit", "sf",
+            "pipeline_events_per_sec", "pipeline_measurement",
+            "pipeline_rows", "cpus",
+        )
+        if k in out
+    }
+    compact["n_queries"] = len(out.get("queries", {}))
+    compact["queries_file"] = "BENCH/queries.json"
+    if "scaling" in out:
+        s = out["scaling"]
+        compact["scaling"] = {
+            k: s[k]
+            for k in (
+                "rows", "low_cores", "high_cores", "low_eps", "high_eps",
+                "efficiency", "machine_ceiling_efficiency",
+                "efficiency_vs_ceiling", "sink_counts_equal",
+            )
+            if k in s
+        }
+    if "scaling_error" in out:
+        compact["scaling_error"] = out["scaling_error"]
+    # keep per-query timings on the final line only while they fit the
+    # driver's tail budget: full map → slowest-10 → none
+    times_sorted = sorted(
+        out.get("queries", {}).items(), key=lambda kv: -kv[1]
+    )
+    for qmap in (dict(times_sorted), dict(times_sorted[:10]), None):
+        if qmap is None:
+            compact.pop("queries", None)
+            break
+        compact["queries"] = qmap
+        if len(json.dumps(compact)) <= 1400:
+            if len(qmap) < len(times_sorted):
+                compact["queries_note"] = (
+                    f"slowest {len(qmap)} of {len(times_sorted)}; "
+                    "full map in BENCH/queries.json + preceding line"
+                )
+            break
+    line = json.dumps(compact)
+    assert len(line) <= 1900, len(line)
+    print(line)
 
 
 if __name__ == "__main__":
