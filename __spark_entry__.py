@@ -1208,10 +1208,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "frame_sample",
     "corpus_pipeline",
     "corpus_pipeline_funnel",
-    # -- proven rotators filling the window to 50 --
+    # -- new in r4, never gate-checked --
+    "temperature_mix",
+    "temperature_rates",
+    # -- proven rotator filling the window to 50 --
     "route_fanout",
-    "multiline_pattern",
-    "token_bucket",
 ]
 
 

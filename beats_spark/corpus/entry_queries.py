@@ -1132,6 +1132,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "shuffle_shards": q_shuffle_shards,
         "mix_sources": q_mix_sources,
+        "temperature_mix": q_temperature_mix,
+        "temperature_rates": q_temperature_rates,
         "line_dedup": q_line_dedup,
         "line_dedup_within": q_line_dedup_within,
         "substring_dedup": q_substring_dedup,
@@ -1202,6 +1204,8 @@ def corpus_oracles() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_SQL,
         "shuffle_shards": _SHUFFLE_SHARDS_SQL,
         "mix_sources": _MIX_SOURCES_SQL,
+        "temperature_mix": _TEMPERATURE_MIX_SQL,
+        "temperature_rates": _TEMPERATURE_RATES_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "line_dedup_within": _LINE_DEDUP_WITHIN_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
@@ -2396,6 +2400,56 @@ SELECT doc_id, source FROM documents
 WHERE ({H32_SQL.format(expr="'mix:' || doc_id::VARCHAR")} % 1000000) <
       CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 1000000
                   WHEN 'src2' THEN 100000 ELSE -1 END
+"""
+
+
+def q_temperature_rates(spark, sf_dir):
+    """α-temperature mixing rates (T5/XLM rule, α=0.5): per-source
+    output share ∝ sqrt(volume share); rates derived in-plan from one
+    tiny per-source aggregate, integer-ppm quantized."""
+    return toks.temperature_rates(_docs(spark, sf_dir), alpha=0.5,
+                                  target_frac=0.5)
+
+
+def q_temperature_mix(spark, sf_dir):
+    """α-temperature source resampling: the rates above applied as a
+    deterministic id-hash cut — same rows at any parallelism."""
+    out = toks.temperature_mix(_docs(spark, sf_dir), alpha=0.5,
+                               target_frac=0.5)
+    return out.select("doc_id", "source")
+
+
+# mirrors temperature_rates' exact arithmetic: integer n/N, integer
+# micro-unit w/W (sqrt is correctly rounded → identical on any
+# engine), fixed operation order ((tf*N)*(w/W))/n
+_TEMP_RATES_CTE = """
+per AS (
+  SELECT source, sum(n_chars)::BIGINT AS n,
+         CAST(round(sqrt(sum(n_chars)::BIGINT::DOUBLE) * 1000000) AS BIGINT) AS w
+  FROM documents GROUP BY source
+), g AS (
+  SELECT sum(n)::BIGINT AS tot_n, sum(w)::BIGINT AS tot_w FROM per
+), rates AS (
+  SELECT source, n AS volume,
+         n::DOUBLE / tot_n::DOUBLE AS share_natural,
+         w::DOUBLE / tot_w::DOUBLE AS share_target,
+         CAST(round(least(1.0,
+              ((0.5 * tot_n::DOUBLE) * (w::DOUBLE / tot_w::DOUBLE)) / n::DOUBLE
+         ) * 1000000) AS BIGINT) AS rate_ppm
+  FROM per, g
+)"""
+
+_TEMPERATURE_RATES_SQL = f"""
+WITH {_TEMP_RATES_CTE}
+SELECT source, volume, share_natural, share_target, rate_ppm FROM rates
+"""
+
+_TEMPERATURE_MIX_SQL = f"""
+WITH {_TEMP_RATES_CTE}
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE ({H32_SQL.format(expr="'tmix:' || d.doc_id::VARCHAR")} % 1000000)
+      < r.rate_ppm
 """
 
 

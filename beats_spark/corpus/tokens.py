@@ -475,6 +475,92 @@ def mix_sources(df: DataFrame, weights: dict[str, float],
     return df.filter(b < rate)
 
 
+def temperature_rates(df: DataFrame, alpha: float = 0.5,
+                      target_frac: float = 0.5,
+                      source_col: str = "source",
+                      weight_col: str = "n_chars") -> DataFrame:
+    """Per-source keep rates for α-temperature mixing (the T5/XLM
+    multilingual-sampling rule, arXiv:1910.10683 §3.4.3 /
+    arXiv:1901.07291): the output share of source *i* is proportional
+    to ``(its volume share)^alpha`` — α=1 keeps natural proportions,
+    α→0 flattens toward uniform, lifting low-resource sources.
+
+    With per-source volume ``n_i`` (sum of ``weight_col``), target
+    share ``q_i = n_i^alpha / Σ n_j^alpha`` and output budget
+    ``T = target_frac · Σ n_j``, the keep rate is
+    ``min(1, T · q_i / n_i)``. All derived IN-PLAN: one tiny
+    per-source aggregate crossed with its 1-row global sum — no
+    driver collect, and the fact table is touched once.
+
+    Cross-engine exactness: per-source weights ``n_i^alpha`` are
+    quantized to INTEGER micro-units before the global sum (the
+    micro-bit discipline of ``lm_score``), so ``W`` is an exact
+    integer no matter the aggregation order — float sums are
+    order-dependent and partition order isn't. α=0.5 uses ``sqrt``
+    (correctly rounded in IEEE-754, so every engine agrees
+    bit-for-bit); other α go through ``pow``, which is NOT correctly
+    rounded — documented ulp risk at quantization boundaries. With
+    integer ``n``, ``N``, ``w``, ``W`` (all < 2^53, exactly
+    representable) and the operation order fixed
+    (``((tf·N)·(w/W))/n``), every division/multiply is correctly
+    rounded over identical operands → ``rate_ppm`` is reproducible on
+    any engine."""
+    nd = F.col("_n").cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(nd)
+    elif alpha == 1.0:
+        w = nd
+    else:
+        w = F.pow(nd, F.lit(float(alpha)))
+    per = (
+        df.groupBy(source_col)
+        .agg(F.sum(weight_col).cast("long").alias("_n"))
+        .withColumn("_w", F.round(w * 1_000_000).cast("long"))
+    )
+    # g shares per's lineage (a self-join); alias-qualify both sides so
+    # the analyzer can resolve `_n` unambiguously after the crossJoin
+    g = per.agg(F.sum("_n").alias("_N"), F.sum("_w").alias("_W"))
+    p, q = per.alias("_tm_p"), g.alias("_tm_g")
+    n = F.col("_tm_p._n").cast("double")
+    w = F.col("_tm_p._w").cast("double")
+    N = F.col("_tm_g._N").cast("double")
+    W = F.col("_tm_g._W").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        ((F.lit(float(target_frac)) * N) * (w / W)) / n,
+    )
+    return p.crossJoin(F.broadcast(q)).select(
+        F.col(f"_tm_p.{source_col}").alias(source_col),
+        F.col("_tm_p._n").alias("volume"),
+        (n / N).alias("share_natural"),
+        (w / W).alias("share_target"),
+        F.round(rate * 1_000_000).cast("long").alias("rate_ppm"),
+    )
+
+
+def temperature_mix(df: DataFrame, alpha: float = 0.5,
+                    target_frac: float = 0.5, source_col: str = "source",
+                    weight_col: str = "n_chars", id_col: str = "doc_id",
+                    salt: str = "tmix") -> DataFrame:
+    """α-temperature source mixing: derive each source's keep rate
+    from its OBSERVED volume (:func:`temperature_rates`) and apply the
+    same deterministic id-hash cut as :func:`hash_sample` /
+    :func:`mix_sources` — reruns, retries, and any cluster size keep
+    exactly the same rows. One per-source aggregate + a broadcast join
+    of the (#sources)-row rate dim back onto the fact table; the cut
+    is a narrow filter."""
+    rates = temperature_rates(df, alpha, target_frac, source_col, weight_col)
+    dim = rates.select(
+        F.col(source_col).alias("_tm_src"), "rate_ppm"
+    )
+    b = F.pmod(h32(F.col(id_col).cast("string"), seed=salt), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(dim), df[source_col] == F.col("_tm_src"), "left")
+        .filter(b < F.coalesce(F.col("rate_ppm"), F.lit(-1)))
+        .drop("_tm_src", "rate_ppm")
+    )
+
+
 def chunk_tokens(df: DataFrame, size: int = 128, stride: int | None = None,
                  id_col: str = "doc_id", tokens_col: str = "tokens",
                  keep_tail: bool = True) -> DataFrame:

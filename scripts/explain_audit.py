@@ -83,6 +83,14 @@ AUDITED = {
     "rate_limit_salted": dict(),
     "token_bucket": dict(),
     "dedup_tokens": dict(),
+    # round-4 additions
+    "ann_ivf_pq_rerank": dict(),
+    # temperature mixing joins a ONE-ROW global aggregate back via
+    # crossJoin(broadcast(...)) — Spark plans a scalar-dim
+    # BroadcastNestedLoopJoin, which is linear (n × 1), not quadratic;
+    # the per-source rate dim itself is a BroadcastHashJoin
+    "temperature_rates": dict(allow_cartesian=True),
+    "temperature_mix": dict(broadcast=True, allow_cartesian=True),
     "pack_sequences": dict(),
     "pack_bins": dict(),
     "pack_bins_sequences": dict(),

@@ -777,6 +777,39 @@ def test_line_dedup_removes_boilerplate(spark):
         # 'short' (< 8 chars) exempt even though shared
 
 
+def test_temperature_mix_flattens_shares(spark):
+    """α-temperature mixing: α=0.5 lifts the low-resource source's
+    output share above its natural share (and caps rates at 1.0);
+    α=1.0 reproduces natural proportions (every rate == target_frac);
+    the kept rows are a deterministic id-hash subset (rerun-stable)."""
+    from beats_spark.corpus.tokens import temperature_mix, temperature_rates
+
+    rows = [(i, "big", 100) for i in range(900)] + [
+        (900 + i, "small", 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+
+    r = {x["source"]: x for x in
+         temperature_rates(df, alpha=0.5, target_frac=0.5).collect()}
+    assert r["small"]["share_natural"] == 0.1
+    assert r["small"]["share_target"] > 0.2  # sqrt flattening lifts it
+    assert r["big"]["share_target"] < 0.8
+    assert r["small"]["rate_ppm"] == 1_000_000  # capped at keep-everything
+    assert 0 < r["big"]["rate_ppm"] < 500_000
+
+    r1 = {x["source"]: x["rate_ppm"] for x in
+          temperature_rates(df, alpha=1.0, target_frac=0.5).collect()}
+    assert r1 == {"big": 500_000, "small": 500_000}  # natural proportions
+
+    kept_a = sorted(x["doc_id"] for x in
+                    temperature_mix(df, alpha=0.5, target_frac=0.5).collect())
+    kept_b = sorted(x["doc_id"] for x in
+                    temperature_mix(df, alpha=0.5, target_frac=0.5).collect())
+    assert kept_a == kept_b and 0 < len(kept_a) < 1000
+    small_kept = sum(1 for i in kept_a if i >= 900)
+    assert small_kept == 100  # rate 1.0 → all small-source docs survive
+
+
 def test_line_dedup_keeps_fully_boilerplate_doc_row(spark):
     """A doc made entirely of boilerplate must not vanish — it keeps
     its row with text='' (one-row-per-doc contract, same as
