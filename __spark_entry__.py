@@ -1211,8 +1211,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- new in r4, never gate-checked --
     "temperature_mix",
     "temperature_rates",
-    # -- proven rotator filling the window to 50 --
-    "route_fanout",
+    "fim_transform",
 ]
 
 

@@ -1134,6 +1134,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "temperature_mix": q_temperature_mix,
         "temperature_rates": q_temperature_rates,
+        "fim_transform": q_fim_transform,
         "line_dedup": q_line_dedup,
         "line_dedup_within": q_line_dedup_within,
         "substring_dedup": q_substring_dedup,
@@ -1206,6 +1207,7 @@ def corpus_oracles() -> dict[str, str]:
         "mix_sources": _MIX_SOURCES_SQL,
         "temperature_mix": _TEMPERATURE_MIX_SQL,
         "temperature_rates": _TEMPERATURE_RATES_SQL,
+        "fim_transform": _FIM_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "line_dedup_within": _LINE_DEDUP_WITHIN_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
@@ -2400,6 +2402,39 @@ SELECT doc_id, source FROM documents
 WHERE ({H32_SQL.format(expr="'mix:' || doc_id::VARCHAR")} % 1000000) <
       CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 1000000
                   WHEN 'src2' THEN 100000 ELSE -1 END
+"""
+
+
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle (PSM) over the tokenized documents: half the
+    docs (deterministic id-hash) re-emit as [PRE] prefix [SUF] suffix
+    [MID] middle with sentinels just past the vocab."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return toks.fim_transform(t, rate=0.5, mode="psm")
+
+
+_FIM_SQL = f"""
+WITH {_TOKENIZE_SQL},
+base AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         ({H32_SQL.format(expr="'fim:' || doc_id::VARCHAR")} % 1000000)
+             < 500000 AND len(toks) >= 4 AS applied,
+         least({H32_SQL.format(expr="'fim:a:' || doc_id::VARCHAR")} % (len(toks) + 1),
+               {H32_SQL.format(expr="'fim:b:' || doc_id::VARCHAR")} % (len(toks) + 1)) AS a,
+         greatest({H32_SQL.format(expr="'fim:a:' || doc_id::VARCHAR")} % (len(toks) + 1),
+                  {H32_SQL.format(expr="'fim:b:' || doc_id::VARCHAR")} % (len(toks) + 1)) AS b
+  FROM tk
+), built AS (
+  SELECT doc_id,
+         CASE WHEN applied THEN
+           [{_TOKVOCAB}] || list_slice(toks, 1, a) || [{_TOKVOCAB + 1}]
+           || list_slice(toks, b + 1, n) || [{_TOKVOCAB + 2}]
+           || list_slice(toks, a + 1, b)
+         ELSE toks END AS tokens,
+         applied AS fim_applied
+  FROM base
+)
+SELECT doc_id, tokens, len(tokens)::INT AS n_tok, fim_applied FROM built
 """
 
 

@@ -561,6 +561,65 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5,
     )
 
 
+def fim_transform(df: DataFrame, rate: float = 0.5, mode: str = "psm",
+                  id_col: str = "doc_id", tokens_col: str = "tokens",
+                  vocab: int = 50257, min_len: int = 4,
+                  salt: str = "fim") -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022,
+    arXiv:2207.14255) over pre-tokenized sequences: with probability
+    ``rate`` a document's tokens split at two points into
+    (prefix, middle, suffix) and re-emit as
+
+    - ``psm``: ``[PRE] prefix [SUF] suffix [MID] middle``
+    - ``spm``: ``[PRE] [SUF] suffix [MID] prefix middle``
+
+    so the model learns to infill. Sentinel ids sit just past the
+    vocabulary: PRE=vocab, SUF=vocab+1, MID=vocab+2 (the reserved-slot
+    convention; pass a bigger ``vocab`` to move them).
+
+    Everything is DETERMINISTIC per doc id (the same md5 discipline as
+    :func:`hash_sample`): the apply decision is an id-hash cut at
+    ``rate`` ppm and the two split points are independent id-hash
+    draws over [0, n] (min→first cut, max→second) — reruns, retries,
+    and any partitioning produce byte-identical output, unlike an RNG
+    column. Docs shorter than ``min_len`` tokens pass through.
+
+    Plan: pure ``slice``/``concat`` column expressions — narrow, zero
+    shuffle, whole-stage codegen; linear at any corpus size. Returns
+    (doc_id, tokens, n_tok, fim_applied); non-applied rows keep their
+    token array byte-identical."""
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be psm|spm, got {mode!r}")
+    t = F.col(tokens_col)
+    n = F.size(t)
+    ids = F.col(id_col).cast("string")
+    applied = (
+        F.pmod(h32(ids, seed=salt), F.lit(1_000_000))
+        < F.lit(int(round(rate * 1_000_000)))
+    ) & (n >= F.lit(min_len))
+    h1 = F.pmod(h32(ids, seed=f"{salt}:a"), n + 1)
+    h2 = F.pmod(h32(ids, seed=f"{salt}:b"), n + 1)
+    a = F.least(h1, h2)
+    b = F.greatest(h1, h2)
+    pre = F.array(F.lit(vocab).cast("int"))
+    suf = F.array(F.lit(vocab + 1).cast("int"))
+    mid = F.array(F.lit(vocab + 2).cast("int"))
+    prefix = F.slice(t, 1, a)
+    middle = F.slice(t, a + 1, b - a)
+    suffix = F.slice(t, b + 1, n - b)
+    if mode == "psm":
+        rearranged = F.concat(pre, prefix, suf, suffix, mid, middle)
+    else:
+        rearranged = F.concat(pre, suf, suffix, mid, prefix, middle)
+    out_tokens = F.when(applied, rearranged).otherwise(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        out_tokens.alias("tokens"),
+        F.size(out_tokens).alias("n_tok"),
+        applied.alias("fim_applied"),
+    )
+
+
 def chunk_tokens(df: DataFrame, size: int = 128, stride: int | None = None,
                  id_col: str = "doc_id", tokens_col: str = "tokens",
                  keep_tail: bool = True) -> DataFrame:

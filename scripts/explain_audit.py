@@ -91,6 +91,7 @@ AUDITED = {
     # the per-source rate dim itself is a BroadcastHashJoin
     "temperature_rates": dict(allow_cartesian=True),
     "temperature_mix": dict(broadcast=True, allow_cartesian=True),
+    "fim_transform": dict(),
     "pack_sequences": dict(),
     "pack_bins": dict(),
     "pack_bins_sequences": dict(),

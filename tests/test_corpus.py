@@ -810,6 +810,57 @@ def test_temperature_mix_flattens_shares(spark):
     assert small_kept == 100  # rate 1.0 → all small-source docs survive
 
 
+def test_fim_transform_preserves_tokens_and_layout(spark):
+    """FIM (arXiv:2207.14255): applied rows re-emit as
+    [PRE] prefix [SUF] suffix [MID] middle — stripping sentinels and
+    undoing the rotation must recover the ORIGINAL token sequence
+    exactly; non-applied rows stay byte-identical; the apply decision
+    and cut points are id-hash deterministic (partition-layout
+    independent)."""
+    from beats_spark.corpus.tokens import fim_transform
+
+    vocab = 100
+    rows = [(i, [(i * 7 + j) % vocab for j in range(3 + i % 9)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    orig = dict(rows)
+    out = {r["doc_id"]: r for r in
+           fim_transform(df, rate=0.5, vocab=vocab).collect()}
+    pre, suf, mid = vocab, vocab + 1, vocab + 2
+    n_applied = 0
+    for i, t in orig.items():
+        r = out[i]
+        if not r["fim_applied"]:
+            assert r["tokens"] == t and r["n_tok"] == len(t)
+            continue
+        n_applied += 1
+        got = r["tokens"]
+        assert r["n_tok"] == len(t) + 3
+        assert got[0] == pre
+        si, mi = got.index(suf), got.index(mid)
+        prefix, suffix, middle = got[1:si], got[si + 1:mi], got[mi + 1:]
+        assert prefix + middle + suffix == t  # reconstruction exact
+    assert 0 < n_applied < 200  # rate=0.5 hits a real subset
+    # short docs (< min_len) never transform
+    assert all(not out[i]["fim_applied"] for i in orig if len(orig[i]) < 4)
+    # layout independence
+    again = {r["doc_id"]: r["tokens"] for r in
+             fim_transform(df.repartition(17), rate=0.5, vocab=vocab).collect()}
+    assert all(again[i] == out[i]["tokens"] for i in orig)
+    # SPM mode: [PRE][SUF] suffix [MID] prefix middle — same multiset
+    spm = {r["doc_id"]: r for r in
+           fim_transform(df, rate=1.0, mode="spm", vocab=vocab).collect()}
+    for i, t in orig.items():
+        r = spm[i]
+        if not r["fim_applied"]:
+            continue
+        got = r["tokens"]
+        assert got[0] == pre and got[1] == suf
+        mi = got.index(mid)
+        suffix, rest = got[2:mi], got[mi + 1:]
+        assert rest + suffix == t
+
+
 def test_line_dedup_keeps_fully_boilerplate_doc_row(spark):
     """A doc made entirely of boilerplate must not vanish — it keeps
     its row with text='' (one-row-per-doc contract, same as
