@@ -72,6 +72,9 @@ HEADLINE = [
     "ann_ivf_nprobe",
     "ann_ivf_pq",
     "ann_ivf_pq_nprobe",
+    "ann_ivf_pq_rerank",
+    "temperature_mix",
+    "fim_transform",
     "csv_extract",
 ]
 
