@@ -699,3 +699,33 @@ def test_corpus_ops_on_stream_match_batch(spark, tmp_path):
     assert got == want and len(got) == 500
     # redactions actually happened on the stream
     assert all(r[2] >= 1 and r[3] >= 1 for r in got)
+
+
+def test_fim_on_stream_matches_batch(spark, tmp_path):
+    """fim_transform is a stateless narrow projection (id-hash cuts,
+    zero shuffle), so it composes unchanged onto readStream: streaming
+    FIM over the same files is byte-identical to the batch pass —
+    tokenized training-data ingest needs no separate code path."""
+    from beats_spark.corpus.tokens import fim_transform, tokenize_ids
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tokenize_ids(docs).coalesce(2).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        fim_transform(stream_parquet_dir(spark, src), rate=0.5)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    cols = ("doc_id", "tokens", "n_tok", "fim_applied")
+    got = sorted(rows(spark.read.parquet(out_dir), *cols))
+    want = sorted(rows(fim_transform(spark.read.parquet(src), rate=0.5), *cols))
+    assert got == want and len(got) == 500
+    assert any(r[3] for r in got) and any(not r[3] for r in got)
