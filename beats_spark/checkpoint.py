@@ -44,15 +44,29 @@ CHECKPOINT_SCHEMA = T.StructType(
 
 def load_state(spark: SparkSession, path: str) -> DataFrame:
     """Current committed offset per (source, part_id); empty if no
-    checkpoint exists yet."""
+    checkpoint exists yet.
+
+    The checkpoint table is append-only, so the current state is the
+    LATEST commit per key, not the largest offset: after a truncation
+    the recovering run commits a SMALLER offset than its predecessor,
+    and that smaller offset must supersede (the reference overwrites
+    ``state.Offset`` in place, ``filebeat/registrar/registrar.go:217``).
+    Taking ``max(committed_offset)`` here would resurrect the stale
+    pre-truncation offset on every subsequent run — re-voiding the key
+    and re-publishing the whole file once per run, forever. Ties on
+    ``updated_at`` (same-instant commits) break toward the larger
+    offset, which is the no-truncation fast path.
+    """
     try:
         cp = spark.read.parquet(path)
     except Exception:
         return spark.createDataFrame([], CHECKPOINT_SCHEMA).select(
             *STATE_KEY, "committed_offset"
         )
-    return cp.groupBy(*STATE_KEY).agg(
-        F.max("committed_offset").alias("committed_offset")
+    return (
+        cp.groupBy(*STATE_KEY)
+        .agg(F.max(F.struct("updated_at", "committed_offset")).alias("_latest"))
+        .select(*STATE_KEY, F.col("_latest.committed_offset").alias("committed_offset"))
     )
 
 

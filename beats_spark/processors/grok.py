@@ -130,6 +130,14 @@ def _noncapture(rx: str) -> str:
     while i < n:
         c = rx[i]
         if c == "\\" and i + 1 < n:
+            if rx.startswith(r"\k<", i):
+                # a named backreference would dangle once its group is
+                # demoted below — fail at compile time, not inside
+                # regexp_extract on the executors.
+                raise ValueError(
+                    "grok pattern definitions may not use named "
+                    f"backreferences (\\k<...>): {rx!r}"
+                )
             out.append(rx[i : i + 2])
             i += 2
             continue
@@ -154,6 +162,11 @@ def _noncapture(rx: str) -> str:
             # $g numbering of every field after them; demote them to
             # non-capturing too. Lookbehinds '(?<=' / '(?<!' are
             # already non-capturing and pass through untouched.
+            if rx.startswith("(?P=", i):
+                raise ValueError(
+                    "grok pattern definitions may not use named "
+                    f"backreferences ((?P=name)): {rx!r}"
+                )
             m = re.match(r"\(\?P?<(?![=!])[^>]*>", rx[i:])
             if m:
                 out.append("(?:")

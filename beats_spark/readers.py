@@ -25,6 +25,7 @@ def read_log_lines(
     paths: str | Sequence[str],
     exclude_files: str | None = None,
     line_terminator_bytes: int = 1,
+    bom_probe: bool = True,
 ) -> DataFrame:
     """Scan text files into (source, offset, message) rows.
 
@@ -68,7 +69,7 @@ def read_log_lines(
         )
         .drop("_mono")
     )
-    bom_paths = _bom_file_paths(spark, paths)
+    bom_paths = _bom_file_paths(spark, paths) if bom_probe else []
     if bom_paths:
         dim = spark.createDataFrame([(p,) for p in bom_paths], "_bom_path string")
         key = _normalize_uri(F.col("source"))
@@ -93,10 +94,14 @@ def read_log_lines(
 
 
 def _normalize_uri(col):
-    """Collapse scheme + slash-count differences between
-    ``input_file_name()`` (``file:///x``) and Hadoop ``Path`` strings
-    (``file:/x``) to a bare ``/x`` join key."""
-    return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+    """Collapse scheme, slash-count, AND percent-encoding differences
+    between ``input_file_name()`` (``file:///x``, percent-encoded:
+    a space becomes ``%20``) and Hadoop ``Path`` strings (``file:/x``,
+    raw) to a bare decoded ``/x`` join key. ``try_url_decode`` returns
+    NULL on a raw path whose literal ``%`` isn't a valid escape, so
+    the coalesce keeps already-raw paths as-is instead of erroring."""
+    bare = F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+    return F.coalesce(F.try_url_decode(bare), bare)
 
 
 def _bom_file_paths(spark: SparkSession, paths: Sequence[str]) -> list[str]:
@@ -107,37 +112,38 @@ def _bom_file_paths(spark: SparkSession, paths: Sequence[str]) -> list[str]:
     object-store. Cost is 3 bytes per matched FILE, so it scales with
     file count (like the reference's prospector scan), never with
     data volume.
+
+    A probe failure RAISES rather than silently skipping: a run whose
+    corrections flip between "applied" and "not applied" shifts every
+    post-BOM offset by 3, and a checkpoint committed under one regime
+    re-reads (duplicates) or skips (loses) lines under the other.
+    Callers on a filesystem that genuinely can't serve head reads can
+    opt out deterministically with ``read_log_lines(bom_probe=False)``.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     bom = []
-    try:
-        for pat in paths:
-            jpath = jvm.org.apache.hadoop.fs.Path(pat)
-            fs = jpath.getFileSystem(conf)
-            statuses = fs.globStatus(jpath)
-            if statuses is None:
+    for pat in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(pat)
+        fs = jpath.getFileSystem(conf)
+        statuses = fs.globStatus(jpath)
+        if statuses is None:
+            continue
+        stack = list(statuses)
+        while stack:
+            st = stack.pop()
+            if st.isDirectory():
+                stack.extend(fs.listStatus(st.getPath()))
                 continue
-            stack = list(statuses)
-            while stack:
-                st = stack.pop()
-                if st.isDirectory():
-                    stack.extend(fs.listStatus(st.getPath()))
-                    continue
-                if st.getLen() < 3:
-                    continue
-                stream = fs.open(st.getPath())
-                try:
-                    head = bytes(stream.read() & 0xFF for _ in range(3))
-                finally:
-                    stream.close()
-                if head == b"\xef\xbb\xbf":
-                    bom.append(st.getPath().toString())
-    except Exception:
-        # probe is a best-effort offset refinement; a filesystem that
-        # can't be probed falls back to uncorrected offsets rather
-        # than failing the scan.
-        return []
+            if st.getLen() < 3:
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                head = bytes(stream.read() & 0xFF for _ in range(3))
+            finally:
+                stream.close()
+            if head == b"\xef\xbb\xbf":
+                bom.append(st.getPath().toString())
     return bom
 
 

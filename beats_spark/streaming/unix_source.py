@@ -146,14 +146,26 @@ class _UnixSimpleReader(SimpleDataSourceStreamReader):
                         complete = complete[1:]
                         discarding = False
                     else:
-                        tail = b""  # still inside the oversize line
+                        # still inside the oversize line: drop the
+                        # bytes, but KEEP the last len(delim)-1 so a
+                        # multi-byte delimiter severed across recv
+                        # boundaries can still complete — clearing the
+                        # whole tail would swallow the next real line.
+                        tail = tail[len(tail) - (len(d) - 1):] if len(d) > 1 else b""
                 if len(tail) > self.max_message:  # truncate, don't grow
                     complete.append(tail[: self.max_message])
                     tail = b""
                     discarding = True
                 for msg in complete:
                     if msg:
-                        self._push(msg.decode("utf-8", errors="replace"), cid)
+                        # cap applies to complete lines too: an
+                        # oversize line whose delimiter arrived in the
+                        # same recv is truncated like a buffered one
+                        # (its remainder is already delimiter-bounded).
+                        self._push(
+                            msg[: self.max_message].decode("utf-8", errors="replace"),
+                            cid,
+                        )
         if tail and not discarding:
             self._push(tail.decode("utf-8", errors="replace"), cid)
 

@@ -51,14 +51,18 @@ def duck_con(sf_dir: str):
 
 
 def compare_query(spark, con, name: str, sf_dir: str, qs=None,
-                  oracles=None) -> str | None:
+                  oracles=None, info: dict | None = None) -> str | None:
     """Run one registry query on Spark and its oracle on DuckDB;
     return None on match, else a failure description (the same
-    count/cols/value-hash comparison the driver gate runs). Importable
-    from tests — the second-scale CI gate (tests/
-    test_second_scale_oracle.py) reuses exactly this comparison."""
+    count/cols/value-hash comparison the driver gate runs). This is
+    THE comparison — ``main`` and the second-scale CI gate
+    (tests/test_second_scale_oracle.py) both call it, so a fix here
+    reaches both. ``info`` (optional dict) receives ``rows`` and
+    ``rows_only`` for the caller's reporting."""
     import __spark_entry__ as entry
 
+    if info is None:
+        info = {}
     qs = qs if qs is not None else entry.queries()
     oracles = oracles if oracles is not None else entry.oracle_sql()
     try:
@@ -67,8 +71,11 @@ def compare_query(spark, con, name: str, sf_dir: str, qs=None,
         srows = sdf.collect()
     except Exception as e:
         return f"spark error: {e}"
+    info["rows"] = len(srows)
     if name not in oracles:
+        info["rows_only"] = True
         return None  # rows-only query: ran without error
+    info["rows_only"] = False
     try:
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
@@ -84,7 +91,8 @@ def compare_query(spark, con, name: str, sf_dir: str, qs=None,
         status.append(f"cols spark={sc} duck={dc}")
     if not status and sv != dv:
         diff = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
-        s_only = [r for r in sv[:2000] if r not in set(dv)][:3]
+        dset = set(dv)
+        s_only = [r for r in sv[:2000] if r not in dset][:3]
         status.append(f"values differ; first diffs={diff} spark_only={s_only}")
     return "; ".join(status) if status else None
 
@@ -103,45 +111,20 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
-    for name, fn in qs.items():
+    for name in qs:
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = list(sdf.columns)
-            srows = sdf.collect()
-        except Exception as e:
+        info: dict = {}
+        err = compare_query(spark, con, name, sf_dir, qs=qs,
+                            oracles=oracles, info=info)
+        if err:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {e}")
-            continue
-        if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
-            continue
-        sc, sv = norm_rows(scols, [tuple(r) for r in srows])
-        dc, dv = norm_rows(dcols, drows)
-        status = []
-        if len(sv) != len(dv):
-            status.append(f"rowcount spark={len(sv)} duck={len(dv)}")
-        if sc != dc:
-            status.append(f"cols spark={sc} duck={dc}")
-        if not status and sv != dv:
-            diff = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
-            s_only = [r for r in sv[:2000] if r not in set(dv)][:3]
-            status.append(f"values differ; first diffs={diff} spark_only={s_only}")
-        if status:
-            failures.append(name)
-            print(f"FAIL {name}: {'; '.join(status)}")
+            print(f"FAIL {name}: {err}")
+        elif info.get("rows_only"):
+            print(f"ok   {name}: rows-only ({info['rows']} rows, {time.time()-t0:.1f}s)")
         else:
-            print(f"ok   {name}: {len(sv)} rows match ({time.time()-t0:.1f}s)")
+            print(f"ok   {name}: {info['rows']} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
     sys.exit(1 if failures else 0)

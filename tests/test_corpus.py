@@ -452,6 +452,11 @@ def test_cosine_topk_gate_is_lazy_with_hint_and_streaming(spark):
     )
     plan = cosine_topk(stream, k=1, mode="auto")  # must not count()
     assert plan.isStreaming
+
+
+def test_embedding_neardup_auto_gate(spark):
+    """mode='auto' above the small-n gate delegates near-dup pair
+    finding to the blocked path with crossjoin-identical results."""
     from beats_spark.corpus.similarity import embedding_neardup_pairs
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

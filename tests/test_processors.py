@@ -637,6 +637,22 @@ def test_grok_named_group_in_definition_does_not_shift_fields(spark):
     assert _noncapture(r"(?<!x)(?P<n>a)") == r"(?<!x)(?:a)"
 
 
+def test_grok_named_backreference_rejected_at_compile():
+    """A named backreference would dangle once its group is demoted —
+    must raise at compile time, not PatternSyntaxException inside
+    regexp_extract on the executors. Escaped '\\\\k' (literal backslash
+    + k) is NOT a backreference and passes through."""
+    import pytest as _pytest
+
+    from beats_spark.processors.grok import _noncapture
+
+    with _pytest.raises(ValueError, match="backreference"):
+        _noncapture(r"(?<q>[\"']).*?\k<q>")
+    with _pytest.raises(ValueError, match="backreference"):
+        _noncapture(r"(?P<q>x)(?P=q)")
+    assert _noncapture(r"a\\k<b>") == r"a\\k<b>"  # literal \, then k<b>
+
+
 def test_grok_duplicate_names_coalesce(spark):
     from beats_spark.processors.grok import grok
 

@@ -234,6 +234,18 @@ def test_registrar_truncation_rereads_from_start(spark, tmp_path):
     assert resume_filter(scan(), load_state(spark, cp),
                          detect_truncation=False).count() == 0
 
+    # recovery run commits its (smaller) offset; the LATEST commit must
+    # supersede the stale pre-truncation one — otherwise every later
+    # run re-voids the key and republishes the whole file forever
+    commit(partition_stats(ev2, ev2, run_id="r2"), cp)
+    assert resume_filter(scan(), load_state(spark, cp)).count() == 0
+
+    # an append after the recovery resumes from the recovered offset
+    with open(log, "a") as f:
+        f.write("after truncate C\n")
+    ev4 = resume_filter(scan(), load_state(spark, cp))
+    assert [r["message"] for r in ev4.collect()] == ["after truncate C"]
+
 
 def test_registrar_inode_reuse_smaller_file_rereads(spark, tmp_path):
     """Inode-reuse case from the reference registrar tests: a NEW file
@@ -286,3 +298,23 @@ def test_strip_bom_first_line_only(spark, tmp_path):
     assert rows_[1][0] == "hello world" and rows_[1][1] == 0
     # line 1 consumed 3 BOM bytes + 11 text + 1 terminator = 15
     assert rows_[2] == ("﻿not a bom", 15)
+
+
+def test_bom_offsets_on_percent_encoded_path(spark, tmp_path):
+    """BOM correction must survive paths input_file_name() percent-
+    encodes (a space becomes %20) while the Hadoop probe reports them
+    raw — a join-key mismatch would silently drop the +3 bytes."""
+    p = tmp_path / "app 1.log"
+    p.write_bytes("﻿first\nsecond\n".encode("utf-8"))
+    rows_ = {
+        r["line_no"]: r["offset"]
+        for r in read_log_lines(spark, str(p)).collect()
+    }
+    # line 1: offset 0; line 2: 3 BOM + 5 text + 1 terminator = 9
+    assert rows_ == {1: 0, 2: 9}
+    # and the deterministic opt-out really skips the probe
+    rows_off = {
+        r["line_no"]: r["offset"]
+        for r in read_log_lines(spark, str(p), bom_probe=False).collect()
+    }
+    assert rows_off == {1: 0, 2: 6}

@@ -514,6 +514,64 @@ def test_unix_oversize_line_truncate_then_discard(tmp_path):
         rd._sock.close()
 
 
+def test_unix_oversize_discard_keeps_severed_delimiter(tmp_path):
+    """Discard mode with a multi-byte delimiter split across recv
+    boundaries: the '\\r' of '\\r\\n' arrives in one send, the '\\n' in
+    the next — the discard logic must keep enough tail bytes to let
+    the severed delimiter complete instead of swallowing the next
+    legitimate line."""
+    import socket as _socket
+    import time as _time
+
+    from beats_spark.streaming.unix_source import _UnixSimpleReader
+
+    path = str(tmp_path / "severed.sock")
+    rd = _UnixSimpleReader(
+        {"path": path, "maxMessageSize": "10", "lineDelimiter": "\r\n"}
+    )
+    rd._ensure_bound()
+    try:
+        c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+        c.connect(path)
+        c.sendall(b"0123456789ABCDEF")       # oversize, discarding starts
+        _time.sleep(0.1)
+        c.sendall(b"rest\r")                 # ends mid-delimiter
+        _time.sleep(0.1)
+        c.sendall(b"\nnext line\r\n")        # completes the delimiter
+        _time.sleep(0.3)
+        c.close()
+        _time.sleep(0.2)
+        msgs = [v for v, _, _ in rd._buf]
+        assert msgs == ["0123456789", "next line"]
+    finally:
+        rd._sock.close()
+
+
+def test_unix_oversize_line_in_single_recv_is_truncated(tmp_path):
+    """An oversize line whose delimiter arrives in the SAME recv must
+    get the same maxMessageSize cap as one buffered across recvs —
+    truncation must not depend on packet boundaries."""
+    import socket as _socket
+    import time as _time
+
+    from beats_spark.streaming.unix_source import _UnixSimpleReader
+
+    path = str(tmp_path / "onerecv.sock")
+    rd = _UnixSimpleReader({"path": path, "maxMessageSize": "10"})
+    rd._ensure_bound()
+    try:
+        c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+        c.connect(path)
+        c.sendall(b"0123456789ABCDEF\nnext line\n")  # one packet
+        _time.sleep(0.3)
+        c.close()
+        _time.sleep(0.2)
+        msgs = [v for v, _, _ in rd._buf]
+        assert msgs == ["0123456789", "next line"]
+    finally:
+        rd._sock.close()
+
+
 def test_stream_unix_end_to_end(spark, tmp_path):
     """Real bytes through the unix_lines Python Data Source: listen on
     a socket file, connect twice, send line-framed messages (one split
