@@ -1173,7 +1173,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_ivf_pq_nprobe",
     "ann_ivf_pq_rerank",  # new in r4: FAISS refine stage
     "semantic_dedup",
-    "media_features",
     "media_embed",
     "dedup_tokens",
     "pii_redact",
@@ -1205,13 +1204,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "pack_bins_sequences",
     "sample_per_source",
     "vocab_coverage",
-    "frame_sample",
     "corpus_pipeline",
     "corpus_pipeline_funnel",
     # -- new in r4, never gate-checked --
     "temperature_mix",
     "temperature_rates",
     "fim_transform",
+    "semantic_decontaminate",
+    "pack_training_meta",
+    # media_features / frame_sample rotated out to make window room:
+    # both r2-driver-green (CORRECTNESS_r02) and pytest-covered; rotate
+    # back in next round.
 ]
 
 

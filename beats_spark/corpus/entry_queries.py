@@ -1135,6 +1135,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "temperature_rates": q_temperature_rates,
         "fim_transform": q_fim_transform,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "pack_training_meta": q_pack_training_meta,
         "line_dedup": q_line_dedup,
         "line_dedup_within": q_line_dedup_within,
         "substring_dedup": q_substring_dedup,
@@ -1208,6 +1210,8 @@ def corpus_oracles() -> dict[str, str]:
         "temperature_mix": _TEMPERATURE_MIX_SQL,
         "temperature_rates": _TEMPERATURE_RATES_SQL,
         "fim_transform": _FIM_SQL,
+        "semantic_decontaminate": _SEMANTIC_DECON_SQL,
+        "pack_training_meta": _PACK_META_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "line_dedup_within": _LINE_DEDUP_WITHIN_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
@@ -2485,6 +2489,82 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON r.source = d.source
 WHERE ({H32_SQL.format(expr="'tmix:' || d.doc_id::VARCHAR")} % 1000000)
       < r.rate_ppm
+"""
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination: every corpus vector
+    (vec_id % 23 != 0) gets its nearest benchmark vector (% 23 == 0)
+    by exact cosine + a contaminated flag — one narrow broadcast-GEMM
+    map, zero shuffles."""
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 23 == 0)
+    corpus = emb.filter(F.col("vec_id") % 23 != 0)
+    return similarity.semantic_decontaminate(corpus, bench, threshold=0.45)
+
+
+_SEMANTIC_DECON_SQL = f"""
+WITH {_EMB_PREP_SQL},
+bn AS (SELECT * FROM e WHERE vec_id % 23 = 0),
+dc AS (SELECT * FROM e WHERE vec_id % 23 != 0),
+p AS (
+  SELECT a.vec_id, b.vec_id AS bench_id, {_COS_SQL} AS cos
+  FROM dc a, bn b
+)
+SELECT vec_id, bench_id, cos, (cos >= 0.45) AS contaminated
+FROM p
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, bench_id ASC) = 1
+"""
+
+
+def q_pack_training_meta(spark, sf_dir):
+    """Trainer metadata over the packed bins: per-document position-id
+    resets, 1-based segment ids, padding loss mask, tokens padded to
+    max_len — verified via content signatures like pack_bins_sequences."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    packed = toks.pack_bins_sequences(t, max_len=128, n_buckets=16)
+    out = toks.pack_training_meta(packed, max_len=128, pad_id=0)
+
+    def sig(c):
+        return F.md5(
+            F.concat_ws(",", F.col(c).cast("array<string>"))
+        ).alias(c + "_sig")
+
+    return out.select(
+        "bin_id", "n_docs", "n_tok",
+        sig("tokens"), sig("position_ids"),
+        sig("segment_ids"), sig("loss_mask"),
+    )
+
+
+_PACK_META_PAD = "list_transform(generate_series(1, greatest(0, 128 - n_tok)), x -> 0::BIGINT)"
+_PACK_META_SQL = _PACK_BINS_SEQ_SQL.rsplit("SELECT (bucket", 1)[0] + f""",
+sg AS (
+  SELECT bucket, bin_no, doc_id, n, toks,
+         row_number() OVER (PARTITION BY bucket, bin_no
+                            ORDER BY n DESC, doc_id) AS seg
+  FROM st
+),
+bins AS (
+  SELECT (bucket::BIGINT * 4294967296 + bin_no)::BIGINT AS bin_id,
+         count(*)::BIGINT AS n_docs,
+         sum(n)::BIGINT AS n_tok,
+         flatten(list(CASE WHEN n > 0 THEN generate_series(0, n - 1)
+                           ELSE []::BIGINT[] END ORDER BY n DESC, doc_id)) AS pos,
+         flatten(list(list_transform(generate_series(1, n), x -> seg::BIGINT)
+                      ORDER BY n DESC, doc_id)) AS segs,
+         flatten(list(toks ORDER BY n DESC, doc_id)) AS tks
+  FROM sg GROUP BY bucket, bin_no
+)
+SELECT bin_id, n_docs, n_tok,
+       md5(array_to_string(tks || {_PACK_META_PAD}, ',')) AS tokens_sig,
+       md5(array_to_string(pos || {_PACK_META_PAD}, ',')) AS position_ids_sig,
+       md5(array_to_string(segs || {_PACK_META_PAD}, ',')) AS segment_ids_sig,
+       md5(array_to_string(
+           list_transform(generate_series(1, n_tok), x -> 1::BIGINT)
+           || {_PACK_META_PAD}, ',')) AS loss_mask_sig
+FROM bins
 """
 
 

@@ -787,6 +787,56 @@ def pack_bins_sequences(df: DataFrame, max_len: int = 128,
     )
 
 
+def pack_training_meta(packed: DataFrame, max_len: int = 128,
+                       pad_id: int = 0) -> DataFrame:
+    """Trainer-side metadata for packed bins WITHOUT cross-document
+    attention — the arrays every packed-sequence trainer consumes:
+    ``position_ids`` restart at 0 on each document boundary,
+    ``segment_ids`` number the bin's documents 1-based (0 = padding)
+    so a block-diagonal attention mask is reconstructible,
+    ``loss_mask`` is 1 on real tokens and 0 on the padding tail, and
+    ``tokens`` are padded to ``max_len`` with ``pad_id``.
+
+    Consumes :func:`pack_bins_sequences`' boundary shape (``doc_lens``
+    in in-bin order). Pure array projections over already-packed rows:
+    narrow plan, ZERO shuffles, no UDF — it composes onto the packer
+    at any scale for free. A bin holding one oversize whole document
+    (> max_len — the no-split packer never cuts) is emitted unpadded
+    at its true length, same as the trainer's packer would."""
+    lens = F.col("doc_lens")
+    npad = F.greatest(F.lit(0), F.lit(max_len) - F.col("n_tok").cast("int"))
+    zeros = F.array_repeat(F.lit(0).cast("long"), npad)
+    pos = F.concat(
+        F.flatten(F.transform(
+            lens,
+            lambda l: F.when(
+                l > 0, F.sequence(F.lit(0).cast("long"), l.cast("long") - 1)
+            ).otherwise(F.array().cast("array<long>")),
+        )),
+        zeros,
+    )
+    seg = F.concat(
+        F.flatten(F.transform(
+            lens, lambda l, i: F.array_repeat((i + 1).cast("long"), l.cast("int"))
+        )),
+        zeros,
+    )
+    mask = F.concat(
+        F.array_repeat(F.lit(1).cast("long"), F.col("n_tok").cast("int")), zeros
+    )
+    toks = F.concat(
+        F.col("tokens"),
+        F.array_repeat(F.lit(pad_id).cast("int"), npad),
+    )
+    return packed.select(
+        "bin_id", "n_docs", "n_tok",
+        toks.alias("tokens"),
+        pos.alias("position_ids"),
+        seg.alias("segment_ids"),
+        mask.alias("loss_mask"),
+    )
+
+
 def sample_per_group(df: DataFrame, n: int = 5, group_col: str = "source",
                      id_col: str = "doc_id", salt: str = "gsample") -> DataFrame:
     """Deterministic N examples per group (the "show me a few docs per

@@ -75,6 +75,8 @@ HEADLINE = [
     "ann_ivf_pq_rerank",
     "temperature_mix",
     "fim_transform",
+    "semantic_decontaminate",
+    "pack_training_meta",
     "csv_extract",
 ]
 

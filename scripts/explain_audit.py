@@ -92,6 +92,10 @@ AUDITED = {
     "temperature_rates": dict(allow_cartesian=True),
     "temperature_mix": dict(broadcast=True, allow_cartesian=True),
     "fim_transform": dict(),
+    # broadcast-GEMM decontamination is a single narrow mapInPandas —
+    # no join at all; the audit just proves no cartesian/BatchEval crept in
+    "semantic_decontaminate": dict(),
+    "pack_training_meta": dict(),
     "pack_sequences": dict(),
     "pack_bins": dict(),
     "pack_bins_sequences": dict(),

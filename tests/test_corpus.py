@@ -1938,3 +1938,79 @@ def test_vocab_coverage_hand_case(spark):
     assert got[1] == (6, 10, 0.6)
     assert got[2] == (9, 10, 0.9)
     assert got[3] == (10, 10, 1.0)
+
+
+def test_pack_training_meta_arrays(spark):
+    from beats_spark.corpus.tokens import (
+        pack_bins_sequences, pack_training_meta,
+    )
+
+    # two docs in one bin (3 + 2 ≤ 8) plus one oversize doc (10 > 8)
+    df = _tokdocs(spark, [[10, 11, 12], [20, 21], list(range(30, 40))])
+    # add n_tok, which pack_bins expects
+    from pyspark.sql import functions as F
+    df = df.withColumn("n_tok", F.size("tokens"))
+    packed = pack_bins_sequences(df, max_len=8, n_buckets=1)
+    out = {r["n_docs"]: r for r in
+           pack_training_meta(packed, max_len=8, pad_id=0).collect()}
+    two = out[2]  # the bin holding docs 0 and 1 (in-bin order: longer first)
+    assert two["tokens"] == [10, 11, 12, 20, 21, 0, 0, 0]
+    assert two["position_ids"] == [0, 1, 2, 0, 1, 0, 0, 0]
+    assert two["segment_ids"] == [1, 1, 1, 2, 2, 0, 0, 0]
+    assert two["loss_mask"] == [1, 1, 1, 1, 1, 0, 0, 0]
+    one = out[1]  # oversize whole doc: emitted at true length, unpadded
+    assert one["tokens"] == list(range(30, 40))
+    assert one["position_ids"] == list(range(10))
+    assert one["segment_ids"] == [1] * 10
+    assert one["loss_mask"] == [1] * 10
+
+
+def test_semantic_decontaminate_exact_and_never_drops(spark):
+    """The broadcast-GEMM path must (a) emit exactly one row per corpus
+    row, (b) pick the same argmax benchmark id as the cross-join fold
+    (ties → smaller bench id), (c) emit cosines bit-identical to the
+    canonical sequential fold, and (d) flag at the threshold."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.corpus.similarity import (
+        dot, norm, _as_double, semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 23 == 0)
+    corpus = emb.filter(F.col("vec_id") % 23 != 0)
+    got = {r["vec_id"]: r for r in
+           semantic_decontaminate(corpus, bench, threshold=0.45).collect()}
+    assert len(got) == corpus.count()  # never-drop contract
+
+    # cross-join fold ground truth
+    v = _as_double(F.col("embedding"))
+    p = lambda df: df.select(
+        F.col("vec_id"), v.alias("v"), norm(v).alias("nrm"))
+    a, b = p(corpus).alias("a"), p(bench).alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("bench_id"))
+    want = {
+        r["vec_id"]: r
+        for r in a.crossJoin(b)
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("bench_id"), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w)).filter("rk = 1").collect()
+    }
+    assert set(got) == set(want)
+    for vid, g in got.items():
+        assert g["bench_id"] == want[vid]["bench_id"], vid
+        assert g["cos"] == want[vid]["cos"], vid  # bit-identical fold
+        assert g["contaminated"] == (want[vid]["cos"] >= 0.45)
+
+
+def test_semantic_decontaminate_empty_bench_raises(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from beats_spark.corpus.similarity import semantic_decontaminate
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="empty benchmark"):
+        semantic_decontaminate(emb, emb.filter(F.lit(False)))

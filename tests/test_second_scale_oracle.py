@@ -33,6 +33,7 @@ ORDER_SENSITIVE = [
     "pack_sequences",
     "pack_bins",
     "pack_bins_sequences",
+    "pack_training_meta",
     "shuffle_shards",
     "sessionize",
     "multiline_pattern",
