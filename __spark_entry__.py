@@ -1165,7 +1165,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_topk_blocked",
     "embedding_neardup",
     "embedding_neardup_blocked",
-    "ann_lsh",
     "ann_ivf",
     "ann_ivf_sqrtn",
     "ann_ivf_nprobe",
@@ -1212,9 +1211,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "fim_transform",
     "semantic_decontaminate",
     "pack_training_meta",
-    # media_features / frame_sample rotated out to make window room:
-    # both r2-driver-green (CORRECTNESS_r02) and pytest-covered; rotate
-    # back in next round.
+    "fim_loss_mask",
+    # media_features / frame_sample / ann_lsh rotated out to make
+    # window room: all r2-driver-green (CORRECTNESS_r02) and
+    # pytest-covered (ann_lsh additionally recall-gated); rotate back
+    # in next round.
 ]
 
 

@@ -1135,6 +1135,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "temperature_rates": q_temperature_rates,
         "fim_transform": q_fim_transform,
+        "fim_loss_mask": q_fim_loss_mask,
         "semantic_decontaminate": q_semantic_decontaminate,
         "pack_training_meta": q_pack_training_meta,
         "line_dedup": q_line_dedup,
@@ -1210,6 +1211,7 @@ def corpus_oracles() -> dict[str, str]:
         "temperature_mix": _TEMPERATURE_MIX_SQL,
         "temperature_rates": _TEMPERATURE_RATES_SQL,
         "fim_transform": _FIM_SQL,
+        "fim_loss_mask": _FIM_LOSS_SQL,
         "semantic_decontaminate": _SEMANTIC_DECON_SQL,
         "pack_training_meta": _PACK_META_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
@@ -2417,7 +2419,7 @@ def q_fim_transform(spark, sf_dir):
     return toks.fim_transform(t, rate=0.5, mode="psm")
 
 
-_FIM_SQL = f"""
+_FIM_BASE_SQL = f"""
 WITH {_TOKENIZE_SQL},
 base AS (
   SELECT doc_id, toks, len(toks) AS n,
@@ -2428,7 +2430,9 @@ base AS (
          greatest({H32_SQL.format(expr="'fim:a:' || doc_id::VARCHAR")} % (len(toks) + 1),
                   {H32_SQL.format(expr="'fim:b:' || doc_id::VARCHAR")} % (len(toks) + 1)) AS b
   FROM tk
-), built AS (
+)"""
+
+_FIM_SQL = _FIM_BASE_SQL + f""", built AS (
   SELECT doc_id,
          CASE WHEN applied THEN
            [{_TOKVOCAB}] || list_slice(toks, 1, a) || [{_TOKVOCAB + 1}]
@@ -2439,6 +2443,27 @@ base AS (
   FROM base
 )
 SELECT doc_id, tokens, len(tokens)::INT AS n_tok, fim_applied FROM built
+"""
+
+
+def q_fim_loss_mask(spark, sf_dir):
+    """FIM with the trainer's loss mask: 0 before the [MID] sentinel,
+    1 from [MID] onward (the infill prediction region); all-ones for
+    untransformed docs."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    out = toks.fim_transform(t, rate=0.5, mode="psm", with_loss_mask=True)
+    return out.select("doc_id", "n_tok", "loss_mask", "fim_applied")
+
+
+_FIM_LOSS_SQL = _FIM_BASE_SQL + """
+SELECT doc_id,
+       (CASE WHEN applied THEN n + 3 ELSE n END)::INT AS n_tok,
+       CASE WHEN applied THEN
+         list_transform(generate_series(1, n - b + a + 2), x -> 0::INT)
+         || list_transform(generate_series(1, b - a + 1), x -> 1::INT)
+       ELSE list_transform(generate_series(1, n), x -> 1::INT) END AS loss_mask,
+       applied AS fim_applied
+FROM base
 """
 
 

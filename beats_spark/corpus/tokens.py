@@ -564,7 +564,7 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5,
 def fim_transform(df: DataFrame, rate: float = 0.5, mode: str = "psm",
                   id_col: str = "doc_id", tokens_col: str = "tokens",
                   vocab: int = 50257, min_len: int = 4,
-                  salt: str = "fim") -> DataFrame:
+                  salt: str = "fim", with_loss_mask: bool = False) -> DataFrame:
     """Fill-in-the-middle transform (Bavarian et al. 2022,
     arXiv:2207.14255) over pre-tokenized sequences: with probability
     ``rate`` a document's tokens split at two points into
@@ -587,7 +587,14 @@ def fim_transform(df: DataFrame, rate: float = 0.5, mode: str = "psm",
     Plan: pure ``slice``/``concat`` column expressions — narrow, zero
     shuffle, whole-stage codegen; linear at any corpus size. Returns
     (doc_id, tokens, n_tok, fim_applied); non-applied rows keep their
-    token array byte-identical."""
+    token array byte-identical.
+
+    ``with_loss_mask`` adds a ``loss_mask`` column aligned with the
+    emitted tokens: for transformed rows the loss trains only on the
+    infill region — 0 up to (and excluding) the ``[MID]`` sentinel,
+    1 from ``[MID]`` onward, which is the middle in PSM and
+    prefix+middle in SPM (the prediction region in both layouts);
+    non-transformed rows get an all-ones mask (plain LM loss)."""
     if mode not in ("psm", "spm"):
         raise ValueError(f"mode must be psm|spm, got {mode!r}")
     t = F.col(tokens_col)
@@ -612,12 +619,25 @@ def fim_transform(df: DataFrame, rate: float = 0.5, mode: str = "psm",
     else:
         rearranged = F.concat(pre, suf, suffix, mid, prefix, middle)
     out_tokens = F.when(applied, rearranged).otherwise(t)
-    return df.select(
+    cols = [
         F.col(id_col).alias("doc_id"),
         out_tokens.alias("tokens"),
         F.size(out_tokens).alias("n_tok"),
         applied.alias("fim_applied"),
-    )
+    ]
+    if with_loss_mask:
+        # 0-count before [MID]: psm = [PRE]+prefix+[SUF]+suffix,
+        # spm = [PRE]+[SUF]+suffix — then 1s through the end
+        k = (n - b + a + 2) if mode == "psm" else (n - b + 2)
+        mask = F.when(
+            applied,
+            F.concat(
+                F.array_repeat(F.lit(0).cast("int"), k.cast("int")),
+                F.array_repeat(F.lit(1).cast("int"), (n + 3 - k).cast("int")),
+            ),
+        ).otherwise(F.array_repeat(F.lit(1).cast("int"), n.cast("int")))
+        cols.append(mask.alias("loss_mask"))
+    return df.select(*cols)
 
 
 def chunk_tokens(df: DataFrame, size: int = 128, stride: int | None = None,

@@ -2014,3 +2014,23 @@ def test_semantic_decontaminate_empty_bench_raises(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with _pytest.raises(ValueError, match="empty benchmark"):
         semantic_decontaminate(emb, emb.filter(F.lit(False)))
+
+
+def test_fim_loss_mask_aligns_with_mid_sentinel(spark):
+    """loss_mask is 0 strictly before the [MID] sentinel and 1 from it
+    onward (both layouts); untransformed docs get all-ones."""
+    from beats_spark.corpus.tokens import fim_transform
+
+    df = _tokdocs(spark, [list(range(10, 10 + n)) for n in (1, 4, 7, 12, 30)])
+    for mode in ("psm", "spm"):
+        rows = fim_transform(df, rate=0.7, mode=mode, vocab=50257,
+                             with_loss_mask=True).collect()
+        assert rows, mode
+        for r in rows:
+            toks, mask = r["tokens"], r["loss_mask"]
+            assert len(mask) == len(toks) == r["n_tok"]
+            if not r["fim_applied"]:
+                assert mask == [1] * len(toks)
+                continue
+            k = toks.index(50257 + 2)  # [MID]
+            assert mask == [0] * k + [1] * (len(toks) - k), (mode, r)
