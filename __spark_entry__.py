@@ -1166,7 +1166,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_neardup",
     "embedding_neardup_blocked",
     "ann_ivf",
-    "ann_ivf_sqrtn",
     "ann_ivf_nprobe",
     "ann_ivf_pq",
     "ann_ivf_pq_nprobe",
@@ -1212,10 +1211,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_decontaminate",
     "pack_training_meta",
     "fim_loss_mask",
-    # media_features / frame_sample / ann_lsh rotated out to make
-    # window room: all r2-driver-green (CORRECTNESS_r02) and
-    # pytest-covered (ann_lsh additionally recall-gated); rotate back
-    # in next round.
+    "span_corrupt",
+    # media_features / frame_sample / ann_lsh / ann_ivf_sqrtn rotated
+    # out to make window room: all r2-driver-green (CORRECTNESS_r02)
+    # and pytest-covered (the ANN pair additionally recall-gated);
+    # rotate back in next round.
 ]
 
 

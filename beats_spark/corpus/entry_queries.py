@@ -1136,6 +1136,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_rates": q_temperature_rates,
         "fim_transform": q_fim_transform,
         "fim_loss_mask": q_fim_loss_mask,
+        "span_corrupt": q_span_corrupt,
         "semantic_decontaminate": q_semantic_decontaminate,
         "pack_training_meta": q_pack_training_meta,
         "line_dedup": q_line_dedup,
@@ -1212,6 +1213,7 @@ def corpus_oracles() -> dict[str, str]:
         "temperature_rates": _TEMPERATURE_RATES_SQL,
         "fim_transform": _FIM_SQL,
         "fim_loss_mask": _FIM_LOSS_SQL,
+        "span_corrupt": _SPANC_SQL,
         "semantic_decontaminate": _SEMANTIC_DECON_SQL,
         "pack_training_meta": _PACK_META_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
@@ -2514,6 +2516,60 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON r.source = d.source
 WHERE ({H32_SQL.format(expr="'tmix:' || d.doc_id::VARCHAR")} % 1000000)
       < r.rate_ppm
+"""
+
+
+def q_span_corrupt(spark, sf_dir):
+    """T5 span corruption over the tokenized documents: grid-placed
+    fixed-length noise spans, sentinel-delimited (inputs, targets)
+    denoising pair — all cut points md5 functions of (doc_id, i)."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return toks.span_corrupt(t, noise_density=0.15, span_len=3)
+
+
+_SPANC_SQL = f"""
+WITH {_TOKENIZE_SQL},
+base AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         len(toks) >= 8 AS applied,
+         greatest(1, least(
+           floor(len(toks) * 0.15 / 3.0),
+           floor(len(toks) / 4.0)
+         ))::BIGINT AS k
+  FROM tk
+), g AS (
+  SELECT *, floor(n / k)::BIGINT AS seg FROM base
+), spans AS (
+  SELECT doc_id, toks, n, k, seg, u.i,
+         u.i * seg
+           + ({H32_SQL.format(expr="'spanc:o:' || doc_id::VARCHAR || ':' || u.i::VARCHAR")}
+              % (seg - 2)) AS s,
+         CASE WHEN u.i = 0 THEN 0 ELSE
+           (u.i - 1) * seg
+           + ({H32_SQL.format(expr="'spanc:o:' || doc_id::VARCHAR || ':' || (u.i - 1)::VARCHAR")}
+              % (seg - 2)) + 3
+         END AS prev_end
+  FROM g, UNNEST(generate_series(0, k - 1)) AS u(i)
+  WHERE applied
+), agg AS (
+  SELECT doc_id,
+         flatten(list(list_slice(toks, prev_end + 1, s)
+                      || [(50257 + i)::INT] ORDER BY i)) AS inp_body,
+         flatten(list([(50257 + i)::INT]
+                      || list_slice(toks, s + 1, s + 3) ORDER BY i)) AS tgt_body,
+         max(s) + 3 AS last_end
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN b.applied
+            THEN a.inp_body || list_slice(b.toks, a.last_end + 1, b.n)
+            ELSE b.toks END AS inputs,
+       CASE WHEN b.applied
+            THEN a.tgt_body || [(50257 + b.k)::INT]
+            ELSE []::INT[] END AS targets,
+       (CASE WHEN b.applied THEN b.k ELSE 0 END)::BIGINT AS n_spans,
+       b.applied AS corrupted
+FROM g b LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -640,6 +640,99 @@ def fim_transform(df: DataFrame, rate: float = 0.5, mode: str = "psm",
     return df.select(*cols)
 
 
+def span_corrupt(df: DataFrame, noise_density: float = 0.15,
+                 span_len: int = 3, rate: float = 1.0,
+                 id_col: str = "doc_id", tokens_col: str = "tokens",
+                 vocab: int = 50257, min_len: int = 8,
+                 salt: str = "spanc") -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683)
+    over pre-tokenized sequences — the multi-span sibling of
+    :func:`fim_transform`: ``k ≈ n·noise_density/span_len`` spans are
+    cut out of the token array; ``inputs`` replaces each span with a
+    unique sentinel (``vocab+i``, ascending), ``targets`` is each
+    sentinel followed by its span's tokens, closed by a final sentinel
+    ``vocab+k`` — the denoising-objective (inputs, targets) pair.
+
+    Deterministic grid variant of T5's random segmentation: span ``i``
+    lives in grid segment ``[i·seg, (i+1)·seg)`` with ``seg = n/k``
+    and an id-hash offset inside the segment, so spans are fixed
+    length ``span_len`` (the mean of T5's distribution), never
+    overlap, and every cut point is an md5 function of
+    ``(doc_id, i)`` — reruns, retries, and any partitioning produce
+    byte-identical output on any engine (the :func:`hash_sample`
+    discipline). ``k`` is clamped to ``n // (span_len+1)`` so every
+    segment fits its span plus a gap. Docs failing the ``rate`` ppm
+    cut or shorter than ``max(min_len, span_len+1)`` pass through
+    with ``inputs = tokens``, empty ``targets``, ``n_spans = 0``.
+
+    Plan: pure ``sequence``/``transform``/``slice``/``flatten`` column
+    expressions — narrow, ZERO shuffle, one constant-depth expression
+    (never a per-span iterative rewrite); linear at any corpus size.
+    Returns (doc_id, inputs, targets, n_spans, corrupted)."""
+    t = F.col(tokens_col)
+    n = F.size(t)
+    L = span_len
+    ids = F.col(id_col).cast("string")
+    applied = (
+        F.pmod(h32(ids, seed=salt), F.lit(1_000_000))
+        < F.lit(int(round(rate * 1_000_000)))
+    ) & (n >= F.lit(max(min_len, L + 1)))
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(
+            F.floor(n * F.lit(float(noise_density)) / F.lit(float(L))),
+            F.floor(n / F.lit(L + 1)),
+        ),
+    )
+    seg = F.floor(n / k)
+
+    def _o(i):  # offset of span i inside its grid segment
+        return F.pmod(
+            h32(F.concat(ids, F.lit(":"), i.cast("string")), seed=f"{salt}:o"),
+            seg - F.lit(L) + 1,
+        )
+
+    def _s(i):  # absolute 0-based start of span i
+        return i * seg + _o(i)
+
+    def _prev_end(i):  # end (exclusive) of span i-1; 0 for the first
+        return F.when(i == 0, F.lit(0).cast("long")).otherwise(
+            (i - 1) * seg + _o(i - 1) + F.lit(L)
+        )
+
+    sent = lambda i: F.array((F.lit(vocab) + i).cast("int"))  # noqa: E731
+    grid = F.sequence(F.lit(0).cast("long"), k - 1)
+    inputs = F.concat(
+        F.flatten(F.transform(
+            grid,
+            lambda i: F.concat(
+                F.slice(t, (_prev_end(i) + 1).cast("int"),
+                        (_s(i) - _prev_end(i)).cast("int")),
+                sent(i),
+            ),
+        )),
+        F.slice(t, (_s(k - 1) + F.lit(L) + 1).cast("int"),
+                (n - _s(k - 1) - F.lit(L)).cast("int")),
+    )
+    targets = F.concat(
+        F.flatten(F.transform(
+            grid,
+            lambda i: F.concat(
+                sent(i), F.slice(t, (_s(i) + 1).cast("int"), L)
+            ),
+        )),
+        sent(k),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(applied, inputs).otherwise(t).alias("inputs"),
+        F.when(applied, targets)
+        .otherwise(F.array().cast("array<int>")).alias("targets"),
+        F.when(applied, k).otherwise(F.lit(0).cast("long")).alias("n_spans"),
+        applied.alias("corrupted"),
+    )
+
+
 def chunk_tokens(df: DataFrame, size: int = 128, stride: int | None = None,
                  id_col: str = "doc_id", tokens_col: str = "tokens",
                  keep_tail: bool = True) -> DataFrame:

@@ -77,6 +77,7 @@ HEADLINE = [
     "fim_transform",
     "semantic_decontaminate",
     "pack_training_meta",
+    "span_corrupt",
     "csv_extract",
 ]
 

@@ -93,6 +93,7 @@ AUDITED = {
     "temperature_mix": dict(broadcast=True, allow_cartesian=True),
     "fim_transform": dict(),
     "fim_loss_mask": dict(),
+    "span_corrupt": dict(),
     # broadcast-GEMM decontamination is a single narrow mapInPandas —
     # no join at all; the audit just proves no cartesian/BatchEval crept in
     "semantic_decontaminate": dict(),

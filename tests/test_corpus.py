@@ -2034,3 +2034,38 @@ def test_fim_loss_mask_aligns_with_mid_sentinel(spark):
                 continue
             k = toks.index(50257 + 2)  # [MID]
             assert mask == [0] * k + [1] * (len(toks) - k), (mode, r)
+
+
+def test_span_corrupt_reconstruction_and_determinism(spark):
+    """Splicing each sentinel's target span back into the inputs must
+    recover the original token array exactly; short docs pass through;
+    output is identical across partition layouts."""
+    from beats_spark.corpus.tokens import span_corrupt
+
+    df = _tokdocs(spark, [list(range(100, 100 + n))
+                          for n in (3, 8, 20, 40, 100)])
+    rows = span_corrupt(df, noise_density=0.15, span_len=3,
+                        vocab=500).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if not r["corrupted"]:
+            assert r["targets"] == [] and r["n_spans"] == 0
+            assert len(r["inputs"]) in (3,)  # only the len-3 doc
+            continue
+        spans, cur = {}, None
+        for tok in r["targets"]:
+            if tok >= 500:
+                cur = tok - 500
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        assert cur == r["n_spans"]  # closing sentinel
+        assert all(len(s) == 3 for i, s in spans.items() if i < cur)
+        rec = []
+        for tok in r["inputs"]:
+            rec.extend(spans[tok - 500] if tok >= 500 else [tok])
+        assert rec == list(range(100, 100 + len(rec))) and len(rec) >= 8
+
+    a = sorted(map(tuple, span_corrupt(df, vocab=500).collect()))
+    b = sorted(map(tuple, span_corrupt(df.repartition(7), vocab=500).collect()))
+    assert a == b  # layout-independent
