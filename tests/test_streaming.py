@@ -787,3 +787,32 @@ def test_fim_on_stream_matches_batch(spark, tmp_path):
     want = sorted(rows(fim_transform(spark.read.parquet(src), rate=0.5), *cols))
     assert got == want and len(got) == 500
     assert any(r[3] for r in got) and any(not r[3] for r in got)
+
+
+def test_span_corrupt_on_stream_matches_batch(spark, tmp_path):
+    """span_corrupt is the same class of stateless narrow projection
+    as fim_transform — streaming over the same files must be
+    byte-identical to the batch pass."""
+    from beats_spark.corpus.tokens import span_corrupt, tokenize_ids
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tokenize_ids(docs).coalesce(2).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        span_corrupt(stream_parquet_dir(spark, src))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    cols = ("doc_id", "inputs", "targets", "n_spans", "corrupted")
+    got = sorted(rows(spark.read.parquet(out_dir), *cols))
+    want = sorted(rows(span_corrupt(spark.read.parquet(src)), *cols))
+    assert got == want and len(got) == 500
+    assert any(r[4] for r in got)
