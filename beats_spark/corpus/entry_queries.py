@@ -1137,6 +1137,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "fim_loss_mask": q_fim_loss_mask,
         "span_corrupt": q_span_corrupt,
+        "curriculum_order": q_curriculum_order,
+        "length_buckets": q_length_buckets,
         "semantic_decontaminate": q_semantic_decontaminate,
         "pack_training_meta": q_pack_training_meta,
         "line_dedup": q_line_dedup,
@@ -1214,6 +1216,8 @@ def corpus_oracles() -> dict[str, str]:
         "fim_transform": _FIM_SQL,
         "fim_loss_mask": _FIM_LOSS_SQL,
         "span_corrupt": _SPANC_SQL,
+        "curriculum_order": _CURRICULUM_SQL,
+        "length_buckets": _LENGTH_BUCKETS_SQL,
         "semantic_decontaminate": _SEMANTIC_DECON_SQL,
         "pack_training_meta": _PACK_META_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
@@ -2516,6 +2520,60 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON r.source = d.source
 WHERE ({H32_SQL.format(expr="'tmix:' || d.doc_id::VARCHAR")} % 1000000)
       < r.rate_ppm
+"""
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: n_chars-quantile difficulty buckets
+    (thresholds from a 25% hash sample — the bounded-sample
+    discipline), deterministic within-bucket sort key."""
+    return toks.curriculum_order(_docs(spark, sf_dir), score_col="n_chars",
+                                 n_buckets=4, sample_rate=0.25)
+
+
+_CURRICULUM_SQL = f"""
+WITH s AS (
+  SELECT n_chars FROM documents
+  WHERE ({H32_SQL.format(expr="'curr:s:' || doc_id::VARCHAR")} % 1000000)
+        < 250000
+), th AS (
+  SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS t FROM s
+)
+SELECT doc_id,
+       n_chars AS score,
+       len(list_filter(th.t, x -> n_chars > x))::INT AS bucket,
+       {H32_SQL.format(expr="'curr:' || doc_id::VARCHAR")} AS sort_key
+FROM documents, th
+"""
+
+
+def q_length_buckets(spark, sf_dir):
+    """Length-bucketed batch layout over the tokenized docs: power-of-2
+    length buckets × 4 id-hash shards, deterministic in-group order,
+    batch_id = pos // 32."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return toks.length_buckets(t, batch_size=32, n_shards=4)
+
+
+_LENGTH_BUCKETS_SQL = f"""
+WITH {_TOKENIZE_SQL},
+b AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         (CASE WHEN len(toks) <= 1 THEN 0
+               ELSE length(bin(len(toks) - 1)) END)::INT AS bucket,
+         ({H32_SQL.format(expr="'lenbatch:sh:' || doc_id::VARCHAR")} % 4)::INT
+           AS shard,
+         {H32_SQL.format(expr="'lenbatch:' || doc_id::VARCHAR")} AS sk
+  FROM tk
+), p AS (
+  SELECT doc_id, n_tok, bucket, shard,
+         (row_number() OVER (PARTITION BY bucket, shard
+                             ORDER BY sk, doc_id) - 1) AS pos
+  FROM b
+)
+SELECT doc_id, n_tok, bucket, shard, pos,
+       floor(pos / 32.0)::BIGINT AS batch_id
+FROM p
 """
 
 

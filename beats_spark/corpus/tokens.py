@@ -900,6 +900,92 @@ def pack_bins_sequences(df: DataFrame, max_len: int = 128,
     )
 
 
+def curriculum_order(df: DataFrame, score_col: str = "n_chars",
+                     n_buckets: int = 4, id_col: str = "doc_id",
+                     sample_rate: float = 1.0, salt: str = "curr",
+                     ascending: bool = True) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009): rows are bucketed
+    by difficulty-score quantiles and given a deterministic
+    within-bucket sort key; reading rows ordered by
+    ``(bucket, sort_key, id)`` IS the curriculum — easy buckets first
+    when ``ascending`` (low score = easy), pseudo-random inside each
+    bucket. Same reproducible-permutation contract as
+    :func:`shuffle_shards`: the order is DEFINED by emitted columns,
+    never materialized by a global sort in the plan.
+
+    Scale: bucket thresholds are exact quantiles over a deterministic
+    :func:`hash_sample` slice (bound ``sample_rate`` so the exact
+    ``percentile`` aggregate's value collection stays executor-sized —
+    the PQ-trainer sampling discipline; quantiles of a uniform hash
+    sample converge fast), crossed back as ONE broadcast row (linear
+    scalar BroadcastNestedLoopJoin, the :func:`temperature_rates`
+    shape); the corpus side is a narrow projection. ``percentile`` is
+    interpolated and bit-identical to DuckDB's ``quantile_cont``
+    (probed cross-engine — see ``window_percentiles``). Returns
+    ``(id, score, bucket, sort_key)`` with bucket in [0, n_buckets)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    src = df if sample_rate >= 1.0 else hash_sample(
+        df, sample_rate, id_col=id_col, salt=f"{salt}:s"
+    )
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    th = src.agg(
+        F.expr(f"percentile({score_col}, array({qs}))").alias("_th")
+    )
+    up = F.size(F.filter("_th", lambda t: F.col(score_col) > t))
+    bucket = up if ascending else (F.lit(n_buckets - 1) - up)
+    return (
+        df.crossJoin(F.broadcast(th))
+        .select(
+            F.col(id_col),
+            F.col(score_col).alias("score"),
+            bucket.cast("int").alias("bucket"),
+            h32(F.col(id_col).cast("string"), seed=salt).alias("sort_key"),
+        )
+    )
+
+
+def length_buckets(df: DataFrame, tokens_col: str = "tokens",
+                   batch_size: int = 32, n_shards: int = 1,
+                   id_col: str = "doc_id",
+                   salt: str = "lenbatch") -> DataFrame:
+    """Length-bucketed batch layout — the padding-efficiency standard:
+    sequences batch with others within 2× of their own length, so
+    pad-to-longest waste is bounded. ``bucket`` is the bit length of
+    ``n_tok - 1`` (integer-exact ceil(log2), no libm), rows get a
+    deterministic hash position inside ``(bucket, shard)`` and
+    ``batch_id = pos // batch_size``.
+
+    Scale: buckets alone are log-many and huge — the window would be
+    one giant partition per bucket. ``n_shards`` splits each bucket
+    into independent id-hash shards (the :func:`pack_bins` bucketed-
+    packer discipline): one keyed shuffle on (bucket, shard), each
+    window partition-sized, batches still length-homogeneous (that is
+    the only property batching needs). Each (bucket, shard) group's
+    final batch may be partial. Returns
+    ``(id, n_tok, bucket, shard, pos, batch_id)``."""
+    n = F.size(F.col(tokens_col))
+    ids = F.col(id_col).cast("string")
+    bucket = F.when(n <= 1, F.lit(0)).otherwise(
+        F.length(F.bin(n - 1))
+    ).cast("int")
+    shard = F.pmod(h32(ids, seed=f"{salt}:sh"), F.lit(n_shards)).cast("int")
+    out = df.select(
+        F.col(id_col), n.alias("n_tok"), bucket.alias("bucket"),
+        shard.alias("shard"),
+        h32(ids, seed=salt).alias("_sk"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("_sk", id_col)
+    return (
+        out.withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn(
+            "batch_id",
+            F.floor(F.col("pos") / F.lit(float(batch_size))).cast("long"),
+        )
+        .drop("_sk")
+    )
+
+
 def pack_training_meta(packed: DataFrame, max_len: int = 128,
                        pad_id: int = 0) -> DataFrame:
     """Trainer-side metadata for packed bins WITHOUT cross-document

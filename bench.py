@@ -78,6 +78,8 @@ HEADLINE = [
     "semantic_decontaminate",
     "pack_training_meta",
     "span_corrupt",
+    "curriculum_order",
+    "length_buckets",
     "csv_extract",
 ]
 

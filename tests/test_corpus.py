@@ -2069,3 +2069,62 @@ def test_span_corrupt_reconstruction_and_determinism(spark):
     a = sorted(map(tuple, span_corrupt(df, vocab=500).collect()))
     b = sorted(map(tuple, span_corrupt(df.repartition(7), vocab=500).collect()))
     assert a == b  # layout-independent
+
+
+def test_curriculum_order_buckets_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from beats_spark.corpus.tokens import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000) for i in range(400)], "doc_id long, score long"
+    )
+    out = curriculum_order(df, score_col="score", n_buckets=4).collect()
+    assert len(out) == 400
+    # bucket is monotone in score: every bucket-b score <= bucket-b+1 score
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["score"])
+    assert sorted(by_bucket) == [0, 1, 2, 3]
+    for b in (0, 1, 2):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+    # quantile buckets on near-uniform scores are near-balanced
+    sizes = [len(v) for _, v in sorted(by_bucket.items())]
+    assert all(80 <= s <= 120 for s in sizes), sizes
+    # descending curriculum flips the bucket index
+    desc = {r["doc_id"]: r["bucket"] for r in curriculum_order(
+        df, score_col="score", n_buckets=4, ascending=False).collect()}
+    asc = {r["doc_id"]: r["bucket"] for r in out}
+    assert all(desc[i] == 3 - asc[i] for i in desc)
+    # layout-independent
+    a = sorted(map(tuple, curriculum_order(df, score_col="score").collect()))
+    b2 = sorted(map(tuple, curriculum_order(
+        df.repartition(7), score_col="score").collect()))
+    assert a == b2
+
+
+def test_length_buckets_homogeneous_batches(spark):
+    from beats_spark.corpus.tokens import length_buckets
+
+    df = _tokdocs(spark, [list(range(n)) for n in
+                          [1, 2, 3, 5, 8, 9, 16, 17, 31, 33, 64] * 20])
+    out = length_buckets(df, batch_size=4, n_shards=2).collect()
+    assert len(out) == 220
+    from collections import defaultdict
+    batches = defaultdict(list)
+    for r in out:
+        assert (r["n_tok"] <= 1 and r["bucket"] == 0) or (
+            2 ** (r["bucket"] - 1) < r["n_tok"] <= 2 ** r["bucket"]
+        )
+        batches[(r["bucket"], r["shard"], r["batch_id"])].append(r)
+    for rows_ in batches.values():
+        assert len(rows_) <= 4
+        # batch members are within 2x of each other by construction
+        ns = [r["n_tok"] for r in rows_ if r["n_tok"] > 1]
+        if ns:
+            assert max(ns) <= 2 * min(ns)
+    # pos is dense per (bucket, shard)
+    per_bs = defaultdict(list)
+    for r in out:
+        per_bs[(r["bucket"], r["shard"])].append(r["pos"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_bs.values())

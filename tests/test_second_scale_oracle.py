@@ -34,6 +34,7 @@ ORDER_SENSITIVE = [
     "pack_bins",
     "pack_bins_sequences",
     "pack_training_meta",
+    "length_buckets",
     "shuffle_shards",
     "sessionize",
     "multiline_pattern",
