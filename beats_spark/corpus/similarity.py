@@ -1021,14 +1021,23 @@ def semantic_decontaminate(docs: DataFrame, bench: DataFrame,
     enrichment processors) and shipped into an Arrow-batched map over
     the corpus: the whole operator is a single narrow ``mapInPandas``
     — ZERO shuffles, no join, no explode; each batch does one BLAS
-    matmul against the benchmark matrix. The matmul only PICKS the
-    top-``candidates`` benchmark ids per row; the EMITTED cosine is
-    recomputed inside the batch as the canonical dimension-sequential
-    double fold (identical IEEE op order to :func:`dot` and the
-    DuckDB ``list_sum`` oracle), and the winner among candidates is
-    chosen on those exact values (ties → smaller bench id) — so the
-    result is bit-identical to the cross-join baseline while scaling
-    as a pure map."""
+    matmul against the benchmark matrix. The matmul only PICKS
+    candidate benchmark ids per row — the top ``candidates`` plus
+    everything within 1e-9 of the row's GEMM max, so reassociation-
+    scale reorderings between the GEMM and the fold can never push the
+    true winner (or the smaller-id member of an exact tie) out of the
+    candidate set; the EMITTED cosine is recomputed inside the batch
+    as the canonical dimension-sequential double fold (identical IEEE
+    op order to :func:`dot` and the DuckDB ``list_sum`` oracle), and
+    the winner among candidates is chosen on those exact values
+    (ties → smaller bench id) — bit-identical to the cross-join
+    baseline while scaling as a pure map.
+
+    Degenerate norms: a zero-norm BENCHMARK vector raises (its cosine
+    is NaN against everything — no meaningful nearest-neighbor
+    semantics); a zero-norm CORPUS row emits the cross-join baseline's
+    row for it — NaN cosine (never ≥ threshold), smallest bench id
+    (all-NaN ties break by id)."""
     if not 1 <= candidates:
         raise ValueError("candidates must be >= 1")
     brows = (
@@ -1048,9 +1057,14 @@ def semantic_decontaminate(docs: DataFrame, bench: DataFrame,
     for j in range(B.shape[1]):
         nb += B[:, j] * B[:, j]
     nb = np.sqrt(nb)
+    if not np.all(nb > 0):
+        raise ValueError(
+            "semantic_decontaminate: zero-norm benchmark vector "
+            f"(ids {bids[nb == 0][:5].tolist()}) — cosine is undefined"
+        )
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast((bids, B, nb))
-    c = min(candidates, len(bids))
+    cbase = min(candidates, len(bids))
     thr = float(threshold)
 
     def score(batches):
@@ -1063,8 +1077,15 @@ def semantic_decontaminate(docs: DataFrame, bench: DataFrame,
             for j in range(A.shape[1]):
                 na += A[:, j] * A[:, j]
             na = np.sqrt(na)
-            S = (A @ B_.T) / np.outer(na, nb_)
-            idx = np.argsort(-S, axis=1, kind="stable")[:, :c]  # candidates
+            zero = na == 0
+            na_safe = np.where(zero, 1.0, na)
+            S = (A @ B_.T) / np.outer(na_safe, nb_)
+            # candidate width: at least cbase, widened to cover every
+            # entry within 1e-9 of each row's max so GEMM-vs-fold
+            # reassociation noise can never drop the true fold winner
+            near = (S >= S.max(axis=1, keepdims=True) - 1e-9).sum(axis=1)
+            c = int(min(len(bids_), max(cbase, near.max())))
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :c]
             # exact fold-cos per candidate: vectorized across rows,
             # SEQUENTIAL across dimensions (the canonical op order)
             best_cos = np.full(A.shape[0], -np.inf)
@@ -1074,13 +1095,17 @@ def semantic_decontaminate(docs: DataFrame, bench: DataFrame,
                 acc = np.zeros(A.shape[0])
                 for j in range(A.shape[1]):
                     acc += A[:, j] * Bi[:, j]
-                cos = acc / (na * nb_[idx[:, col]])
+                cos = acc / (na_safe * nb_[idx[:, col]])
                 ids = bids_[idx[:, col]]
                 better = (cos > best_cos) | (
                     (cos == best_cos) & (ids < best_id)
                 )
                 best_cos = np.where(better, cos, best_cos)
                 best_id = np.where(better, ids, best_id)
+            # zero-norm corpus rows: the cross-join baseline yields NaN
+            # cosines everywhere, tie-broken to the smallest bench id
+            best_cos = np.where(zero, np.nan, best_cos)
+            best_id = np.where(zero, bids_[0], best_id)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].to_numpy(),
                 "bench_id": best_id,
@@ -1088,7 +1113,13 @@ def semantic_decontaminate(docs: DataFrame, bench: DataFrame,
                 "contaminated": best_cos >= thr,
             })
 
-    return _prepped(docs, id_col, vec_col).mapInPandas(
+    out = _prepped(docs, id_col, vec_col).select("vec_id", "v").mapInPandas(
         score,
         schema="vec_id long, bench_id long, cos double, contaminated boolean",
+    )
+    # Arrow maps pandas NaN to NULL on the way back; the only NULL this
+    # operator can produce IS the zero-norm NaN, so restore it to the
+    # baseline's actual NaN double
+    return out.withColumn(
+        "cos", F.coalesce(F.col("cos"), F.lit(float("nan")))
     )

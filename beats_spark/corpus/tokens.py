@@ -921,7 +921,11 @@ def curriculum_order(df: DataFrame, score_col: str = "n_chars",
     scalar BroadcastNestedLoopJoin, the :func:`temperature_rates`
     shape); the corpus side is a narrow projection. ``percentile`` is
     interpolated and bit-identical to DuckDB's ``quantile_cont``
-    (probed cross-engine — see ``window_percentiles``). Returns
+    (probed cross-engine — see ``window_percentiles``). The threshold
+    aggregate runs EAGERLY at plan build and the boundaries embed as
+    literals (the :func:`pack_sequences` plan-build-literal
+    discipline — and an empty/NULL-score sample fails fast here
+    instead of silently emitting NULL buckets). Returns
     ``(id, score, bucket, sort_key)`` with bucket in [0, n_buckets)."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
@@ -929,19 +933,23 @@ def curriculum_order(df: DataFrame, score_col: str = "n_chars",
         df, sample_rate, id_col=id_col, salt=f"{salt}:s"
     )
     qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-    th = src.agg(
+    row = src.agg(
         F.expr(f"percentile({score_col}, array({qs}))").alias("_th")
-    )
-    up = F.size(F.filter("_th", lambda t: F.col(score_col) > t))
-    bucket = up if ascending else (F.lit(n_buckets - 1) - up)
-    return (
-        df.crossJoin(F.broadcast(th))
-        .select(
-            F.col(id_col),
-            F.col(score_col).alias("score"),
-            bucket.cast("int").alias("bucket"),
-            h32(F.col(id_col).cast("string"), seed=salt).alias("sort_key"),
+    ).first()
+    ths = row["_th"] if row is not None else None
+    if not ths or any(t is None for t in ths):
+        raise ValueError(
+            "curriculum_order: threshold sample produced no scores — "
+            "raise sample_rate or check the score column"
         )
+    th = F.array(*[F.lit(float(t)) for t in ths])
+    up = F.size(F.filter(th, lambda t: F.col(score_col) > t))
+    bucket = up if ascending else (F.lit(n_buckets - 1) - up)
+    return df.select(
+        F.col(id_col),
+        F.col(score_col).alias("score"),
+        bucket.cast("int").alias("bucket"),
+        h32(F.col(id_col).cast("string"), seed=salt).alias("sort_key"),
     )
 
 

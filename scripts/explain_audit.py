@@ -94,9 +94,8 @@ AUDITED = {
     "fim_transform": dict(),
     "fim_loss_mask": dict(),
     "span_corrupt": dict(),
-    # curriculum thresholds are a ONE-ROW broadcast crossed back —
-    # linear scalar BNLJ, same whitelisted shape as temperature_rates
-    "curriculum_order": dict(allow_cartesian=True),
+    # curriculum thresholds embed as plan-build literals — pure narrow
+    "curriculum_order": dict(),
     "length_buckets": dict(),
     # broadcast-GEMM decontamination is a single narrow mapInPandas —
     # no join at all; the audit just proves no cartesian/BatchEval crept in

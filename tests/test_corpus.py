@@ -2128,3 +2128,45 @@ def test_length_buckets_homogeneous_batches(spark):
     for r in out:
         per_bs[(r["bucket"], r["shard"])].append(r["pos"])
     assert all(sorted(v) == list(range(len(v))) for v in per_bs.values())
+
+
+def test_semantic_decontaminate_degenerate_norms(spark):
+    """Zero-norm corpus row → the cross-join baseline's row (NaN cos,
+    smallest bench id, not contaminated); zero-norm benchmark vector →
+    ValueError at build."""
+    import math
+
+    import pytest as _pytest
+
+    from beats_spark.corpus.similarity import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(23, [1.0, 0.0]), (46, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [0.0, 0.0])],  # row 2 is zero-norm
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in
+           semantic_decontaminate(corpus, bench, threshold=0.9).collect()}
+    assert math.isnan(got[2]["cos"])
+    assert got[2]["bench_id"] == 23 and not got[2]["contaminated"]
+    assert got[1]["bench_id"] == 23  # tie cos=0.707.. on both; smaller id
+
+    zbench = spark.createDataFrame(
+        [(23, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="zero-norm benchmark"):
+        semantic_decontaminate(corpus, zbench)
+
+
+def test_curriculum_order_empty_sample_raises(spark):
+    import pytest as _pytest
+
+    from beats_spark.corpus.tokens import curriculum_order
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, score long")
+    # a single id essentially never lands under a 1-ppm sample cut
+    with _pytest.raises(ValueError, match="no scores"):
+        curriculum_order(df, score_col="score", sample_rate=0.000001)
