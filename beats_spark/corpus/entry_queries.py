@@ -1139,6 +1139,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corrupt": q_span_corrupt,
         "curriculum_order": q_curriculum_order,
         "length_buckets": q_length_buckets,
+        "pack_seq_boundaries": q_pack_seq_boundaries,
         "semantic_decontaminate": q_semantic_decontaminate,
         "pack_training_meta": q_pack_training_meta,
         "line_dedup": q_line_dedup,
@@ -1218,6 +1219,7 @@ def corpus_oracles() -> dict[str, str]:
         "span_corrupt": _SPANC_SQL,
         "curriculum_order": _CURRICULUM_SQL,
         "length_buckets": _LENGTH_BUCKETS_SQL,
+        "pack_seq_boundaries": _PACK_SEQ_BOUND_SQL,
         "semantic_decontaminate": _SEMANTIC_DECON_SQL,
         "pack_training_meta": _PACK_META_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
@@ -1305,6 +1307,66 @@ ex AS (
 SELECT (pos // 128)::BIGINT AS seq_no, (pos % 128)::BIGINT AS pos_in_seq,
        token_id::BIGINT AS token_id
 FROM ex
+"""
+
+
+def q_pack_seq_boundaries(spark, sf_dir):
+    """Straddle packing with the per-sequence document boundary table
+    (the pack_training_meta input shape on the GPT-style layout) —
+    verified via content signatures."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    out = toks.pack_sequences_boundaries(t, max_len=128)
+
+    def sig(c, name):
+        return F.md5(
+            F.concat_ws(",", F.col(c).cast("array<string>"))
+        ).alias(name)
+
+    return out.select(
+        "bin_id", "n_docs", "n_tok",
+        sig("doc_ids", "ids_sig"), sig("doc_starts", "starts_sig"),
+        sig("doc_lens", "lens_sig"), sig("tokens", "toks_sig"),
+    )
+
+
+_PACK_SEQ_BOUND_SQL = f"""
+WITH {_TOKENIZE_SQL},
+o AS (
+  SELECT doc_id, toks,
+         coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM tk
+),
+ex AS (
+  SELECT doc_id, strt + i AS pos, toks[i::INT + 1] AS token_id
+  FROM (SELECT doc_id, strt, toks, unnest(range(0, len(toks))) AS i FROM o)
+),
+p AS (
+  SELECT (pos // 128)::BIGINT AS bin_id, (pos % 128)::BIGINT AS pis,
+         doc_id, token_id
+  FROM ex
+),
+spans AS (
+  SELECT bin_id, doc_id, min(pis) AS strt, count(*) AS n
+  FROM p GROUP BY bin_id, doc_id
+),
+b1 AS (
+  SELECT bin_id,
+         count(*)::BIGINT AS n_docs,
+         sum(n)::BIGINT AS n_tok,
+         md5(string_agg(doc_id::VARCHAR, ',' ORDER BY strt)) AS ids_sig,
+         md5(string_agg(strt::VARCHAR, ',' ORDER BY strt)) AS starts_sig,
+         md5(string_agg(n::VARCHAR, ',' ORDER BY strt)) AS lens_sig
+  FROM spans GROUP BY bin_id
+),
+b2 AS (
+  SELECT bin_id,
+         md5(string_agg(token_id::VARCHAR, ',' ORDER BY pis)) AS toks_sig
+  FROM p GROUP BY bin_id
+)
+SELECT b1.bin_id, b1.n_docs, b1.n_tok, b1.ids_sig, b1.starts_sig,
+       b1.lens_sig, b2.toks_sig
+FROM b1 JOIN b2 USING (bin_id)
 """
 
 

@@ -171,6 +171,88 @@ def pack_sequences(df: DataFrame, max_len: int = 128,
     )
 
 
+def pack_sequences_boundaries(df: DataFrame, max_len: int = 128,
+                              id_col: str = "doc_id",
+                              tokens_col: str = "tokens",
+                              distributed: bool = True,
+                              n_parts: int | None = None) -> DataFrame:
+    """Concat-then-chunk packing WITH the per-sequence document
+    boundary table — the straddle-packing complement of
+    :func:`pack_bins_sequences`, emitting the exact shape
+    :func:`pack_training_meta` consumes (``bin_id, n_docs, n_tok,
+    doc_ids, doc_starts, doc_lens, tokens``), so packing WITHOUT
+    cross-document attention works on the default GPT-style layout
+    too. Token content and chunking are byte-identical to
+    :func:`pack_sequences`; a document straddling a chunk boundary
+    appears in every sequence it touches, its continuation a fresh
+    segment (the independent-sequence convention — position ids
+    restart per sequence, block-diagonal masks never cross it).
+
+    Same scale shape as pack_sequences: distributed prefix sum (no
+    global window, plan-build boundary literals), arithmetic chunk
+    assignment, one regroup keyed on seq_no (uniform by construction);
+    the boundary table is derived from the grouped array with pure
+    array expressions (per-row cost ∝ max_len)."""
+    sel_cols = [F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t")]
+    if distributed:
+        sel = _global_starts(df.select(*sel_cols), n_parts)
+    else:
+        w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, -1)
+        sel = df.select(*sel_cols).withColumn(
+            "_start", F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0).cast("long"))
+        )
+    ex = sel.select(
+        "_id",
+        F.posexplode("_t").alias("_p", "token_id"),
+        (F.col("_start") + F.col("_p")).alias("_pos"),
+    ).select(
+        "_id",
+        F.floor(F.col("_pos") / max_len).alias("bin_id"),
+        F.pmod(F.col("_pos"), F.lit(max_len)).alias("pis"),
+        "token_id",
+    )
+    grouped = ex.groupBy("bin_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                F.col("pis").alias("p"), F.col("token_id").alias("tok"),
+                F.col("_id").alias("d"),
+            ))
+        ).alias("ds")
+    )
+    n = F.size("ds")
+    # positions where a new document begins within the sequence
+    bidx = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.when(i == 0, F.lit(True)).otherwise(
+            F.element_at(F.col("ds"), (i + 1).cast("int"))["d"]
+            != F.element_at(F.col("ds"), i.cast("int"))["d"]
+        ),
+    )
+    staged = grouped.select(
+        "bin_id",
+        F.transform("ds", lambda s: s["tok"]).alias("tokens"),
+        n.cast("long").alias("n_tok"),
+        bidx.alias("_b"),
+        "ds",
+    )
+    starts = F.transform("_b", lambda i: i.cast("long"))
+    nexts = F.concat(
+        F.slice(starts, 2, F.size("_b") - 1),
+        F.array(F.col("n_tok")),
+    )
+    return staged.select(
+        "bin_id",
+        F.size("_b").cast("long").alias("n_docs"),
+        "n_tok",
+        F.transform(
+            "_b", lambda i: F.element_at(F.col("ds"), (i + 1).cast("int"))["d"]
+        ).alias("doc_ids"),
+        starts.alias("doc_starts"),
+        F.zip_with(starts, nexts, lambda a, b: b - a).alias("doc_lens"),
+        "tokens",
+    )
+
+
 def split_assign(df: DataFrame, id_col: str = "doc_id",
                  train_pct: int = 90, val_pct: int = 5,
                  salt: str = "split") -> DataFrame:

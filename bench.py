@@ -80,6 +80,7 @@ HEADLINE = [
     "span_corrupt",
     "curriculum_order",
     "length_buckets",
+    "pack_seq_boundaries",
     "csv_extract",
 ]
 

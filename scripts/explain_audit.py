@@ -97,6 +97,7 @@ AUDITED = {
     # curriculum thresholds embed as plan-build literals — pure narrow
     "curriculum_order": dict(),
     "length_buckets": dict(),
+    "pack_seq_boundaries": dict(),
     # broadcast-GEMM decontamination is a single narrow mapInPandas —
     # no join at all; the audit just proves no cartesian/BatchEval crept in
     "semantic_decontaminate": dict(),

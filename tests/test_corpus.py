@@ -2170,3 +2170,33 @@ def test_curriculum_order_empty_sample_raises(spark):
     # a single id essentially never lands under a 1-ppm sample cut
     with _pytest.raises(ValueError, match="no scores"):
         curriculum_order(df, score_col="score", sample_rate=0.000001)
+
+
+def test_pack_sequences_boundaries_straddle_and_meta_composition(spark):
+    """Token content matches pack_sequences exactly; the boundary table
+    is consistent (starts+lens tile each sequence, straddling docs
+    appear in every bin they touch); output composes straight into
+    pack_training_meta."""
+    from beats_spark.corpus.tokens import (
+        pack_sequences, pack_sequences_boundaries, pack_training_meta,
+    )
+
+    df = _tokdocs(spark, [list(range(i * 100, i * 100 + n))
+                          for i, n in enumerate([5, 3, 9, 2, 6, 300])])
+    out = pack_sequences_boundaries(df, max_len=8).collect()
+    want = {r["seq_no"]: r["tokens"] for r in
+            pack_sequences(df, max_len=8).collect()}
+    assert {r["bin_id"]: r["tokens"] for r in out} == want
+    for r in out:
+        assert sum(r["doc_lens"]) == r["n_tok"] == len(r["tokens"])
+        assert r["doc_starts"][0] == 0
+        nxt = list(r["doc_starts"][1:]) + [r["n_tok"]]
+        assert all(s + l == x for s, l, x in
+                   zip(r["doc_starts"], r["doc_lens"], nxt))
+    # doc 5 (300 tokens) straddles many bins — once per bin it touches
+    bins_with_5 = [r["bin_id"] for r in out if 5 in r["doc_ids"]]
+    assert len(bins_with_5) >= 300 // 8
+    meta = pack_training_meta(spark.createDataFrame(out), max_len=8).collect()
+    for m in meta:
+        assert (len(m["position_ids"]) == len(m["segment_ids"])
+                == len(m["loss_mask"]) == len(m["tokens"]))

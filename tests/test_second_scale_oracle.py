@@ -34,6 +34,7 @@ ORDER_SENSITIVE = [
     "pack_bins",
     "pack_bins_sequences",
     "pack_training_meta",
+    "pack_seq_boundaries",
     "length_buckets",
     "shuffle_shards",
     "sessionize",
