@@ -1140,6 +1140,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "length_buckets": q_length_buckets,
         "pack_seq_boundaries": q_pack_seq_boundaries,
+        "epoch_schedule": q_epoch_schedule,
         "semantic_decontaminate": q_semantic_decontaminate,
         "pack_training_meta": q_pack_training_meta,
         "line_dedup": q_line_dedup,
@@ -1220,6 +1221,7 @@ def corpus_oracles() -> dict[str, str]:
         "curriculum_order": _CURRICULUM_SQL,
         "length_buckets": _LENGTH_BUCKETS_SQL,
         "pack_seq_boundaries": _PACK_SEQ_BOUND_SQL,
+        "epoch_schedule": _EPOCH_SCHEDULE_SQL,
         "semantic_decontaminate": _SEMANTIC_DECON_SQL,
         "pack_training_meta": _PACK_META_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
@@ -2582,6 +2584,22 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON r.source = d.source
 WHERE ({H32_SQL.format(expr="'tmix:' || d.doc_id::VARCHAR")} % 1000000)
       < r.rate_ppm
+"""
+
+
+def q_epoch_schedule(spark, sf_dir):
+    """Three-epoch schedule: per-epoch reproducible permutation (the
+    hash seed folds in the epoch number), 64 shards."""
+    return toks.epoch_schedule(_docs(spark, sf_dir), n_epochs=3, n_shards=64)
+
+
+_EPOCH_SCHEDULE_SQL = f"""
+SELECT doc_id, u.e::BIGINT AS epoch,
+       ({H32_SQL.format(expr="'epoch:' || u.e::VARCHAR || ':' || doc_id::VARCHAR")}
+        % 64)::INT AS shard,
+       {H32_SQL.format(expr="'epoch:' || u.e::VARCHAR || ':' || doc_id::VARCHAR")}
+         AS sort_key
+FROM documents, UNNEST(generate_series(0, 2)) AS u(e)
 """
 
 

@@ -524,6 +524,38 @@ def shuffle_shards(df: DataFrame, n_shards: int = 1024,
     return out
 
 
+def epoch_schedule(df: DataFrame, n_epochs: int = 2, n_shards: int = 1024,
+                   id_col: str = "doc_id", salt: str = "epoch") -> DataFrame:
+    """Multi-epoch training schedule: every row re-emitted once per
+    epoch with an EPOCH-SPECIFIC shard + sort key (the hash seed folds
+    in the epoch number), so each epoch is a different — but
+    individually reproducible — :func:`shuffle_shards` permutation.
+    Reading epochs in order, shards in order, rows by (sort_key, id)
+    within a shard IS the schedule; no RNG state to carry between
+    epochs, any worker can recompute any slice independently.
+
+    Pure explode + projections — narrow, zero shuffle; output volume
+    is ``n_epochs ×`` input (at 10^12 rows emit one epoch at a time by
+    filtering ``epoch == e`` — Catalyst prunes the explode to a
+    constant). Returns (id, epoch, shard, sort_key)."""
+    if n_epochs < 1:
+        raise ValueError("n_epochs must be >= 1")
+    ids = F.col(id_col).cast("string")
+    out = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    )
+    k = h32(
+        F.concat(F.col("epoch").cast("string"), F.lit(":"), ids), seed=salt
+    )
+    return out.select(
+        F.col(id_col),
+        "epoch",
+        F.pmod(k, F.lit(n_shards)).cast("int").alias("shard"),
+        k.alias("sort_key"),
+    )
+
+
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
                 salt: str = "sample") -> DataFrame:
     """Deterministic content-independent sampling: keep a row iff its

@@ -81,6 +81,7 @@ HEADLINE = [
     "curriculum_order",
     "length_buckets",
     "pack_seq_boundaries",
+    "epoch_schedule",
     "csv_extract",
 ]
 

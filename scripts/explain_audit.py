@@ -98,6 +98,7 @@ AUDITED = {
     "curriculum_order": dict(),
     "length_buckets": dict(),
     "pack_seq_boundaries": dict(),
+    "epoch_schedule": dict(),
     # broadcast-GEMM decontamination is a single narrow mapInPandas —
     # no join at all; the audit just proves no cartesian/BatchEval crept in
     "semantic_decontaminate": dict(),

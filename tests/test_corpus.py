@@ -2200,3 +2200,27 @@ def test_pack_sequences_boundaries_straddle_and_meta_composition(spark):
     for m in meta:
         assert (len(m["position_ids"]) == len(m["segment_ids"])
                 == len(m["loss_mask"]) == len(m["tokens"]))
+
+
+def test_epoch_schedule_distinct_per_epoch_permutations(spark):
+    from collections import Counter
+
+    from beats_spark.corpus.tokens import epoch_schedule
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = epoch_schedule(df, n_epochs=3, n_shards=8).collect()
+    assert len(out) == 600
+    assert Counter(r["epoch"] for r in out) == {0: 200, 1: 200, 2: 200}
+    orders = {
+        e: [r["doc_id"] for r in sorted(
+            (x for x in out if x["epoch"] == e),
+            key=lambda r: (r["shard"], r["sort_key"], r["doc_id"]))]
+        for e in (0, 1, 2)
+    }
+    # each epoch is a full permutation, and the permutations differ
+    assert all(sorted(v) == list(range(200)) for v in orders.values())
+    assert orders[0] != orders[1] != orders[2]
+    # layout-independent
+    a = sorted(map(tuple, epoch_schedule(df, 2, 8).collect()))
+    b = sorted(map(tuple, epoch_schedule(df.repartition(7), 2, 8).collect()))
+    assert a == b
