@@ -1141,6 +1141,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "pack_seq_boundaries": q_pack_seq_boundaries,
         "epoch_schedule": q_epoch_schedule,
+        "corpus_report": q_corpus_report,
         "semantic_decontaminate": q_semantic_decontaminate,
         "pack_training_meta": q_pack_training_meta,
         "line_dedup": q_line_dedup,
@@ -1222,6 +1223,7 @@ def corpus_oracles() -> dict[str, str]:
         "length_buckets": _LENGTH_BUCKETS_SQL,
         "pack_seq_boundaries": _PACK_SEQ_BOUND_SQL,
         "epoch_schedule": _EPOCH_SCHEDULE_SQL,
+        "corpus_report": _corpus_report_sql(),
         "semantic_decontaminate": _SEMANTIC_DECON_SQL,
         "pack_training_meta": _PACK_META_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
@@ -2584,6 +2586,25 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON r.source = d.source
 WHERE ({H32_SQL.format(expr="'tmix:' || d.doc_id::VARCHAR")} % 1000000)
       < r.rate_ppm
+"""
+
+
+def q_corpus_report(spark, sf_dir):
+    """One-row corpus datacard: doc/source counts, char volume, exact
+    duplicate load, quality-pass count."""
+    return textstats.corpus_report(_docs(spark, sf_dir))
+
+
+def _corpus_report_sql() -> str:
+    return f"""
+WITH qf AS ({_quality_filters_sql()})
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT d.source)::BIGINT AS n_sources,
+       sum(d.n_chars)::BIGINT AS total_chars,
+       count(DISTINCT md5(d.text))::BIGINT AS n_unique_texts,
+       sum(CASE WHEN qf.passes_quality THEN 1 ELSE 0 END)::BIGINT
+         AS n_quality_pass
+FROM documents d JOIN qf USING (doc_id)
 """
 
 

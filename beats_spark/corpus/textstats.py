@@ -430,6 +430,27 @@ def quality_filters(df: DataFrame, text_col: str = "text",
     return df.withColumns(out)
 
 
+def corpus_report(df: DataFrame, text_col: str = "text",
+                  source_col: str = "source",
+                  chars_col: str = "n_chars") -> DataFrame:
+    """One-row corpus datacard — the numbers every dataset release
+    documents up front: doc and source counts, character volume, exact
+    duplicate load (distinct md5 texts), and the quality-filter pass
+    count. ONE aggregate over the narrow :func:`quality_filters`
+    projection (partial+final hash agg; countDistinct adds one
+    dedup-shaped expand — both map-side combined), so the report costs
+    a single pass at any corpus size. Fractions are left to the reader
+    (exact integers cross engines; float ratios don't need to)."""
+    q = quality_filters(df, text_col=text_col)
+    return q.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col(source_col)).alias("n_sources"),
+        F.sum(F.col(chars_col)).cast("long").alias("total_chars"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique_texts"),
+        F.sum(F.col("passes_quality").cast("long")).alias("n_quality_pass"),
+    )
+
+
 def top_ngram_stats(df: DataFrame, n: int = 2, text_col: str = "text",
                     id_col: str = "doc_id",
                     max_top_ngram_char_pct: int = 20) -> DataFrame:

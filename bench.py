@@ -82,6 +82,7 @@ HEADLINE = [
     "length_buckets",
     "pack_seq_boundaries",
     "epoch_schedule",
+    "corpus_report",
     "csv_extract",
 ]
 

@@ -99,6 +99,7 @@ AUDITED = {
     "length_buckets": dict(),
     "pack_seq_boundaries": dict(),
     "epoch_schedule": dict(),
+    "corpus_report": dict(),
     # broadcast-GEMM decontamination is a single narrow mapInPandas —
     # no join at all; the audit just proves no cartesian/BatchEval crept in
     "semantic_decontaminate": dict(),

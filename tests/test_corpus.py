@@ -2224,3 +2224,28 @@ def test_epoch_schedule_distinct_per_epoch_permutations(spark):
     a = sorted(map(tuple, epoch_schedule(df, 2, 8).collect()))
     b = sorted(map(tuple, epoch_schedule(df.repartition(7), 2, 8).collect()))
     assert a == b
+
+
+def test_corpus_report_hand_case(spark):
+    from beats_spark.corpus.textstats import corpus_report
+
+    good = ("This is a reasonably long natural paragraph of text that "
+            "should pass the quality rules. It has several proper "
+            "sentences, normal punctuation, and the usual stopwords "
+            "that the filters look for in clean text.")
+    df = spark.createDataFrame(
+        [(1, good, "a", len(good)),
+         (2, good, "a", len(good)),          # exact dup of 1
+         (3, "x", "b", 1)],                  # too short: fails quality
+        "doc_id long, text string, source string, n_chars long",
+    )
+    r = corpus_report(df).collect()[0]
+    assert r["n_docs"] == 3 and r["n_sources"] == 2
+    assert r["total_chars"] == 2 * len(good) + 1
+    assert r["n_unique_texts"] == 2
+    # pass count must agree with quality_filters itself (the short doc
+    # fails; whether `good` passes every Gopher rule is the filter's
+    # business, not this report's)
+    from beats_spark.corpus.textstats import quality_filters
+    want_pass = quality_filters(df).filter("passes_quality").count()
+    assert r["n_quality_pass"] == want_pass < 3
