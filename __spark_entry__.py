@@ -1214,8 +1214,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "span_corrupt",
     # media_features / frame_sample / ann_lsh / ann_ivf_sqrtn rotated
     # out to make window room: all r2-driver-green (CORRECTNESS_r02)
-    # and pytest-covered (the ANN pair additionally recall-gated);
-    # rotate back in next round.
+    # and pytest-covered (the ANN pair additionally recall-gated).
+    # ROUND-5 ROTATION LIST — swap these into the first 50 next round
+    # (driver-unproven late-r4 additions, all two-scale oracle-matched
+    # this round): curriculum_order, length_buckets,
+    # pack_seq_boundaries, epoch_schedule, corpus_report, plus the four
+    # rotated-out r2 queries above.
 ]
 
 
