@@ -1218,8 +1218,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # ROUND-5 ROTATION LIST — swap these into the first 50 next round
     # (driver-unproven late-r4 additions, all two-scale oracle-matched
     # this round): curriculum_order, length_buckets,
-    # pack_seq_boundaries, epoch_schedule, corpus_report, plus the four
-    # rotated-out r2 queries above.
+    # pack_seq_boundaries, epoch_schedule, corpus_report,
+    # quality_classifier, truncation_stats, plus the four rotated-out
+    # r2 queries above.
 ]
 
 

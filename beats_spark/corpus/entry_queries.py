@@ -1172,6 +1172,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
+        "quality_classifier": q_quality_classifier,
+        "truncation_stats": q_truncation_stats,
     }
 
 
@@ -1254,6 +1256,8 @@ def corpus_oracles() -> dict[str, str]:
         "frame_sample": _FRAME_SAMPLE_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
+        "quality_classifier": _QUALITY_CLASSIFIER_SQL,
+        "truncation_stats": _TRUNCATION_SQL,
     }
 
 
@@ -2909,3 +2913,73 @@ SELECT 2::INT, 'decontaminated', count(*)::BIGINT FROM kept2
 UNION ALL
 SELECT 3::INT, 'neardup_survivors', count(*)::BIGINT FROM surv
 """
+
+
+# -- round-4 late additions: learned quality scorer, truncation datacard ------
+
+_QC_BUCKETS = 1 << 18
+_QC_INNER = H32_SQL.format(expr="'qc:' || f")
+_QC_WEIGHT = H32_SQL.format(
+    expr=f"'qc:w:' || ({_QC_INNER} % {_QC_BUCKETS})::VARCHAR"
+)
+
+_QUALITY_CLASSIFIER_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+feat AS (
+  SELECT doc_id, t[i] AS f
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+fw AS (
+  SELECT doc_id, (({_QC_WEIGHT}) % 2001 - 1000)::BIGINT AS w FROM feat
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_feat, sum(w)::BIGINT AS sum_w
+  FROM fw GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_feat, sum_w,
+         CAST(round(sum_w::DOUBLE * 1000.0
+              / greatest(n_feat, 1)::DOUBLE) AS BIGINT) AS score_ppm
+  FROM agg
+)
+SELECT doc_id, n_feat, sum_w, score_ppm,
+       (score_ppm >= 0) AS passes_classifier
+FROM scored
+"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality scorer (hashing-trick
+    path: zero joins, zero UDFs — one codegen map pass)."""
+    return textstats.quality_classifier(_docs(spark, sf_dir),
+                                        n_buckets=_QC_BUCKETS)
+
+
+_TRUNCATION_SQL = f"""
+WITH {_TOKENIZE_SQL},
+n AS (SELECT len(toks)::BIGINT AS n FROM tk),
+x AS (
+  SELECT n, u.c::BIGINT AS ctx_len
+  FROM n, UNNEST([128, 512, 2048, 8192]) AS u(c)
+)
+SELECT ctx_len,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n > ctx_len THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs_truncated,
+       sum(n)::BIGINT AS tokens_total,
+       sum(least(n, ctx_len))::BIGINT AS tokens_kept,
+       sum(greatest(n - ctx_len, 0))::BIGINT AS tokens_lost,
+       CAST(round(sum(least(n, ctx_len))::DOUBLE * 1000000.0
+            / sum(n)::DOUBLE) AS BIGINT) AS kept_ppm
+FROM x GROUP BY ctx_len
+"""
+
+
+def q_truncation_stats(spark, sf_dir):
+    """Per-context-length truncation accounting over the tokenized
+    docs (n_tok-only narrow scan, one hash aggregate)."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return toks.truncation_stats(t, ctx_lens=(128, 512, 2048, 8192))

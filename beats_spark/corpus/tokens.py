@@ -1210,3 +1210,49 @@ def vocab_coverage(df: DataFrame, tokens_col: str = "tokens",
         F.col("t").cast("long").alias("total"),
         (F.col("s.covered") / F.col("t")).cast("double").alias("coverage"),
     )
+
+
+def truncation_stats(df: DataFrame, ctx_lens: tuple[int, ...] = (128, 512, 2048, 8192),
+                     n_tok_col: str = "n_tok") -> DataFrame:
+    """Context-length truncation accounting over the tokenized table
+    — the datacard question "what do we lose at context L?" for each
+    candidate training context length: docs truncated, tokens kept vs
+    lost, and the kept fraction (ppm).
+
+    One narrow projection of ``n_tok`` ONLY (the token arrays are
+    pruned from the scan — the parquet reader never materializes
+    them), a small constant explode (|ctx_lens| rows per doc), then a
+    single partial+final hash aggregate on ctx_len. At 10^12 docs this
+    is one map-side-combined pass over an int column; the shuffle
+    carries |ctx_lens| pre-aggregated rows per task.
+
+    All counters are exact BIGINTs; ``kept_ppm`` is the one float op,
+    ``round(kept * 1e6 / total)``.
+    """
+    sel = df.select(F.col(n_tok_col).cast("long").alias("_n"))
+    ex = sel.select(
+        "_n",
+        F.explode(
+            F.array(*[F.lit(int(c)).cast("long") for c in sorted(set(ctx_lens))])
+        ).alias("ctx_len"),
+    )
+    c = F.col("ctx_len")
+    return (
+        ex.groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_n") > c).cast("long")).alias("n_docs_truncated"),
+            F.sum("_n").alias("tokens_total"),
+            F.sum(F.least("_n", c)).alias("tokens_kept"),
+            F.sum(F.greatest(F.col("_n") - c, F.lit(0).cast("long"))).alias(
+                "tokens_lost"
+            ),
+        )
+        .withColumn(
+            "kept_ppm",
+            F.round(
+                F.col("tokens_kept").cast("double") * F.lit(1000000.0)
+                / F.col("tokens_total").cast("double")
+            ).cast("long"),
+        )
+    )

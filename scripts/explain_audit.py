@@ -137,6 +137,10 @@ AUDITED = {
     "corpus_pipeline": dict(),
     "token_pipeline": dict(),
     "corpus_pipeline_funnel": dict(),
+    # hashed classifier is join-free by construction; truncation is a
+    # narrow n_tok projection + one hash aggregate
+    "quality_classifier": dict(),
+    "truncation_stats": dict(),
 }
 
 

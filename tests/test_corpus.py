@@ -2249,3 +2249,73 @@ def test_corpus_report_hand_case(spark):
     from beats_spark.corpus.textstats import quality_filters
     want_pass = quality_filters(df).filter("passes_quality").count()
     assert r["n_quality_pass"] == want_pass < 3
+
+
+def test_quality_classifier_hashed_matches_reference_math(spark):
+    import hashlib
+
+    from beats_spark.corpus.textstats import quality_classifier
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    texts = {1: "the quick brown fox", 2: "single", 3: "a b a b a"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in quality_classifier(df, n_buckets=1 << 18).collect()}
+    for did, text in texts.items():
+        words = text.split(" ")
+        feats = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+        want_sum = sum(
+            h32("qc:w:" + str(h32("qc:" + f) % (1 << 18))) % 2001 - 1000
+            for f in feats
+        )
+        r = out[did]
+        assert r["n_feat"] == len(feats)
+        assert r["sum_w"] == want_sum
+        want_ppm = round(want_sum * 1000.0 / max(len(feats), 1))
+        assert r["score_ppm"] == want_ppm
+        assert r["passes_classifier"] == (r["score_ppm"] >= 0)
+
+
+def test_quality_classifier_broadcast_weight_table(spark):
+    from beats_spark.corpus.textstats import quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, "good good text"), (2, "bad unknown")],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 500), ("bad", -900), ("good good", 100)],
+        "feature string, weight long",
+    )
+    out = {r["doc_id"]: r for r in
+           quality_classifier(df, weights=weights, threshold_ppm=100).collect()}
+    # doc 1: feats = good, good, text, "good good", "good text"
+    #        → 500 + 500 + 0 + 100 + 0 = 1100 over 5 feats
+    assert out[1]["n_feat"] == 5 and out[1]["sum_w"] == 1100
+    assert out[1]["score_ppm"] == round(1100 * 1000.0 / 5)
+    assert bool(out[1]["passes_classifier"]) is True
+    # doc 2: feats = bad, unknown, "bad unknown" → -900 over 3
+    assert out[2]["n_feat"] == 3 and out[2]["sum_w"] == -900
+    assert bool(out[2]["passes_classifier"]) is False
+
+
+def test_truncation_stats_hand_case(spark):
+    from beats_spark.corpus.tokens import truncation_stats
+
+    df = spark.createDataFrame(
+        [(1, list(range(3)), 3), (2, list(range(10)), 10)],
+        "doc_id long, tokens array<int>, n_tok int",
+    )
+    out = {r["ctx_len"]: r for r in
+           truncation_stats(df, ctx_lens=(4, 8)).collect()}
+    assert set(out) == {4, 8}
+    r4, r8 = out[4], out[8]
+    assert r4["n_docs"] == 2 and r4["n_docs_truncated"] == 1
+    assert r4["tokens_total"] == 13 and r4["tokens_kept"] == 7
+    assert r4["tokens_lost"] == 6
+    assert r4["kept_ppm"] == round(7 * 1000000.0 / 13)
+    assert r8["n_docs_truncated"] == 1 and r8["tokens_kept"] == 11
+    assert r8["tokens_lost"] == 2
