@@ -1219,8 +1219,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # (driver-unproven late-r4 additions, all two-scale oracle-matched
     # this round): curriculum_order, length_buckets,
     # pack_seq_boundaries, epoch_schedule, corpus_report,
-    # quality_classifier, truncation_stats, plus the four rotated-out
-    # r2 queries above.
+    # quality_classifier, truncation_stats, nb_weights,
+    # quality_classifier_trained, source_kl, dedup_incremental, plus
+    # the four rotated-out r2 queries above.
 ]
 
 

@@ -119,6 +119,39 @@ def minhash_signatures(
     )
 
 
+def _band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode per-doc signatures into LSH band rows ``(doc_id, sig,
+    band, band_key)`` — band_key is the comma-joined contiguous
+    signature slice, the equi-join key that replaces any all-pairs
+    comparison."""
+    rows = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -141,32 +174,10 @@ def minhash_neardup_pairs(
     via the ``minhash_bucket_cap`` observe metric).
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k, tokens_col=tokens_col
     )
-
-    banded = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    banded = _band_keys(sigs, num_hashes, bands)
 
     banded = _cap_hot_buckets(
         banded, ("band", "band_key"), max_bucket, "minhash_bucket_cap"
@@ -409,4 +420,110 @@ def neardup_survivors(
         j.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__cl_id", "canonical_id")
+    )
+
+
+def incremental_neardup(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+    min_matches: int = 0,
+    max_bucket: int | None = None,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the operational
+    shape at 100 TB: a fresh crawl/shard is checked against the corpus
+    you already keep, WITHOUT ever re-pairing existing×existing (the
+    full-corpus re-dedup nobody can afford per ingest).
+
+    Two layers, both incremental:
+
+    - **exact**: md5 content fingerprints; a new doc equi-joins the
+      existing fingerprint set (``exact_of`` = smallest matching
+      existing id).
+    - **near**: MinHash band keys of the new batch equi-join the
+      existing corpus's band-key index — the same LSH layout as
+      :func:`minhash_neardup_pairs`, but one-sided: cost scales with
+      |new|·bands, and the existing side's ``(band, band_key, sig)``
+      rows are exactly what a production deployment would precompute
+      and store as its dedup index. ``near_matches`` is the best
+      signature agreement (estimated Jaccard ≈ matches/num_hashes),
+      ``near_of`` the smallest qualifying existing id;
+      ``min_matches`` filters weak candidates.
+
+    Row contract: ONE output row per new doc, always — clean docs
+    carry null ``exact_of``/``near_of`` and ``near_matches = 0``
+    (never a dropped row; same contract as cleaning._cut_spans).
+    ``max_bucket`` caps hot existing-side buckets (boilerplate bands)
+    before the join, via :func:`_cap_hot_buckets`.
+
+    With ``tokens_col``, both layers run on the pre-tokenized id
+    arrays (north-rule shape): the fingerprint is md5 of the
+    space-joined ids and shingles come from the id array.
+    """
+    if tokens_col is not None:
+        key = F.array_join(F.col(tokens_col).cast("array<string>"), " ")
+    else:
+        key = F.col(text_col)
+    nfp = new.select(F.col(id_col).alias("doc_id"), F.md5(key).alias("fp"))
+    efp = (
+        existing.select(F.col(id_col).alias("e_id"), F.md5(key).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("e_id").alias("exact_of"))
+    )
+    exact = nfp.join(efp, "fp", "left").select("doc_id", "exact_of")
+
+    nsig = minhash_signatures(
+        new, id_col, text_col, num_hashes, shingle_k, tokens_col=tokens_col
+    )
+    esig = minhash_signatures(
+        existing, id_col, text_col, num_hashes, shingle_k, tokens_col=tokens_col
+    )
+    nb = _band_keys(nsig, num_hashes, bands)
+    eb = _cap_hot_buckets(
+        _band_keys(esig, num_hashes, bands),
+        ("band", "band_key"),
+        max_bucket,
+        "incremental_bucket_cap",
+    )
+    cand = (
+        nb.alias("n")
+        .join(eb.alias("e"), ["band", "band_key"])
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("e_id"),
+            F.col("n.sig").alias("sig_n"),
+            F.col("e.sig").alias("sig_e"),
+        )
+        .dropDuplicates(["doc_id", "e_id"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_n", "sig_e", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    scored = cand.select("doc_id", "e_id", matches.alias("sig_matches"))
+    if min_matches:
+        scored = scored.filter(F.col("sig_matches") >= min_matches)
+    near = scored.groupBy("doc_id").agg(
+        F.max("sig_matches").alias("near_matches"),
+        F.min("e_id").alias("near_of"),
+    )
+    base = new.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("exact_of").isNotNull().alias("exact_dup"),
+            "exact_of",
+            F.coalesce("near_matches", F.lit(0)).cast("int").alias(
+                "near_matches"
+            ),
+            "near_of",
+        )
     )

@@ -1174,6 +1174,10 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
         "quality_classifier": q_quality_classifier,
         "truncation_stats": q_truncation_stats,
+        "nb_weights": q_nb_weights,
+        "quality_classifier_trained": q_quality_classifier_trained,
+        "source_kl": q_source_kl,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -1258,6 +1262,10 @@ def corpus_oracles() -> dict[str, str]:
         "corpus_pipeline_funnel": _corpus_pipeline_funnel_sql(),
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,
         "truncation_stats": _TRUNCATION_SQL,
+        "nb_weights": _NB_WEIGHTS_SQL,
+        "quality_classifier_trained": _QUALITY_CLASSIFIER_TRAINED_SQL,
+        "source_kl": _SOURCE_KL_SQL,
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     }
 
 
@@ -2983,3 +2991,199 @@ def q_truncation_stats(spark, sf_dir):
     docs (n_tok-only narrow scan, one hash aggregate)."""
     t = toks.tokenize_ids(_docs(spark, sf_dir))
     return toks.truncation_stats(t, ctx_lens=(128, 512, 2048, 8192))
+
+
+# -- round-4 late additions: NB-trained classifier, source drift, ------------
+# -- incremental dedup --------------------------------------------------------
+
+def _nb_cnt_sql() -> str:
+    """Shared CTE chain: quality_filters labels → feature counts →
+    totals — generated from the same `_quality_filters_sql` the
+    quality_filters oracle uses, so labels cannot drift."""
+    return f"""qf AS ({_quality_filters_sql()}),
+lab AS (
+  SELECT d.doc_id, d.text, q.passes_quality AS pos
+  FROM documents d JOIN qf q ON q.doc_id = d.doc_id
+),
+ltoks AS (SELECT pos, string_split(text, ' ') AS t FROM lab),
+lfeat AS (
+  SELECT pos, t[i] AS f
+  FROM (SELECT pos, t, unnest(range(1, len(t) + 1)) AS i FROM ltoks)
+  UNION ALL
+  SELECT pos, t[i] || ' ' || t[i+1] AS f
+  FROM (SELECT pos, t, unnest(range(1, len(t))) AS i FROM ltoks)
+),
+cnt AS (
+  SELECT f AS feature,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS c_neg
+  FROM lfeat GROUP BY f
+),
+tot AS (
+  SELECT sum(c_pos)::BIGINT AS tp, sum(c_neg)::BIGINT AS tn,
+         count(*)::BIGINT AS v
+  FROM cnt
+)"""
+
+
+_NB_WEIGHT_EXPR = """(CAST(round(log2((c_pos + 1)::DOUBLE / (t.tp + t.v)::DOUBLE) * 1000000.0) AS BIGINT)
+        - CAST(round(log2((c_neg + 1)::DOUBLE / (t.tn + t.v)::DOUBLE) * 1000000.0) AS BIGINT))"""
+
+
+_NB_WEIGHTS_SQL = f"""
+WITH {_nb_cnt_sql()}
+SELECT feature, c_pos, c_neg,
+       {_NB_WEIGHT_EXPR} AS weight
+FROM cnt CROSS JOIN tot t
+"""
+
+
+def _labeled_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    qf = textstats.quality_filters(docs).select("doc_id", "passes_quality")
+    return docs.join(qf, "doc_id").select(
+        "doc_id", "text", F.col("passes_quality").alias("label")
+    )
+
+
+def q_nb_weights(spark, sf_dir):
+    """Train the quality-classifier weight table with Naive Bayes on
+    rule labels (quality_filters → passes_quality) — the FineWeb-edu
+    distillation flow, rules standing in for the LLM judge."""
+    return textstats.train_classifier_nb(_labeled_docs(spark, sf_dir))
+
+
+_QUALITY_CLASSIFIER_TRAINED_SQL = f"""
+WITH {_nb_cnt_sql()},
+wt AS (
+  SELECT feature, {_NB_WEIGHT_EXPR} AS weight
+  FROM cnt CROSS JOIN tot t
+),
+dtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dfeat AS (
+  SELECT doc_id, t[i] AS f
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM dtoks)
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM dtoks)
+),
+agg AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_feat,
+         sum(coalesce(w.weight, 0))::BIGINT AS sum_w
+  FROM dfeat d LEFT JOIN wt w ON w.feature = d.f
+  GROUP BY d.doc_id
+),
+sc AS (
+  SELECT doc_id, n_feat, sum_w,
+         CAST(round(sum_w::DOUBLE * 1000.0
+              / greatest(n_feat, 1)::DOUBLE) AS BIGINT) AS score_ppm
+  FROM agg
+)
+SELECT doc_id, n_feat, sum_w, score_ppm,
+       (score_ppm >= 0) AS passes_classifier
+FROM sc
+"""
+
+
+def q_quality_classifier_trained(spark, sf_dir):
+    """Full train→score composition: NB weights from rule labels,
+    broadcast into the classifier's weights path."""
+    docs = _docs(spark, sf_dir)
+    w = textstats.train_classifier_nb(_labeled_docs(spark, sf_dir))
+    return textstats.quality_classifier(docs, weights=w)
+
+
+_SOURCE_KL_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+csf AS (SELECT source, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+ts AS (
+  SELECT source, sum(c)::BIGINT AS t_s, count(*)::BIGINT AS n_distinct
+  FROM csf GROUP BY 1
+),
+cf AS (SELECT tok, sum(c)::BIGINT AS cf FROM csf GROUP BY 1),
+tt AS (SELECT sum(c)::BIGINT AS t FROM csf),
+term AS (
+  SELECT s.source, ts.t_s, ts.n_distinct,
+         s.c * (CAST(round(log2(s.c::DOUBLE / ts.t_s::DOUBLE) * 1000000.0) AS BIGINT)
+                - CAST(round(log2(f.cf::DOUBLE / tt.t::DOUBLE) * 1000000.0) AS BIGINT)) AS x
+  FROM csf s
+  JOIN ts ON ts.source = s.source
+  JOIN cf f ON f.tok = s.tok
+  CROSS JOIN tt
+)
+SELECT source, t_s AS n_tokens, n_distinct,
+       CAST(round(sum(x)::DOUBLE / t_s::DOUBLE) AS BIGINT) AS kl_mbits
+FROM term
+GROUP BY source, t_s, n_distinct
+"""
+
+
+def q_source_kl(spark, sf_dir):
+    """Per-source unigram KL drift vs the corpus mix (datacard)."""
+    return textstats.source_kl(_docs(spark, sf_dir))
+
+
+_INCR_MM = 8  # min signature agreement (est Jaccard >= 0.5)
+
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH {_SHINGLE_SQL}, {_MINH_SQL},
+split AS (
+  SELECT doc_id,
+         (({H32_SQL.format(expr="'incr:' || doc_id::VARCHAR")}) % 5 = 0) AS is_new
+  FROM documents
+),
+nb AS (SELECT b.* FROM bands b JOIN split s ON s.doc_id = b.doc_id WHERE s.is_new),
+eb AS (SELECT b.* FROM bands b JOIN split s ON s.doc_id = b.doc_id WHERE NOT s.is_new),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, e.doc_id AS e_id
+  FROM nb n JOIN eb e ON n.b = e.b AND n.band_key = e.band_key
+),
+m AS (
+  SELECT c.doc_id, c.e_id, count(*) AS sig_matches
+  FROM cand c
+  JOIN minh ma ON ma.doc_id = c.doc_id
+  JOIN minh mb ON mb.doc_id = c.e_id AND mb.seed = ma.seed AND mb.mh = ma.mh
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_id, max(sig_matches)::INT AS near_matches, min(e_id) AS near_of
+  FROM m WHERE sig_matches >= {_INCR_MM} GROUP BY doc_id
+),
+fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+ef AS (
+  SELECT f.fp, min(f.doc_id) AS exact_of
+  FROM fp f JOIN split s ON s.doc_id = f.doc_id
+  WHERE NOT s.is_new GROUP BY f.fp
+),
+newdocs AS (SELECT doc_id FROM split WHERE is_new),
+ex AS (
+  SELECT f.doc_id, e.exact_of
+  FROM fp f JOIN newdocs n ON n.doc_id = f.doc_id
+  LEFT JOIN ef e ON e.fp = f.fp
+)
+SELECT nd.doc_id, (x.exact_of IS NOT NULL) AS exact_dup, x.exact_of,
+       coalesce(nr.near_matches, 0)::INT AS near_matches, nr.near_of
+FROM newdocs nd
+LEFT JOIN ex x ON x.doc_id = nd.doc_id
+LEFT JOIN near nr ON nr.doc_id = nd.doc_id
+"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """New-batch-vs-existing-corpus dedup (md5 split: ~20% 'new') —
+    the per-ingest shape that never re-pairs existing×existing."""
+    from beats_spark.corpus.hashing import h32
+
+    docs = _docs(spark, sf_dir)
+    is_new = (
+        F.pmod(
+            h32(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))),
+            F.lit(5),
+        )
+        == 0
+    )
+    return dedup.incremental_neardup(
+        docs.filter(is_new), docs.filter(~is_new), min_matches=_INCR_MM
+    )

@@ -858,3 +858,134 @@ def quality_classifier(df: DataFrame, text_col: str = "text",
         "doc_id", "n_feat", "sum_w", score.alias("score_ppm"),
         (score >= F.lit(int(threshold_ppm))).alias("passes_classifier"),
     )
+
+
+def train_classifier_nb(labeled: DataFrame, text_col: str = "text",
+                        label_col: str = "label") -> DataFrame:
+    """Train the :func:`quality_classifier` weight table from labeled
+    documents — multinomial Naive Bayes with Laplace smoothing over
+    the same feature space (word unigrams + bigrams), the standard
+    fast-text-classifier training recipe (NB log-count ratios; Wang &
+    Manning 2012, ACL "Baselines and Bigrams"). This is the distilled
+    form of the FineWeb-edu / DCLM flow: label a slice with expensive
+    rules or an LLM judge, train a cheap linear scorer, score the
+    whole corpus with it.
+
+    weight(f) = qlog2((c_pos+1)/(t_pos+V)) − qlog2((c_neg+1)/(t_neg+V))
+    in integer MICRO-BITS (``qlog2(x) = round(log2(x)·1e6)`` — the
+    same quantization discipline as :func:`lm_score`: the one float op
+    happens per VOCAB ENTRY, so downstream per-doc weight sums are
+    integer-exact and order-independent across engines). The class
+    prior term is deliberately omitted — it is a per-doc constant, so
+    it belongs in the caller's decision threshold, not in per-feature
+    weights.
+
+    Plan: one feature explode + ONE partial+final hash aggregate on
+    feature (map-side combine shrinks the shuffle to a vocab-sized
+    stream), then a 1-row eager aggregate for the totals
+    (plan-build-literal discipline, like lm_score's LM total — the
+    denominators embed as literals). Output is vocab-sized
+    ``(feature, c_pos, c_neg, weight)`` — Zipf-bounded, broadcastable
+    into :func:`quality_classifier`'s ``weights=`` path. Training on a
+    10^12-doc corpus is one shuffle; in practice train on a
+    ``hash_sample`` slice (labels are the scarce input, not docs).
+
+    Reference parity: Beats has no trainer; this completes the
+    corpus-quality family (quality_filters → labels → trained scorer).
+    """
+    lab = F.col(label_col).cast("boolean")
+    uni = word_tokens(F.col(text_col))
+    feats = F.concat(uni, shingles(uni, 2))
+    ex = labeled.select(lab.alias("_pos"), F.explode(feats).alias("feature"))
+    cnt = ex.groupBy("feature").agg(
+        F.sum(F.col("_pos").cast("long")).alias("c_pos"),
+        F.sum((~F.col("_pos")).cast("long")).alias("c_neg"),
+    )
+    tot = cnt.agg(
+        F.sum("c_pos").alias("tp"), F.sum("c_neg").alias("tn"),
+        F.count(F.lit(1)).alias("v"),
+    ).first()
+    if not tot or tot["v"] is None or not tot["v"]:
+        raise ValueError("train_classifier_nb: empty labeled corpus")
+    denom_pos = float(int(tot["tp"] or 0) + int(tot["v"]))
+    denom_neg = float(int(tot["tn"] or 0) + int(tot["v"]))
+
+    def qlog2(num: Column, denom: float) -> Column:
+        return F.round(
+            F.log2(num.cast("double") / F.lit(denom)) * F.lit(1e6)
+        ).cast("long")
+
+    w = qlog2(F.col("c_pos") + F.lit(1), denom_pos) - qlog2(
+        F.col("c_neg") + F.lit(1), denom_neg
+    )
+    return cnt.select("feature", "c_pos", "c_neg", w.alias("weight"))
+
+
+def source_kl(df: DataFrame, text_col: str = "text",
+              source_col: str = "source") -> DataFrame:
+    """Per-source token-distribution drift: KL(P_source ‖ P_corpus)
+    over word unigrams — the datacard question "which source's
+    language diverges from the mix?" (domain skew, format anomalies,
+    wrong-language dumps show up as high KL).
+
+    Per-(source, token) log-probs quantize to integer micro-bits
+    before the sum (same discipline as :func:`lm_score`), so the KL
+    numerator ``Σ c_sf·(qlog2(c_sf/t_s) − qlog2(c_f/t))`` is
+    integer-exact and order-independent; the final per-token division
+    is the one float op. Support of every source is a subset of corpus
+    support (c_f ≥ c_sf ≥ 1), so there is no OOV/∞ case by
+    construction.
+
+    Plan: one explode, one (source, tok) hash aggregate, a broadcast
+    join of the #sources-row totals, a vocab-keyed equi-join of corpus
+    counts (Zipf-hashed, uniform), one final per-source aggregate. The
+    corpus total is a 1-row eager narrow aggregate (plan-build
+    literal). BIGINT term sums hold to ~10^11 tokens/source at full
+    micro-bit precision; beyond that, pre-scale the quantization (the
+    docstring constant) or move the term to decimal.
+
+    Returns ``(source, n_tokens, n_distinct, kl_mbits)`` — micro-bits
+    of KL per token.
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    )
+    csf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ts = csf.groupBy("source").agg(
+        F.sum("c").alias("t_s"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    cf = csf.groupBy("tok").agg(F.sum("c").alias("cf"))
+    trow = df.select(
+        F.sum(F.size(word_tokens(F.col(text_col)))).alias("t")
+    ).first()
+    total = int(trow["t"] or 0)
+    if total <= 0:
+        raise ValueError("source_kl: corpus has no tokens")
+    q_s = F.round(
+        F.log2(F.col("c").cast("double") / F.col("t_s").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    q_c = F.round(
+        F.log2(F.col("cf").cast("double") / F.lit(float(total))) * F.lit(1e6)
+    ).cast("long")
+    term = (
+        csf.join(F.broadcast(ts), "source")
+        .join(cf, "tok")
+        .select(
+            "source", "t_s", "n_distinct",
+            (F.col("c") * (q_s - q_c)).alias("x"),
+        )
+    )
+    return (
+        term.groupBy("source", "t_s", "n_distinct")
+        .agg(F.sum("x").alias("sx"))
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            "n_distinct",
+            F.round(
+                F.col("sx").cast("double") / F.col("t_s").cast("double")
+            ).cast("long").alias("kl_mbits"),
+        )
+    )

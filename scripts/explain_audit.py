@@ -141,6 +141,15 @@ AUDITED = {
     # narrow n_tok projection + one hash aggregate
     "quality_classifier": dict(),
     "truncation_stats": dict(),
+    # NB training: one feature hash agg (totals are plan-build
+    # literals); the trained-scorer composition must broadcast the
+    # vocab-sized weight table into the feature lookup
+    "nb_weights": dict(),
+    "quality_classifier_trained": dict(broadcast=True),
+    # source drift: #sources totals broadcast, corpus counts equi-join
+    "source_kl": dict(broadcast=True),
+    # incremental dedup: fingerprint + band-key equi-joins only
+    "dedup_incremental": dict(),
 }
 
 

@@ -2319,3 +2319,113 @@ def test_truncation_stats_hand_case(spark):
     assert r4["kept_ppm"] == round(7 * 1000000.0 / 13)
     assert r8["n_docs_truncated"] == 1 and r8["tokens_kept"] == 11
     assert r8["tokens_lost"] == 2
+
+
+def _rhalf(x: float) -> int:
+    import math as _m
+
+    return int(_m.copysign(_m.floor(abs(x) + 0.5), x))
+
+
+def test_train_classifier_nb_hand_math(spark):
+    import math as _m
+
+    from beats_spark.corpus.textstats import train_classifier_nb
+
+    rows = [(1, "spam spam offer", True), (2, "hello world", False),
+            (3, "spam offer", True)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    out = {r["feature"]: r for r in train_classifier_nb(df).collect()}
+
+    # recompute counts by hand: features are unigrams + space-joined bigrams
+    feats = {}
+    for _, text, pos in rows:
+        words = text.split(" ")
+        fs = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+        for f in fs:
+            cp, cn = feats.get(f, (0, 0))
+            feats[f] = (cp + (1 if pos else 0), cn + (0 if pos else 1))
+    tp = sum(c for c, _ in feats.values())
+    tn = sum(c for _, c in feats.values())
+    v = len(feats)
+    assert set(out) == set(feats)
+    for f, (cp, cn) in feats.items():
+        w = _rhalf(_m.log2((cp + 1) / (tp + v)) * 1e6) - _rhalf(
+            _m.log2((cn + 1) / (tn + v)) * 1e6
+        )
+        assert out[f]["c_pos"] == cp and out[f]["c_neg"] == cn
+        assert out[f]["weight"] == w, f
+    # sanity: positive-only features weigh positive, negative-only negative
+    assert out["spam"]["weight"] > 0 > out["hello"]["weight"]
+
+
+def test_quality_classifier_trained_separates(spark):
+    from beats_spark.corpus.textstats import quality_classifier, train_classifier_nb
+
+    labeled = spark.createDataFrame(
+        [(1, "clean prose sentence here", True),
+         (2, "clean prose paragraph here", True),
+         (3, "junk junk junk junk", False),
+         (4, "junk noise noise junk", False)],
+        "doc_id long, text string, label boolean",
+    )
+    w = train_classifier_nb(labeled)
+    scored = {r["doc_id"]: r for r in
+              quality_classifier(labeled, weights=w).collect()}
+    assert scored[1]["score_ppm"] > scored[3]["score_ppm"]
+    assert bool(scored[1]["passes_classifier"]) is True
+    assert bool(scored[3]["passes_classifier"]) is False
+
+
+def test_source_kl_identical_vs_skewed(spark):
+    from beats_spark.corpus.textstats import source_kl
+
+    # a and b have IDENTICAL token distributions -> per-token dist ==
+    # corpus dist for every shared token only if the third source
+    # doesn't shift the mix; so test the pure two-source case first
+    df = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "x y", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_kl(df).collect()}
+    assert out["a"]["kl_mbits"] == 0 and out["b"]["kl_mbits"] == 0
+    assert out["a"]["n_tokens"] == 2 and out["a"]["n_distinct"] == 2
+
+    df2 = spark.createDataFrame(
+        [(1, "x x x x", "skew"), (2, "x y z w", "flat")],
+        "doc_id long, text string, source string",
+    )
+    out2 = {r["source"]: r for r in source_kl(df2).collect()}
+    # the all-x source diverges from the mixed corpus distribution
+    assert out2["skew"]["kl_mbits"] > 0
+    assert out2["skew"]["kl_mbits"] > out2["flat"]["kl_mbits"] - 1
+
+
+def test_incremental_neardup_flags(spark):
+    from beats_spark.corpus.dedup import incremental_neardup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    existing = spark.createDataFrame(
+        [(10, base), (11, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    # one token differs; this mutation is verified (deterministic md5
+    # hashing) to still share an LSH band with doc 10 — a changed token
+    # CAN land outside every band (that's LSH recall, not a bug)
+    near_text = base.rsplit(" ", 1)[0] + " OMEGA"
+    new = spark.createDataFrame(
+        [(100, base),              # exact copy of 10
+         (101, near_text),         # near-dup of 10
+         (102, "totally different words appear in this novel document")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           incremental_neardup(new, existing, min_matches=8).collect()}
+    assert set(out) == {100, 101, 102}  # row contract: one row per new doc
+    assert bool(out[100]["exact_dup"]) is True and out[100]["exact_of"] == 10
+    assert out[100]["near_matches"] == 16 and out[100]["near_of"] == 10
+    assert bool(out[101]["exact_dup"]) is False
+    assert out[101]["near_of"] == 10 and 8 <= out[101]["near_matches"] < 16
+    assert bool(out[102]["exact_dup"]) is False
+    assert out[102]["near_matches"] == 0 and out[102]["near_of"] is None
