@@ -1220,8 +1220,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # this round): curriculum_order, length_buckets,
     # pack_seq_boundaries, epoch_schedule, corpus_report,
     # quality_classifier, truncation_stats, nb_weights,
-    # quality_classifier_trained, source_kl, dedup_incremental, plus
-    # the four rotated-out r2 queries above.
+    # quality_classifier_trained, source_kl, dedup_incremental,
+    # quality_by_source, bm25_topk, plus the four rotated-out r2
+    # queries above.
 ]
 
 

@@ -1178,6 +1178,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_trained": q_quality_classifier_trained,
         "source_kl": q_source_kl,
         "dedup_incremental": q_dedup_incremental,
+        "quality_by_source": q_quality_by_source,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -1266,6 +1268,8 @@ def corpus_oracles() -> dict[str, str]:
         "quality_classifier_trained": _QUALITY_CLASSIFIER_TRAINED_SQL,
         "source_kl": _SOURCE_KL_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "quality_by_source": _QUALITY_BY_SOURCE_SQL,
+        "bm25_topk": _BM25_TOPK_SQL,
     }
 
 
@@ -3187,3 +3191,121 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup.incremental_neardup(
         docs.filter(is_new), docs.filter(~is_new), min_matches=_INCR_MM
     )
+
+
+# -- per-source quality datacard ----------------------------------------------
+
+_QUALITY_BY_SOURCE_SQL = f"""
+WITH qf AS ({_quality_filters_sql()}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+feat AS (
+  SELECT doc_id, t[i] AS f
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+fw AS (
+  SELECT doc_id, (({_QC_WEIGHT}) % 2001 - 1000)::BIGINT AS w FROM feat
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_feat, sum(w)::BIGINT AS sum_w
+  FROM fw GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id,
+         CAST(round(sum_w::DOUBLE * 1000.0
+              / greatest(n_feat, 1)::DOUBLE) AS BIGINT) AS score
+  FROM agg
+),
+per AS (
+  SELECT d.source,
+         (CASE WHEN q.passes_quality THEN 1 ELSE 0 END)::BIGINT AS p,
+         s.score
+  FROM documents d
+  JOIN qf q ON q.doc_id = d.doc_id
+  JOIN sc s ON s.doc_id = d.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(p)::BIGINT AS n_quality_pass,
+       CAST(round(sum(p)::DOUBLE * 1000000.0 / count(*)::DOUBLE) AS BIGINT)
+         AS pass_ppm,
+       sum(score)::BIGINT AS sum_score_ppm,
+       CAST(round(sum(score)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
+         AS mean_score_ppm
+FROM per GROUP BY source
+"""
+
+
+def q_quality_by_source(spark, sf_dir):
+    """Fused per-source rule-pass + classifier-score datacard (one
+    narrow pass + one tiny agg; the oracle composes per-doc CTEs)."""
+    return textstats.quality_by_source(_docs(spark, sf_dir),
+                                       n_buckets=_QC_BUCKETS)
+
+
+# -- BM25 lexical retrieval ---------------------------------------------------
+
+_BM25_K, _BM25_QMOD = 10, 50
+
+_BM25_TOPK_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dtf AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM dtf GROUP BY 1, 2, 3
+),
+st AS (SELECT count(*)::BIGINT AS n, sum(len(t))::BIGINT AS tot FROM d),
+dfq AS (SELECT term, count(*)::BIGINT AS dft FROM tf GROUP BY 1),
+q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS qtext
+  FROM documents
+  WHERE (({H32_SQL.format(expr="'bm25q:' || doc_id::VARCHAR")}) % {_BM25_QMOD}) = 0
+),
+qt AS (
+  SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term
+  FROM q
+),
+qidf AS (
+  SELECT qt.query_id, qt.term,
+         CAST(round(log2((st.n::DOUBLE - dft::DOUBLE + 0.5)
+                         / (dft::DOUBLE + 0.5) + 1.0) * 1000000.0) AS BIGINT)
+           AS idf
+  FROM qt JOIN dfq USING (term) CROSS JOIN st
+),
+sc AS (
+  SELECT qi.query_id, tf.doc_id,
+         sum(CAST(round(qi.idf::DOUBLE *
+             ((tf.tf::DOUBLE * (1.2 + 1.0))
+              / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75
+                 * (tf.dl::DOUBLE / (st.tot::DOUBLE / st.n::DOUBLE))))))
+             AS BIGINT))::BIGINT AS score_mu
+  FROM tf JOIN qidf qi USING (term) CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_mu,
+       (row_number() OVER (PARTITION BY query_id
+                           ORDER BY score_mu DESC, doc_id ASC))::INT AS rank
+FROM sc
+QUALIFY rank <= {_BM25_K}
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 for ~2% of docs' first-5-word prefixes as queries."""
+    from beats_spark.corpus.hashing import h32
+
+    docs = _docs(spark, sf_dir)
+    is_q = (
+        F.pmod(
+            h32(F.concat(F.lit("bm25q:"), F.col("doc_id").cast("string"))),
+            F.lit(_BM25_QMOD),
+        )
+        == 0
+    )
+    queries = docs.filter(is_q).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 5), " "
+        ).alias("query"),
+    )
+    return textstats.bm25_topk(docs, queries, k=_BM25_K)

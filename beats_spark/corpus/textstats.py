@@ -777,6 +777,28 @@ def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def _hashed_score_cols(feats: Column, n_buckets: int) -> tuple[Column, Column]:
+    """The hashing-trick scorer as bare (n_feat, sum_w) column
+    expressions — shared by :func:`quality_classifier` and the fused
+    :func:`quality_by_source` single-pass report."""
+
+    def slot_weight(f: Column) -> Column:
+        bucket = F.pmod(h32(f, seed="qc"), F.lit(n_buckets))
+        return (
+            F.pmod(
+                h32(F.concat(F.lit("qc:w:"), bucket.cast("string"))),
+                F.lit(2001),
+            )
+            - F.lit(1000)
+        ).cast("long")
+
+    n_feat = F.size(feats).cast("long")
+    sum_w = F.aggregate(
+        feats, F.lit(0).cast("long"), lambda acc, f: acc + slot_weight(f)
+    )
+    return n_feat, sum_w
+
+
 def quality_classifier(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_buckets: int = 1 << 18,
                        threshold_ppm: int = 0,
@@ -831,24 +853,11 @@ def quality_classifier(df: DataFrame, text_col: str = "text",
             )
         )
     else:
-        def slot_weight(f: Column) -> Column:
-            bucket = F.pmod(h32(f, seed="qc"), F.lit(n_buckets))
-            return (
-                F.pmod(
-                    h32(F.concat(F.lit("qc:w:"), bucket.cast("string"))),
-                    F.lit(2001),
-                )
-                - F.lit(1000)
-            ).cast("long")
-
+        n_feat_c, sum_w_c = _hashed_score_cols(feats, n_buckets)
         per = df.select(
             F.col(id_col).alias("doc_id"),
-            F.size(feats).cast("long").alias("n_feat"),
-            F.aggregate(
-                feats,
-                F.lit(0).cast("long"),
-                lambda acc, f: acc + slot_weight(f),
-            ).alias("sum_w"),
+            n_feat_c.alias("n_feat"),
+            sum_w_c.alias("sum_w"),
         )
     score = F.round(
         F.col("sum_w").cast("double") * F.lit(1000.0)
@@ -988,4 +997,160 @@ def source_kl(df: DataFrame, text_col: str = "text",
                 F.col("sx").cast("double") / F.col("t_s").cast("double")
             ).cast("long").alias("kl_mbits"),
         )
+    )
+
+
+def quality_by_source(df: DataFrame, text_col: str = "text",
+                      source_col: str = "source",
+                      n_buckets: int = 1 << 18, **rule_overrides) -> DataFrame:
+    """Per-source quality datacard: rule pass rate
+    (:func:`quality_filters`) and hashed-classifier score
+    (:func:`quality_classifier`) cross-tabbed by source — "which
+    source is dragging the corpus down, by rules AND by model?".
+
+    FUSED single pass: both the rule flags and the hashed score are
+    pure column expressions, so the whole report is one narrow
+    projection (zero joins, zero per-doc shuffle) + one tiny hash
+    aggregate on source — the 100 TB shape. (A naive composition
+    would join two corpus-sized outputs on doc_id; this is why the
+    scorer exposes `_hashed_score_cols`.)
+
+    Integer counters throughout; the two ppm columns are the only
+    float ops (one round each, on aggregated BIGINTs).
+
+    Returns ``(source, n_docs, n_quality_pass, pass_ppm,
+    sum_score_ppm, mean_score_ppm)``.
+    """
+    qf = quality_filters(df, text_col, **rule_overrides)
+    uni = word_tokens(F.col(text_col))
+    feats = F.concat(uni, shingles(uni, 2))
+    n_feat, sum_w = _hashed_score_cols(feats, n_buckets)
+    score = F.round(
+        sum_w.cast("double") * F.lit(1000.0)
+        / F.greatest(n_feat, F.lit(1)).cast("double")
+    ).cast("long")
+    per = qf.select(
+        F.col(source_col).alias("source"),
+        F.col("passes_quality").cast("long").alias("_p"),
+        score.alias("_s"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_p").alias("n_quality_pass"),
+            F.sum("_s").alias("sum_score_ppm"),
+        )
+        .select(
+            "source", "n_docs", "n_quality_pass",
+            F.round(
+                F.col("n_quality_pass").cast("double") * F.lit(1000000.0)
+                / F.col("n_docs").cast("double")
+            ).cast("long").alias("pass_ppm"),
+            "sum_score_ppm",
+            F.round(
+                F.col("sum_score_ppm").cast("double")
+                / F.col("n_docs").cast("double")
+            ).cast("long").alias("mean_score_ppm"),
+        )
+    )
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id", qid_col: str = "query_id",
+              qtext_col: str = "query",
+              max_df: int | None = None) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Sparck Jones; the Okapi
+    formula) of documents for a (small) query table — the lexical
+    complement to the embedding/ANN family, and the standard
+    retrieval baseline for RAG data layouts.
+
+    Determinism: idf quantizes to integer micro-bits per TERM
+    (``round(log2((N−df+0.5)/(df+0.5)+1)·1e6)``), and each per-term
+    contribution quantizes to an integer micro-unit
+    (``round(idf_mbits · tf·(k1+1)/(tf + k1·(1−b+b·(dl/avgdl))))``)
+    BEFORE the per-(query, doc) sum — integer sums are
+    order-independent, so scores are bit-identical across engines and
+    re-executions. Both engines evaluate the same literal-for-literal
+    float expression on exact integer inputs, so the pre-round doubles
+    agree too. ``avgdl`` and N embed as plan-build literals (one
+    eager 1-row aggregate, lm_score discipline).
+
+    Plan: doc terms explode once into a (doc, term, tf, dl) postings
+    aggregate; the exploded DISTINCT query terms BROADCAST into the
+    postings (queries are small by contract) — only rows whose term
+    appears in some query survive, so the scoring shuffle is
+    |postings ∩ query terms|, never corpus-sized. idf joins the
+    per-term doc frequencies the same way. Top-k is a per-query
+    window (#queries partitions × bounded candidates). Hot terms:
+    stopword-laden queries pull huge postings lists — ``max_df``
+    drops terms appearing in more than that many docs (the classic
+    stopword cut), trading recall on pure-stopword queries for a
+    bounded join.
+
+    Returns ``(query_id, doc_id, score_mu, rank)``, rank 1..k per
+    query, ties broken by doc_id.
+    """
+    dtoks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_tokens(F.col(text_col))).cast("long").alias("dl"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = dtoks.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(word_tokens(F.col(text_col)))).alias("t"),
+    ).first()
+    n_docs = int(stats["n"] or 0)
+    if n_docs <= 0:
+        raise ValueError("bm25_topk: empty corpus")
+    avgdl = int(stats["t"] or 0) / n_docs
+
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("dft") <= int(max_df))
+    idf = F.round(
+        F.log2(
+            (F.lit(float(n_docs)) - F.col("dft").cast("double") + F.lit(0.5))
+            / (F.col("dft").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(word_tokens(F.col(qtext_col)))
+        ).alias("term"),
+    )
+    qidf = qterms.join(dfreq.select("term", idf.alias("idf_mbits")), "term")
+
+    tfnorm = (
+        F.col("tf").cast("double") * (F.lit(float(k1)) + F.lit(1.0))
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(float(k1))
+        * (
+            F.lit(1.0) - F.lit(float(b))
+            + F.lit(float(b))
+            * (F.col("dl").cast("double") / F.lit(float(avgdl)))
+        )
+    )
+    contrib = F.round(F.col("idf_mbits").cast("double") * tfnorm).cast("long")
+    scored = (
+        tf.join(F.broadcast(qidf), "term")
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_mu"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_mu").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "doc_id", "score_mu", "rank")
     )

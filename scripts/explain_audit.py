@@ -150,6 +150,10 @@ AUDITED = {
     "source_kl": dict(broadcast=True),
     # incremental dedup: fingerprint + band-key equi-joins only
     "dedup_incremental": dict(),
+    # fused rule+score report: zero joins, one agg on source
+    "quality_by_source": dict(),
+    # BM25: query-term table broadcasts into the postings scoring join
+    "bm25_topk": dict(broadcast=True),
 }
 
 

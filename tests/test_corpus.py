@@ -2429,3 +2429,82 @@ def test_incremental_neardup_flags(spark):
     assert out[101]["near_of"] == 10 and 8 <= out[101]["near_matches"] < 16
     assert bool(out[102]["exact_dup"]) is False
     assert out[102]["near_matches"] == 0 and out[102]["near_of"] is None
+
+
+def test_quality_by_source_matches_per_doc_composition(spark):
+    from beats_spark.corpus.textstats import (
+        quality_by_source, quality_classifier, quality_filters,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it for a that is good", "a"),
+         (2, "# # # # #", "a"),
+         (3, "the cat sat on the mat and it is that fine too", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in quality_by_source(df).collect()}
+    qf = {r["doc_id"]: r["passes_quality"]
+          for r in quality_filters(df).collect()}
+    sc = {r["doc_id"]: r["score_ppm"]
+          for r in quality_classifier(df).collect()}
+    rows = [(1, "a"), (2, "a"), (3, "b")]
+    for src in ("a", "b"):
+        ids = [i for i, s in rows if s == src]
+        r = out[src]
+        assert r["n_docs"] == len(ids)
+        assert r["n_quality_pass"] == sum(1 for i in ids if qf[i])
+        assert r["sum_score_ppm"] == sum(sc[i] for i in ids)
+        assert r["pass_ppm"] == round(
+            r["n_quality_pass"] * 1000000.0 / r["n_docs"]
+        )
+
+
+def test_bm25_topk_hand_math(spark):
+    import math as _m
+
+    from beats_spark.corpus.textstats import bm25_topk
+
+    docs = [(1, "apple banana apple"), (2, "banana cherry"),
+            (3, "cherry cherry cherry durian")]
+    queries = [(100, "apple cherry")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    out = {(r["query_id"], r["doc_id"]): r
+           for r in bm25_topk(ddf, qdf, k=10).collect()}
+
+    n = len(docs)
+    lens = {d: len(t.split(" ")) for d, t in docs}
+    avgdl = sum(lens.values()) / n
+    tf = {}
+    for d, t in docs:
+        for w in t.split(" "):
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    dft = {}
+    for (d, w) in tf:
+        dft[w] = dft.get(w, 0) + 1
+
+    def idf(w):
+        return _rhalf(_m.log2((n - dft[w] + 0.5) / (dft[w] + 0.5) + 1.0) * 1e6)
+
+    def contrib(d, w):
+        f = tf.get((d, w), 0)
+        if not f:
+            return None
+        norm = (f * (1.2 + 1.0)) / (
+            f + 1.2 * (1.0 - 0.75 + 0.75 * (lens[d] / avgdl))
+        )
+        return _rhalf(idf(w) * norm)
+
+    expect = {}
+    for d, _ in docs:
+        cs = [c for w in ["apple", "cherry"]
+              if (c := contrib(d, w)) is not None]
+        if cs:
+            expect[d] = sum(cs)
+    assert {d for (_, d) in out} == set(expect)
+    for d, s in expect.items():
+        assert out[(100, d)]["score_mu"] == s, d
+    # ranking: deterministic by (score desc, doc_id asc)
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    for i, (d, _) in enumerate(ranked, 1):
+        assert out[(100, d)]["rank"] == i
