@@ -185,6 +185,31 @@ def fanout_write_table(
             spark.conf.set(conf, prev)
 
 
+def fanout_write_snapshot(
+    df: DataFrame,
+    table,
+    run_id: str,
+    sink_col: str = "sink",
+) -> int:
+    """Fan-out write through the snapshot-log table format
+    (:class:`beats_spark.snapshots.SnapshotTable`) — ONE job writing
+    every sink as a partition of ONE atomic commit, so readers see a
+    batch's sinks all-or-nothing (the Iceberg commit guarantee
+    ``fanout_write``'s directory layout cannot give: with plain
+    dynamic overwrite, a crash mid-write leaves some sinks updated and
+    others not).
+
+    ``run_id`` is the commit id: a retried batch replaces its own
+    commit directory before re-manifesting, so replays stay idempotent
+    (same contract as ``fanout_write``); the snapshot log adds time
+    travel back to any previous batch. Returns the snapshot id.
+    """
+    data = df.withColumn("run_id", F.lit(run_id))
+    return table.commit(
+        data, commit_id=run_id, partition_by=[sink_col, "run_id"]
+    )
+
+
 def fanout_counts(df: DataFrame, sink_col: str = "sink") -> DataFrame:
     """Per-sink ACK counts (``libbeat/outputs/metrics.go:53-66`` →
     ``events.acked`` per output)."""

@@ -1,0 +1,133 @@
+"""Snapshot-log table format: atomic commits, time travel, idempotent
+retries, crash invisibility, orphan cleanup (beats_spark/snapshots.py —
+the Iceberg-commit-protocol stand-in)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.snapshots import SnapshotTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def test_append_commits_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.latest_snapshot() is None
+    s1 = t.commit(_df(spark, [(1, "a")]), commit_id="c1")
+    s2 = t.commit(_df(spark, [(2, "b")]), commit_id="c2")
+    assert (s1, s2) == (1, 2)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+    # time travel: snapshot 1 sees only the first commit
+    assert [r["id"] for r in t.read(spark, snapshot=1).collect()] == [1]
+    assert [h["commit_id"] for h in t.history()] == ["c1", "c2"]
+
+
+def test_overwrite_replaces_visible_set_keeps_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]), commit_id="c1")
+    t.commit(_df(spark, [(9, "z")]), commit_id="c2", mode="overwrite")
+    assert [r["id"] for r in t.read(spark).collect()] == [9]
+    # the pre-overwrite snapshot is still readable
+    assert [r["id"] for r in t.read(spark, snapshot=1).collect()] == [1]
+
+
+def test_retried_commit_id_is_idempotent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]), commit_id="c1")
+    t.commit(_df(spark, [(2, "first try")]), commit_id="c2")
+    t.commit(_df(spark, [(2, "retry")]), commit_id="c2")  # replayed batch
+    rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {1: "a", 2: "retry"}  # no duplicate row 2
+
+
+def test_replace_partitions_masks_older_dirs(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "x", "d1"), (2, "y", "d2")],
+            "id long, v string, day string",
+        ),
+        commit_id="day0",
+        partition_by=["day"],
+    )
+    t.commit(
+        spark.createDataFrame(
+            [(3, "y2", "d2")], "id long, v string, day string"
+        ),
+        commit_id="day2-fix",
+        mode="replace_partitions",
+        replace_where="day = 'd2'",
+        partition_by=["day"],
+    )
+    rows = {r["id"]: r["day"] for r in t.read(spark).collect()}
+    # day 1 survives; old day-2 row is masked, replaced by the fix
+    assert rows == {1: "d1", 3: "d2"}
+    with pytest.raises(ValueError):
+        t.commit(_df(spark, [(1, "a")]), commit_id="bad",
+                 mode="replace_partitions")
+
+
+def test_uncommitted_data_is_invisible_and_expirable(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]), commit_id="c1")
+    # simulate a crash between data write and pointer flip: data files
+    # exist but no manifest references them
+    _df(spark, [(99, "ghost")]).write.parquet(
+        os.path.join(t.data_dir, "crashed")
+    )
+    assert [r["id"] for r in t.read(spark).collect()] == [1]
+    removed = t.expire_orphans()
+    assert removed == [os.path.join(t.data_dir, "crashed")]
+    assert [r["id"] for r in t.read(spark).collect()] == [1]
+    # committed dirs are never expired
+    assert t.expire_orphans() == []
+
+
+def test_read_is_snapshot_isolated_from_later_commits(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]), commit_id="c1")
+    df = t.read(spark)  # plan pinned at build
+    t.commit(_df(spark, [(2, "b")]), commit_id="c2")
+    assert [r["id"] for r in df.collect()] == [1]
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_read_missing_snapshot_raises(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+    t.commit(_df(spark, [(1, "a")]), commit_id="c1")
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot=7)
+
+
+def test_fanout_write_snapshot_atomic_and_idempotent(spark, tmp_path):
+    from beats_spark.routing import add_sink_column, fanout_write_snapshot
+
+    routing = {"indices": [{"index": "errs",
+                            "when": {"equals": {"level": "error"}}}],
+               "default": "logs"}
+    df = spark.createDataFrame(
+        [(1, "error"), (2, "info"), (3, "error")], "doc_id long, level string"
+    )
+    routed = add_sink_column(df, routing)
+    t = SnapshotTable(str(tmp_path / "sinks"))
+    s1 = fanout_write_snapshot(routed, t, run_id="r1")
+    back = t.read(spark)
+    per_sink = {r["sink"]: r["n"] for r in
+                back.groupBy("sink").count().withColumnRenamed("count", "n").collect()}
+    assert per_sink == {"errs": 2, "logs": 1}
+    # replayed batch: same run_id -> same visible rows, new snapshot
+    s2 = fanout_write_snapshot(routed, t, run_id="r1")
+    assert s2 == s1 + 1
+    assert t.read(spark).count() == 3
+    # a second batch appends atomically alongside the first
+    fanout_write_snapshot(routed.withColumn("doc_id", F.col("doc_id") + 10),
+                          t, run_id="r2")
+    assert t.read(spark).count() == 6
+    assert t.read(spark, snapshot=s2).count() == 3
+
