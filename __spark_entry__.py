@@ -1221,8 +1221,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # pack_seq_boundaries, epoch_schedule, corpus_report,
     # quality_classifier, truncation_stats, nb_weights,
     # quality_classifier_trained, source_kl, dedup_incremental,
-    # quality_by_source, bm25_topk, plus the four rotated-out r2
-    # queries above.
+    # quality_by_source, bm25_topk, packing_efficiency,
+    # quality_sample, plus the four rotated-out r2 queries above.
 ]
 
 

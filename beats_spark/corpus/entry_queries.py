@@ -1180,6 +1180,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "quality_by_source": q_quality_by_source,
         "bm25_topk": q_bm25_topk,
+        "packing_efficiency": q_packing_efficiency,
+        "quality_sample": q_quality_sample,
     }
 
 
@@ -1270,6 +1272,8 @@ def corpus_oracles() -> dict[str, str]:
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "quality_by_source": _QUALITY_BY_SOURCE_SQL,
         "bm25_topk": _BM25_TOPK_SQL,
+        "packing_efficiency": _PACKING_EFFICIENCY_SQL,
+        "quality_sample": _QUALITY_SAMPLE_SQL,
     }
 
 
@@ -3309,3 +3313,66 @@ def q_bm25_topk(spark, sf_dir):
         ).alias("query"),
     )
     return textstats.bm25_topk(docs, queries, k=_BM25_K)
+
+
+# -- packing efficiency datacard + score-proportional sampling ----------------
+
+_PACKING_EFFICIENCY_SQL = _PACK_BINS_SQL.rsplit("SELECT doc_id", 1)[0] + """,
+bins AS (
+  SELECT bucket, bin_no, sum(n)::BIGINT AS fill, count(*)::BIGINT AS nd
+  FROM rec GROUP BY bucket, bin_no
+)
+SELECT 128::BIGINT AS max_len,
+       count(*)::BIGINT AS n_bins,
+       sum(nd)::BIGINT AS n_docs,
+       sum(fill)::BIGINT AS tokens_total,
+       (count(*) * 128)::BIGINT AS slots_total,
+       sum(greatest(128 - fill, 0))::BIGINT AS padding_tokens,
+       sum(CASE WHEN fill > 128 THEN 1 ELSE 0 END)::BIGINT AS overfull_bins,
+       CAST(round(sum(fill)::DOUBLE * 1000000.0
+            / (count(*) * 128)::DOUBLE) AS BIGINT) AS fill_ppm
+FROM bins
+"""
+
+
+def q_packing_efficiency(spark, sf_dir):
+    """Fill/padding/overfull datacard over the FFD no-split packing."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    packed = toks.pack_bins(t, max_len=128, n_buckets=16)
+    return toks.packing_efficiency(packed, max_len=128)
+
+
+_QUALITY_SAMPLE_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+feat AS (
+  SELECT doc_id, t[i] AS f
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+fw AS (
+  SELECT doc_id, (({_QC_WEIGHT}) % 2001 - 1000)::BIGINT AS w FROM feat
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_feat, sum(w)::BIGINT AS sum_w
+  FROM fw GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id,
+         CAST(round(sum_w::DOUBLE * 1000.0
+              / greatest(n_feat, 1)::DOUBLE) AS BIGINT) AS score
+  FROM agg
+)
+SELECT doc_id, score AS score_ppm,
+       greatest(least(500000 + score, 1000000), 0)::BIGINT AS p_ppm,
+       (({H32_SQL.format(expr="'qsample:' || doc_id::VARCHAR")} % 1000000)
+        < greatest(least(500000 + score, 1000000), 0)) AS selected
+FROM sc
+"""
+
+
+def q_quality_sample(spark, sf_dir):
+    """Score-proportional deterministic sampling (DCLM-style)."""
+    return textstats.quality_sample(_docs(spark, sf_dir),
+                                    n_buckets=_QC_BUCKETS)

@@ -1154,3 +1154,48 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= int(k))
         .select("query_id", "doc_id", "score_mu", "rank")
     )
+
+
+def quality_sample(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n_buckets: int = 1 << 18,
+                   offset_ppm: int = 500000,
+                   salt: str = "qsample") -> DataFrame:
+    """Score-proportional corpus sampling (the DCLM/FineWeb move:
+    don't hard-threshold the quality classifier, sample docs with
+    probability rising in their score — keeps tail diversity while
+    down-weighting junk).
+
+    Deterministic, engine-exact: keep probability is
+    ``p_ppm = clamp(offset_ppm + score_ppm, 0, 10^6)`` (a linear
+    calibration of :func:`quality_classifier`'s hashed score) and the
+    draw is the id-hash uniform ``h32(salt:doc_id) mod 10^6 < p_ppm``
+    — the same never-RNG discipline as ``hash_sample``, so the sample
+    is reproducible across engines, layouts, and reruns. ONE narrow
+    codegen pass: the hashing-trick score needs no joins, the draw no
+    shuffle.
+
+    Returns ``(doc_id, score_ppm, p_ppm, selected)`` — one row per
+    doc (filter on ``selected`` downstream; keeping the row preserves
+    funnel accounting).
+    """
+    uni = word_tokens(F.col(text_col))
+    feats = F.concat(uni, shingles(uni, 2))
+    n_feat, sum_w = _hashed_score_cols(feats, n_buckets)
+    score = F.round(
+        sum_w.cast("double") * F.lit(1000.0)
+        / F.greatest(n_feat, F.lit(1)).cast("double")
+    ).cast("long")
+    p = F.greatest(
+        F.least(F.lit(int(offset_ppm)).cast("long") + score,
+                F.lit(1000000).cast("long")),
+        F.lit(0).cast("long"),
+    )
+    draw = F.pmod(
+        h32(F.col(id_col).cast("string"), seed=salt), F.lit(1000000)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        score.alias("score_ppm"),
+        p.alias("p_ppm"),
+        (draw < p).alias("selected"),
+    )

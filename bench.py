@@ -83,6 +83,14 @@ HEADLINE = [
     "pack_seq_boundaries",
     "epoch_schedule",
     "corpus_report",
+    "quality_classifier",
+    "quality_classifier_trained",
+    "nb_weights",
+    "quality_by_source",
+    "truncation_stats",
+    "source_kl",
+    "dedup_incremental",
+    "bm25_topk",
     "csv_extract",
 ]
 

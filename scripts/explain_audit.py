@@ -154,6 +154,10 @@ AUDITED = {
     "quality_by_source": dict(),
     # BM25: query-term table broadcasts into the postings scoring join
     "bm25_topk": dict(broadcast=True),
+    # per-bin agg + 1-row global agg over the FFD packing
+    "packing_efficiency": dict(),
+    # score + clamped keep-probability + id-hash draw: one narrow pass
+    "quality_sample": dict(),
 }
 
 

@@ -2508,3 +2508,41 @@ def test_bm25_topk_hand_math(spark):
     ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
     for i, (d, _) in enumerate(ranked, 1):
         assert out[(100, d)]["rank"] == i
+
+
+def test_packing_efficiency_hand_case(spark):
+    from beats_spark.corpus.tokens import packing_efficiency
+
+    packed = spark.createDataFrame(
+        [(1, 64, 10), (2, 64, 10),    # full bin
+         (3, 100, 11),                # 28 padding
+         (4, 200, 12)],               # overfull (long doc)
+        "doc_id long, n_tok int, bin_id long",
+    )
+    r = packing_efficiency(packed, max_len=128).collect()[0]
+    assert r["max_len"] == 128 and r["n_bins"] == 3 and r["n_docs"] == 4
+    assert r["tokens_total"] == 428 and r["slots_total"] == 384
+    assert r["padding_tokens"] == 28 and r["overfull_bins"] == 1
+    assert r["fill_ppm"] == round(428 * 1000000.0 / 384)
+
+
+def test_quality_sample_matches_hash_draw(spark):
+    import hashlib
+
+    from beats_spark.corpus.textstats import quality_classifier, quality_sample
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} words vary here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_sample(df).collect()}
+    scores = {r["doc_id"]: r["score_ppm"]
+              for r in quality_classifier(df).collect()}
+    assert set(out) == set(scores)  # row contract
+    for did, r in out.items():
+        assert r["score_ppm"] == scores[did]
+        p = max(min(500000 + scores[did], 1000000), 0)
+        assert r["p_ppm"] == p
+        draw = int(hashlib.md5(f"qsample:{did}".encode()).hexdigest()[:8],
+                   16) % 1000000
+        assert bool(r["selected"]) == (draw < p)
