@@ -1182,6 +1182,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "packing_efficiency": q_packing_efficiency,
         "quality_sample": q_quality_sample,
+        "split_leakage_safe": q_split_leakage_safe,
     }
 
 
@@ -1274,6 +1275,7 @@ def corpus_oracles() -> dict[str, str]:
         "bm25_topk": _BM25_TOPK_SQL,
         "packing_efficiency": _PACKING_EFFICIENCY_SQL,
         "quality_sample": _QUALITY_SAMPLE_SQL,
+        "split_leakage_safe": _SPLIT_LEAKAGE_SAFE_SQL,
     }
 
 
@@ -3376,3 +3378,43 @@ def q_quality_sample(spark, sf_dir):
     """Score-proportional deterministic sampling (DCLM-style)."""
     return textstats.quality_sample(_docs(spark, sf_dir),
                                     n_buckets=_QC_BUCKETS)
+
+
+# -- leakage-safe split: cluster-grouped assignment ----------------------------
+
+_SPLIT_LEAKAGE_SAFE_SQL = f"""
+WITH RECURSIVE {_SHINGLE_SQL}, {_MINH_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labs AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+cl AS (
+  SELECT d.doc_id, coalesce(l.lab, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN labs l ON l.id = d.doc_id
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, canonical_id,
+             ({H32_SQL.format(expr="'split:' || canonical_id::VARCHAR")} % 100)
+               AS b
+      FROM cl)
+"""
+
+
+def q_split_leakage_safe(spark, sf_dir):
+    """Near-dup-cluster-grouped train/val/test split: every member of
+    a cluster hashes on its canonical id, so a test doc's near-copy
+    can never land in train (the leak plain per-id splits have)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs).select("doc_a", "doc_b")
+    cl = dedup.neardup_resolve(pairs, docs)
+    out = toks.split_assign(cl, by_col="canonical_id")
+    return out.select("doc_id", "canonical_id", "split")

@@ -255,11 +255,21 @@ def pack_sequences_boundaries(df: DataFrame, max_len: int = 128,
 
 def split_assign(df: DataFrame, id_col: str = "doc_id",
                  train_pct: int = 90, val_pct: int = 5,
-                 salt: str = "split") -> DataFrame:
+                 salt: str = "split", by_col: str | None = None) -> DataFrame:
     """Deterministic train/val/test assignment by content-independent
     id hash (md5-derived — stable across runs, engines, cluster sizes;
-    never RNG). Remaining percent is 'test'."""
-    b = F.pmod(h32(F.col(id_col).cast("string"), seed=salt), F.lit(100))
+    never RNG). Remaining percent is 'test'.
+
+    ``by_col`` hashes a GROUP key instead of the row id, sending every
+    row of a group to the same split — the leakage-safe form: split by
+    near-dup canonical id (see the ``split_leakage_safe`` driver
+    query), source document, or URL domain, so a test example's
+    near-copy can never sit in train. Plain per-id splits leak through
+    near-duplicates no matter how good the decontamination is."""
+    b = F.pmod(
+        h32(F.col(by_col if by_col else id_col).cast("string"), seed=salt),
+        F.lit(100),
+    )
     split = (
         F.when(b < train_pct, "train")
         .when(b < train_pct + val_pct, "val")

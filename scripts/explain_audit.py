@@ -158,6 +158,9 @@ AUDITED = {
     "packing_efficiency": dict(),
     # score + clamped keep-probability + id-hash draw: one narrow pass
     "quality_sample": dict(),
+    # CC labels resolve EAGERLY at plan build (localCheckpoint rounds);
+    # the audited plan is labels ⋈ docs + the split projection
+    "split_leakage_safe": dict(),
 }
 
 

@@ -2546,3 +2546,22 @@ def test_quality_sample_matches_hash_draw(spark):
         draw = int(hashlib.md5(f"qsample:{did}".encode()).hexdigest()[:8],
                    16) % 1000000
         assert bool(r["selected"]) == (draw < p)
+
+
+def test_split_assign_by_col_groups_stay_together(spark):
+    from beats_spark.corpus.tokens import split_assign
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], "doc_id long, canonical_id long"
+    )
+    out = split_assign(df, by_col="canonical_id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["canonical_id"], set()).add(r["split"])
+    # every group lands in exactly one split
+    assert all(len(s) == 1 for s in by_group.values())
+    # plain per-id split must differ from the grouped one somewhere
+    plain = {r["doc_id"]: r["split"]
+             for r in split_assign(df).collect()}
+    grouped = {r["doc_id"]: r["split"] for r in out}
+    assert plain != grouped
