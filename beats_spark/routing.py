@@ -200,14 +200,16 @@ def fanout_write_snapshot(
     others not).
 
     ``run_id`` is the commit id: a retried batch replaces its own
-    commit directory before re-manifesting, so replays stay idempotent
+    commit's entry in the visible set, so replays stay idempotent
     (same contract as ``fanout_write``); the snapshot log adds time
-    travel back to any previous batch. Returns the snapshot id.
+    travel back to any previous batch. ``run_id`` rides along as a
+    plain data column — not a partition level — so it round-trips as
+    a string instead of being re-inferred (a numeric-looking run id
+    would come back as a long and break unionByName across commits).
+    Returns the snapshot id.
     """
     data = df.withColumn("run_id", F.lit(run_id))
-    return table.commit(
-        data, commit_id=run_id, partition_by=[sink_col, "run_id"]
-    )
+    return table.commit(data, commit_id=run_id, partition_by=[sink_col])
 
 
 def fanout_counts(df: DataFrame, sink_col: str = "sink") -> DataFrame:

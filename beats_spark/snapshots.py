@@ -11,27 +11,47 @@ config change, not a semantics change.
 
 Layout under the table root::
 
-    data/<commit_id>/part-*.parquet    -- immutable once written
-    snapshots/<n>.json                 -- manifest: ordered data dirs
-    LATEST                             -- current snapshot number
+    data/<commit_id>[.rN]/part-*.parquet  -- immutable once written;
+                                             NEVER rewritten or deleted
+                                             while any committed
+                                             snapshot references it
+    snapshots/<n>.json                    -- manifest: dir names +
+                                             parent snapshot id
+    LATEST                                -- current snapshot number
+    COMMIT_LOCK                           -- committer mutex (flock)
 
 Commit protocol (reference: Iceberg's snapshot commit — the spec's
 atomic metadata swap; also ``libbeat``'s registrar ordering, write THEN
 ack):
 
-1. write the batch's parquet files under a fresh ``data/<commit_id>/``
-   directory — invisible: no manifest references it yet;
-2. write ``snapshots/<n>.json`` listing the new visible set (previous
-   dirs ± this commit's change);
-3. atomically flip ``LATEST`` to ``n`` (POSIX rename; on an object
-   store the same single-pointer swap is the catalog's
-   compare-and-swap).
+1. write the batch's parquet files under a FRESH ``data/`` directory
+   (``<commit_id>`` on the first attempt, ``<commit_id>.rN`` on
+   retries) — invisible: no manifest references it yet, and no
+   existing directory is ever touched;
+2. under the committer lock: re-read LATEST, write
+   ``snapshots/<n>.json`` listing the new visible set (previous dirs ±
+   this commit's change) plus the parent snapshot id;
+3. atomically flip ``LATEST`` to ``n`` (POSIX rename), still under the
+   lock.
+
+The flock serializes step 2-3 across concurrent committers on a shared
+filesystem — each sees the other's manifest before choosing its own
+snapshot id, so no acknowledged commit can be clobbered (Iceberg gets
+the same guarantee from the catalog's compare-and-swap; swap the lock
+for that CAS on an object store). The slow part — step 1's data write —
+runs outside the lock.
 
 A crash before (3) leaves the table at the previous snapshot with some
-orphaned-but-invisible data files (Iceberg's behavior exactly; see
-``expire_orphans``). Re-committing the same ``commit_id`` replaces that
-commit's directory — retried batches stay idempotent like
-``fanout_write``'s run_id contract.
+orphaned-but-invisible data files or manifests (Iceberg's behavior
+exactly; see ``expire_orphans``). Committed snapshots are the PARENT
+CHAIN from LATEST — a crashed manifest that never got the pointer flip
+is not on the chain and never becomes visible.
+
+Re-committing the same ``commit_id`` writes a NEW directory and
+replaces that commit's entry in the new visible set — retried batches
+stay idempotent like ``fanout_write``'s run_id contract, while older
+snapshots keep referencing (and time-travel to) the original attempt's
+directory untouched.
 
 Readers (``read``) resolve a snapshot's manifest ONCE on the driver
 (one tiny JSON), then hand Spark the concrete directory list — no
@@ -42,14 +62,19 @@ isolation).
 Scale: a manifest lists data DIRECTORIES (one per commit), not files —
 O(commits) bytes, not O(files); file-level pruning stays Spark's job
 via partition/parquet statistics. Metadata ops are driver-side only
-and millisecond-cheap at any data scale.
+and millisecond-cheap at any data scale. Manifests store directory
+NAMES, not paths — the table root can move (or be opened via a
+different path spelling) without breaking reads or orphan cleanup.
 """
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,6 +87,7 @@ class SnapshotTable:
         self.data_dir = os.path.join(path, "data")
         self.snap_dir = os.path.join(path, "snapshots")
         self.latest_ptr = os.path.join(path, "LATEST")
+        self.lock_path = os.path.join(path, "COMMIT_LOCK")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.snap_dir, exist_ok=True)
 
@@ -78,19 +104,30 @@ class SnapshotTable:
         with open(os.path.join(self.snap_dir, f"{snapshot}.json")) as f:
             return json.load(f)
 
-    def snapshots(self) -> list[int]:
-        """All committed snapshot ids, oldest first (only ids at or
-        below LATEST count as committed — a crash can leave a higher
-        manifest file that never got the pointer flip)."""
-        latest = self.latest_snapshot()
-        if latest is None:
-            return []
-        ids = sorted(
+    def _manifest_ids(self) -> list[int]:
+        """Every manifest file's id, committed or not (crashed commits
+        leave manifests off the parent chain; their ids are still
+        reserved so a later commit never reuses one)."""
+        return sorted(
             int(f.split(".")[0])
             for f in os.listdir(self.snap_dir)
             if f.endswith(".json")
         )
-        return [i for i in ids if i <= latest]
+
+    def snapshots(self) -> list[int]:
+        """Committed snapshot ids, oldest first: the parent chain from
+        LATEST. A manifest that never got the pointer flip (crash
+        between manifest write and flip) is off the chain and does not
+        count."""
+        latest = self.latest_snapshot()
+        if latest is None:
+            return []
+        chain = []
+        cur: int | None = latest
+        while cur is not None:
+            chain.append(cur)
+            cur = self._manifest(cur).get("parent")
+        return chain[::-1]
 
     def history(self) -> list[dict]:
         """Commit log: one dict per committed snapshot (id, operation,
@@ -108,6 +145,27 @@ class SnapshotTable:
             )
         return out
 
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        fd = os.open(self.lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _fresh_dir_name(self, commit_id: str) -> str:
+        """First unused ``<commit_id>`` / ``<commit_id>.rN`` name —
+        a retry never rewrites a directory an earlier attempt produced
+        (committed snapshots may still reference it)."""
+        if not os.path.exists(os.path.join(self.data_dir, commit_id)):
+            return commit_id
+        n = 1
+        while os.path.exists(os.path.join(self.data_dir, f"{commit_id}.r{n}")):
+            n += 1
+        return f"{commit_id}.r{n}"
+
     # -- write side ----------------------------------------------------------
 
     def commit(
@@ -123,67 +181,66 @@ class SnapshotTable:
 
         Modes: ``append`` adds this commit's directory to the visible
         set; ``overwrite`` makes it the ONLY visible directory (full
-        replace); ``replace_partitions`` (requires ``partition_by``)
-        drops prior dirs' rows matching this commit's partitions at
-        READ time via the manifest's recorded partition values — here
-        we implement the simpler, equally-atomic form: re-append with
-        the commit carrying a ``replace_where`` predicate that readers
-        apply to OLDER dirs (dynamic-overwrite semantics without
-        rewriting history).
+        replace); ``replace_partitions`` (requires ``replace_where``)
+        re-appends with a predicate that readers apply to OLDER dirs
+        (dynamic-overwrite semantics without rewriting history).
 
-        Re-running the same ``commit_id`` replaces that commit's data
-        directory before manifesting — retried batches are idempotent.
+        Re-running the same ``commit_id`` writes a fresh directory and
+        replaces that commit's entry in the new visible set — retried
+        batches are idempotent, and snapshots that referenced the
+        earlier attempt still time-travel to its original rows.
         """
         if mode not in ("append", "overwrite", "replace_partitions"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "replace_partitions" and not replace_where:
             raise ValueError("replace_partitions requires replace_where")
-        cdir = os.path.join(self.data_dir, commit_id)
-        if os.path.exists(cdir):
-            shutil.rmtree(cdir)  # retried commit: replace own files only
+        dname = self._fresh_dir_name(commit_id)
         w = df.write
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.mode("overwrite").parquet(cdir)
+        w.mode("overwrite").parquet(os.path.join(self.data_dir, dname))
 
-        latest = self.latest_snapshot()
-        if latest is None or mode == "overwrite":
-            dirs: list[dict] = []
-        else:
-            dirs = list(self._manifest(latest)["dirs"])
-        # a retried commit_id must not appear twice in the visible set
-        dirs = [d for d in dirs if d["commit_id"] != commit_id]
-        dirs.append(
-            {
+        with self._commit_lock():
+            latest = self.latest_snapshot()
+            if latest is None or mode == "overwrite":
+                dirs: list[dict] = []
+            else:
+                dirs = list(self._manifest(latest)["dirs"])
+            # a retried commit_id must not appear twice in the visible set
+            dirs = [d for d in dirs if d["commit_id"] != commit_id]
+            dirs.append(
+                {
+                    "commit_id": commit_id,
+                    "dir": dname,
+                    "replace_where": replace_where,
+                }
+            )
+            ids = self._manifest_ids()
+            snap = (ids[-1] if ids else 0) + 1
+            manifest = {
+                "snapshot": snap,
+                "parent": latest,
+                "operation": mode,
                 "commit_id": commit_id,
-                "path": cdir,
-                "replace_where": replace_where,
+                "dirs": dirs,
             }
-        )
-        snap = (latest or 0) + 1
-        manifest = {
-            "snapshot": snap,
-            "operation": mode,
-            "commit_id": commit_id,
-            "dirs": dirs,
-        }
-        mpath = os.path.join(self.snap_dir, f"{snap}.json")
-        with open(mpath + ".tmp", "w") as f:
-            json.dump(manifest, f)
-        os.replace(mpath + ".tmp", mpath)
-        # the atomic visibility flip
-        with open(self.latest_ptr + ".tmp", "w") as f:
-            f.write(str(snap))
-        os.replace(self.latest_ptr + ".tmp", self.latest_ptr)
+            mpath = os.path.join(self.snap_dir, f"{snap}.json")
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(manifest, f)
+            os.replace(mpath + ".tmp", mpath)
+            # the atomic visibility flip
+            with open(self.latest_ptr + ".tmp", "w") as f:
+                f.write(str(snap))
+            os.replace(self.latest_ptr + ".tmp", self.latest_ptr)
         return snap
 
     # -- read side -----------------------------------------------------------
 
     def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
         """One DataFrame over the snapshot's visible set (default:
-        LATEST) — time travel by passing an older snapshot id. The
-        directory list is pinned at plan build: concurrent commits
-        never change a running scan."""
+        LATEST) — time travel by passing an older committed snapshot
+        id. The directory list is pinned at plan build: concurrent
+        commits never change a running scan."""
         latest = self.latest_snapshot()
         if latest is None:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
@@ -194,7 +251,7 @@ class SnapshotTable:
         dirs = m["dirs"]
         out = None
         for i, d in enumerate(dirs):
-            part = spark.read.parquet(d["path"])
+            part = spark.read.parquet(os.path.join(self.data_dir, d["dir"]))
             # later replace_partitions commits mask matching rows in
             # every OLDER directory (dynamic-overwrite read semantics)
             for newer in dirs[i + 1:]:
@@ -206,21 +263,36 @@ class SnapshotTable:
 
     # -- maintenance ---------------------------------------------------------
 
-    def expire_orphans(self) -> list[str]:
-        """Delete data directories no committed snapshot references —
-        the cleanup for crashes between data write and pointer flip
-        (Iceberg's orphan-file removal). Never touches a referenced
-        dir, so it is safe to run concurrently with readers of any
-        committed snapshot."""
-        referenced = {
-            d["path"]
-            for s in self.snapshots()
-            for d in self._manifest(s)["dirs"]
-        }
-        removed = []
-        for name in os.listdir(self.data_dir):
-            p = os.path.join(self.data_dir, name)
-            if p not in referenced:
-                shutil.rmtree(p)
-                removed.append(p)
+    def expire_orphans(self, min_age_s: float = 86400.0) -> list[str]:
+        """Delete data directories (and off-chain manifests) no
+        committed snapshot references — cleanup for crashes between
+        data write and pointer flip (Iceberg's orphan-file removal,
+        including its ``older_than`` guard).
+
+        ``min_age_s`` protects IN-FLIGHT commits: a directory younger
+        than the threshold may belong to a commit whose data write
+        finished but whose pointer flip hasn't happened yet, so only
+        dirs whose mtime is older are removed (Iceberg defaults this
+        guard to 3 days for the same reason). Never touches a
+        referenced dir, so it is safe to run concurrently with readers
+        of any committed snapshot.
+        """
+        with self._commit_lock():
+            committed = set(self.snapshots())
+            referenced = {
+                d["dir"]
+                for s in committed
+                for d in self._manifest(s)["dirs"]
+            }
+            cutoff = time.time() - min_age_s
+            removed = []
+            for name in sorted(os.listdir(self.data_dir)):
+                p = os.path.join(self.data_dir, name)
+                if name not in referenced and os.path.getmtime(p) <= cutoff:
+                    shutil.rmtree(p)
+                    removed.append(p)
+            for i in self._manifest_ids():
+                mp = os.path.join(self.snap_dir, f"{i}.json")
+                if i not in committed and os.path.getmtime(mp) <= cutoff:
+                    os.remove(mp)
         return removed

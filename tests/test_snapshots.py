@@ -38,10 +38,15 @@ def test_overwrite_replaces_visible_set_keeps_history(spark, tmp_path):
 def test_retried_commit_id_is_idempotent(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"))
     t.commit(_df(spark, [(1, "a")]), commit_id="c1")
-    t.commit(_df(spark, [(2, "first try")]), commit_id="c2")
+    s2 = t.commit(_df(spark, [(2, "first try")]), commit_id="c2")
     t.commit(_df(spark, [(2, "retry")]), commit_id="c2")  # replayed batch
     rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
     assert rows == {1: "a", 2: "retry"}  # no duplicate row 2
+    # the retry wrote a FRESH directory: the snapshot that committed the
+    # first attempt still time-travels to the ORIGINAL rows (the retry
+    # never rewrites data a committed snapshot references)
+    old = {r["id"]: r["v"] for r in t.read(spark, snapshot=s2).collect()}
+    assert old == {1: "a", 2: "first try"}
 
 
 def test_replace_partitions_masks_older_dirs(spark, tmp_path):
@@ -80,11 +85,13 @@ def test_uncommitted_data_is_invisible_and_expirable(spark, tmp_path):
         os.path.join(t.data_dir, "crashed")
     )
     assert [r["id"] for r in t.read(spark).collect()] == [1]
-    removed = t.expire_orphans()
+    # default min_age_s guards in-flight commits: too young to expire
+    assert t.expire_orphans() == []
+    removed = t.expire_orphans(min_age_s=0.0)
     assert removed == [os.path.join(t.data_dir, "crashed")]
     assert [r["id"] for r in t.read(spark).collect()] == [1]
-    # committed dirs are never expired
-    assert t.expire_orphans() == []
+    # committed dirs are never expired, even with no age guard
+    assert t.expire_orphans(min_age_s=0.0) == []
 
 
 def test_read_is_snapshot_isolated_from_later_commits(spark, tmp_path):
