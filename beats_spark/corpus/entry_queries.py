@@ -2941,8 +2941,15 @@ _QC_WEIGHT = H32_SQL.format(
     expr=f"'qc:w:' || ({_QC_INNER} % {_QC_BUCKETS})::VARCHAR"
 )
 
-_QUALITY_CLASSIFIER_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _qc_score_sql(score_alias: str = "score") -> str:
+    """Shared CTE chain of the hashed linear quality scorer:
+    whitespace tokens → uni+bigram features → hashed bucket weights →
+    per-doc (n_feat, sum_w) → quantized mean score as ``sc``. One
+    generator composed into all three scorer oracles
+    (quality_classifier / quality_by_source / quality_sample) so a
+    scorer change can never leave one oracle testing a different
+    scorer (same discipline as :func:`_nb_cnt_sql`)."""
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 feat AS (
   SELECT doc_id, t[i] AS f
   FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
@@ -2957,15 +2964,19 @@ agg AS (
   SELECT doc_id, count(*)::BIGINT AS n_feat, sum(w)::BIGINT AS sum_w
   FROM fw GROUP BY doc_id
 ),
-scored AS (
+sc AS (
   SELECT doc_id, n_feat, sum_w,
          CAST(round(sum_w::DOUBLE * 1000.0
-              / greatest(n_feat, 1)::DOUBLE) AS BIGINT) AS score_ppm
+              / greatest(n_feat, 1)::DOUBLE) AS BIGINT) AS {score_alias}
   FROM agg
-)
+)"""
+
+
+_QUALITY_CLASSIFIER_SQL = f"""
+WITH {_qc_score_sql("score_ppm")}
 SELECT doc_id, n_feat, sum_w, score_ppm,
        (score_ppm >= 0) AS passes_classifier
-FROM scored
+FROM sc
 """
 
 
@@ -3203,27 +3214,7 @@ def q_dedup_incremental(spark, sf_dir):
 
 _QUALITY_BY_SOURCE_SQL = f"""
 WITH qf AS ({_quality_filters_sql()}),
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-feat AS (
-  SELECT doc_id, t[i] AS f
-  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
-  UNION ALL
-  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
-  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
-),
-fw AS (
-  SELECT doc_id, (({_QC_WEIGHT}) % 2001 - 1000)::BIGINT AS w FROM feat
-),
-agg AS (
-  SELECT doc_id, count(*)::BIGINT AS n_feat, sum(w)::BIGINT AS sum_w
-  FROM fw GROUP BY doc_id
-),
-sc AS (
-  SELECT doc_id,
-         CAST(round(sum_w::DOUBLE * 1000.0
-              / greatest(n_feat, 1)::DOUBLE) AS BIGINT) AS score
-  FROM agg
-),
+{_qc_score_sql("score")},
 per AS (
   SELECT d.source,
          (CASE WHEN q.passes_quality THEN 1 ELSE 0 END)::BIGINT AS p,
@@ -3345,27 +3336,7 @@ def q_packing_efficiency(spark, sf_dir):
 
 
 _QUALITY_SAMPLE_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-feat AS (
-  SELECT doc_id, t[i] AS f
-  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
-  UNION ALL
-  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
-  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
-),
-fw AS (
-  SELECT doc_id, (({_QC_WEIGHT}) % 2001 - 1000)::BIGINT AS w FROM feat
-),
-agg AS (
-  SELECT doc_id, count(*)::BIGINT AS n_feat, sum(w)::BIGINT AS sum_w
-  FROM fw GROUP BY doc_id
-),
-sc AS (
-  SELECT doc_id,
-         CAST(round(sum_w::DOUBLE * 1000.0
-              / greatest(n_feat, 1)::DOUBLE) AS BIGINT) AS score
-  FROM agg
-)
+WITH {_qc_score_sql("score")}
 SELECT doc_id, score AS score_ppm,
        greatest(least(500000 + score, 1000000), 0)::BIGINT AS p_ppm,
        (({H32_SQL.format(expr="'qsample:' || doc_id::VARCHAR")} % 1000000)

@@ -1092,10 +1092,16 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     Returns ``(query_id, doc_id, score_mu, rank)``, rank 1..k per
     query, ties broken by doc_id.
     """
+    # tokenize each document ONCE (the Project's size() and the
+    # Generate's explode() would otherwise each re-run the regex split
+    # — subexpression elimination does not span the two operators)
     dtoks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(word_tokens(F.col(text_col))).cast("long").alias("dl"),
-        F.explode(word_tokens(F.col(text_col))).alias("term"),
+        word_tokens(F.col(text_col)).alias("_t"),
+    ).select(
+        "doc_id",
+        F.size("_t").cast("long").alias("dl"),
+        F.explode("_t").alias("term"),
     )
     tf = dtoks.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")

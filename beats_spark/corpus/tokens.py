@@ -87,6 +87,54 @@ def _global_starts(sel: DataFrame, n_parts: int | None) -> DataFrame:
     )
 
 
+def _exploded_positions(df: DataFrame, max_len: int, id_col: str,
+                        tokens_col: str, shard_col: str | None = None,
+                        distributed: bool = True,
+                        n_parts: int | None = None,
+                        keep_id: bool = False):
+    """Shared stage of the straddle packers (:func:`pack_sequences`,
+    :func:`pack_sequences_boundaries`): prefix-sum start offsets —
+    per-shard window / distributed range-sum (:func:`_global_starts`)
+    / naive global window — then arithmetic chunk assignment over the
+    posexploded token stream. One implementation so a fix to the
+    prefix-sum path (this code's RangePartitioner-resample history)
+    can never diverge the packers. Returns ``(exploded, group_keys)``
+    with columns ``[*group_keys][, _id], _chunk, _pis, token_id``.
+    """
+    sel_cols = [F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t")]
+    if shard_col is not None:
+        sel = df.select(F.col(shard_col).alias("_sh"), *sel_cols)
+        w = (
+            Window.partitionBy("_sh").orderBy("_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        sel = sel.withColumn(
+            "_start", F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0).cast("long"))
+        )
+        group_keys = ["_sh"]
+    elif distributed:
+        sel = _global_starts(df.select(*sel_cols), n_parts)
+        group_keys = []
+    else:
+        w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, -1)
+        sel = df.select(*sel_cols).withColumn(
+            "_start", F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0).cast("long"))
+        )
+        group_keys = []
+    id_out = ["_id"] if keep_id else []
+    ex = sel.select(
+        *group_keys, *id_out,
+        F.posexplode("_t").alias("_p", "token_id"),
+        (F.col("_start") + F.col("_p")).alias("_pos"),
+    ).select(
+        *group_keys, *id_out,
+        F.floor(F.col("_pos") / max_len).alias("_chunk"),
+        F.pmod(F.col("_pos"), F.lit(max_len)).alias("_pis"),
+        "token_id",
+    )
+    return ex, group_keys
+
+
 def pack_sequences(df: DataFrame, max_len: int = 128,
                    id_col: str = "doc_id", tokens_col: str = "tokens",
                    emit: str = "arrays", shard_col: str | None = None,
@@ -121,37 +169,13 @@ def pack_sequences(df: DataFrame, max_len: int = 128,
     - ``distributed=False``: the naive single-partition global window —
       kept as the semantics oracle for tests.
     """
-    sel_cols = [F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t")]
-    if shard_col is not None:
-        sel = df.select(F.col(shard_col).alias("_sh"), *sel_cols)
-        w = (
-            Window.partitionBy("_sh").orderBy("_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        sel = sel.withColumn(
-            "_start", F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0).cast("long"))
-        )
-        group_keys = ["_sh"]
-    elif distributed:
-        sel = _global_starts(df.select(*sel_cols), n_parts)
-        group_keys = []
-    else:
-        w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, -1)
-        sel = df.select(*sel_cols).withColumn(
-            "_start", F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0).cast("long"))
-        )
-        group_keys = []
-    shard_out = [F.col("_sh").alias(shard_col)] if shard_col is not None else []
-    ex = sel.select(
-        *group_keys,
-        F.posexplode("_t").alias("_p", "token_id"),
-        (F.col("_start") + F.col("_p")).alias("_pos"),
-    ).select(
-        *group_keys,
-        F.floor(F.col("_pos") / max_len).alias("seq_no"),
-        F.pmod(F.col("_pos"), F.lit(max_len)).alias("pos_in_seq"),
-        "token_id",
+    ex, group_keys = _exploded_positions(
+        df, max_len, id_col, tokens_col, shard_col=shard_col,
+        distributed=distributed, n_parts=n_parts,
     )
+    ex = (ex.withColumnRenamed("_chunk", "seq_no")
+            .withColumnRenamed("_pis", "pos_in_seq"))
+    shard_out = [F.col("_sh").alias(shard_col)] if shard_col is not None else []
     if emit == "exploded":
         if shard_col is not None:
             return ex.select(
@@ -193,24 +217,12 @@ def pack_sequences_boundaries(df: DataFrame, max_len: int = 128,
     assignment, one regroup keyed on seq_no (uniform by construction);
     the boundary table is derived from the grouped array with pure
     array expressions (per-row cost ∝ max_len)."""
-    sel_cols = [F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t")]
-    if distributed:
-        sel = _global_starts(df.select(*sel_cols), n_parts)
-    else:
-        w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, -1)
-        sel = df.select(*sel_cols).withColumn(
-            "_start", F.coalesce(F.sum(F.size("_t")).over(w), F.lit(0).cast("long"))
-        )
-    ex = sel.select(
-        "_id",
-        F.posexplode("_t").alias("_p", "token_id"),
-        (F.col("_start") + F.col("_p")).alias("_pos"),
-    ).select(
-        "_id",
-        F.floor(F.col("_pos") / max_len).alias("bin_id"),
-        F.pmod(F.col("_pos"), F.lit(max_len)).alias("pis"),
-        "token_id",
+    ex, _ = _exploded_positions(
+        df, max_len, id_col, tokens_col,
+        distributed=distributed, n_parts=n_parts, keep_id=True,
     )
+    ex = (ex.withColumnRenamed("_chunk", "bin_id")
+            .withColumnRenamed("_pis", "pis"))
     grouped = ex.groupBy("bin_id").agg(
         F.array_sort(
             F.collect_list(F.struct(
