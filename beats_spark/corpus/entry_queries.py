@@ -810,6 +810,43 @@ FROM s
 """
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet cutoff DERIVATION (the half lm_score_lang presumes done):
+    per-language perplexity terciles computed from the corpus's own
+    score distribution, integer-exact rank rule, distributed
+    range-split rank — no whole-language window."""
+    return textstats.ppl_tercile_buckets(_docs(spark, sf_dir), by="lang")
+
+
+_PPL_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+tot AS (SELECT lang, count(*) AS t FROM toks GROUP BY lang),
+v AS (
+  SELECT vocab.lang, tok,
+         CAST(round(log2(c::DOUBLE / t) * 1e6) AS BIGINT) AS ubits
+  FROM vocab JOIN tot USING (lang)
+), s AS (
+  SELECT doc_id, toks.lang, count(*) AS n_tokens,
+         (-sum(ubits))::BIGINT / (count(*) * 1e6) AS bits_per_token
+  FROM toks JOIN v ON toks.lang = v.lang AND toks.tok = v.tok
+  GROUP BY doc_id, toks.lang
+), r AS (
+  SELECT doc_id, lang, n_tokens, bits_per_token,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY bits_per_token, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s
+)
+SELECT doc_id, lang, n_tokens, bits_per_token,
+       CASE WHEN 3 * rk <= n THEN 'head'
+            WHEN 3 * rk <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights with the src0 slice as the target
     domain: positive log-ratio = looks more like src0 than like the
@@ -1183,6 +1220,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": q_packing_efficiency,
         "quality_sample": q_quality_sample,
         "split_leakage_safe": q_split_leakage_safe,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
@@ -1276,6 +1314,7 @@ def corpus_oracles() -> dict[str, str]:
         "packing_efficiency": _PACKING_EFFICIENCY_SQL,
         "quality_sample": _QUALITY_SAMPLE_SQL,
         "split_leakage_safe": _SPLIT_LEAKAGE_SAFE_SQL,
+        "ppl_buckets": _PPL_BUCKETS_SQL,
     }
 
 

@@ -772,6 +772,94 @@ def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
     return out.withColumnRenamed("_g", by)
 
 
+def ppl_tercile_buckets(df: DataFrame, by: str = "lang",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ngram: int = 1, broadcast_lm: bool = True,
+                        n_ranges: int | None = None) -> DataFrame:
+    """CCNet's cutoff-derivation half: head/middle/tail by the ACTUAL
+    per-group score distribution, not pre-supplied thresholds
+    (:func:`lm_score_grouped` applies config cutoffs; CCNet derives
+    those cutoffs as per-language perplexity terciles first — this op
+    is that derivation, fused with the assignment).
+
+    Bucket rule is pure integer math for cross-engine exactness: rank
+    each scored doc within its group by ``(bits_per_token, doc_id)``
+    (deterministic tie-break); ``head`` iff ``3*rank <= n``, ``middle``
+    iff ``3*rank <= 2n``, else ``tail``, where ``n`` counts the
+    group's scored docs. Unscored docs (no features) keep their row
+    with a NULL bucket.
+
+    Scale: the rank is a distributed range-split, never a whole-group
+    window — scores split into ranges by approx-percentile boundary
+    LITERALS (pure function of the score, so re-executions agree —
+    same discipline as ``tokens._global_starts``), per-(group, range)
+    totals collect as a #groups×#ranges aggregate, and row_number runs
+    per (group, range) partition. A 100 TB single-language corpus
+    ranks in ~shuffle-partition-sized windows; nothing is
+    group-sized. CCNet itself derives cutoffs from a per-language
+    sample — at extreme scale compose ``hash_sample`` → this op →
+    feed the cutoffs to :func:`lm_score_grouped`.
+
+    Returns ``(doc_id, <by>, n_tokens, bits_per_token, ppl_bucket)``.
+    """
+    spark = df.sparkSession
+    scored = lm_score_grouped(
+        df, by=by, text_col=text_col, id_col=id_col,
+        broadcast_lm=broadcast_lm, ngram=ngram,
+    )
+    s = scored.filter(F.col("bits_per_token").isNotNull())
+    if n_ranges is None:
+        n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds: list = []
+    if n_ranges > 1:
+        qs = [i / n_ranges for i in range(1, n_ranges)]
+        row = s.agg(
+            F.percentile_approx("bits_per_token", qs, 10_000).alias("bs")
+        ).first()
+        bounds = sorted(set(row["bs"] or []))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        rg = F.size(F.filter(barr, lambda b: F.col("bits_per_token") > b))
+    else:
+        rg = F.lit(0)
+    ranged = s.withColumn("_rg", rg.cast("int"))
+    totals = {
+        (r[by], r["_rg"]): r["_n"]
+        for r in ranged.groupBy(by, "_rg")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    offsets, counts = [], {}
+    for g in sorted({k[0] for k in totals}, key=str):
+        base = 0
+        for pid in range(len(bounds) + 1):
+            offsets.append((g, pid, base))
+            base += int(totals.get((g, pid), 0) or 0)
+        counts[g] = base
+    if not offsets:  # empty/unscored corpus: all buckets NULL
+        return scored.withColumn("ppl_bucket", F.lit(None).cast("string"))
+    off = spark.createDataFrame(
+        [(g, p, b, counts[g]) for g, p, b in offsets],
+        f"{by} string, _rg int, _base long, _n long",
+    )
+    w = Window.partitionBy(by, "_rg").orderBy("bits_per_token", id_col)
+    rk = F.col("_base") + F.row_number().over(w)
+    bucketed = (
+        ranged.join(F.broadcast(off), [by, "_rg"])
+        .select(
+            id_col, by, "n_tokens", "bits_per_token",
+            F.when(rk * 3 <= F.col("_n"), F.lit("head"))
+            .when(rk * 3 <= F.col("_n") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+    unscored = scored.filter(F.col("bits_per_token").isNull()).withColumn(
+        "ppl_bucket", F.lit(None).cast("string")
+    )
+    return bucketed.unionByName(unscored)
+
+
 # ---------------------------------------------------------------------------
 # fastText-style hashed linear quality classifier
 # ---------------------------------------------------------------------------

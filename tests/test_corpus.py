@@ -1874,6 +1874,52 @@ def test_lm_score_grouped_ngram_and_short_docs(spark):
     assert got[0] == got[2] and got[0][0] == 3 and got[0][1] > 0
 
 
+def test_ppl_tercile_buckets_rank_rule(spark):
+    """9 docs in one language with strictly ordered scores split 3/3/3
+    head/middle/tail under the integer rank rule, regardless of how
+    many ranges the score domain splits into."""
+    # score orders by how rare the doc's tokens are: doc i repeats a
+    # token seen (10-i) times corpus-wide -> strictly increasing bits
+    rows = [(i, "en", " ".join([f"t{i}"] * (9 - i))) for i in range(9)]
+    for n_ranges in (1, 4):
+        out = textstats.ppl_tercile_buckets(
+            _docs_lang(spark, rows), by="lang", n_ranges=n_ranges
+        ).collect()
+        assert len(out) == 9
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["ppl_bucket"], []).append(
+                (r["bits_per_token"], r["doc_id"])
+            )
+        assert {k: len(v) for k, v in by_bucket.items()} == {
+            "head": 3, "middle": 3, "tail": 3
+        }
+        assert max(by_bucket["head"]) < min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) < min(by_bucket["tail"])
+
+
+def test_ppl_tercile_buckets_ties_and_null_group(spark):
+    """Equal-score docs tie-break by doc_id (deterministic bucket
+    split), groups bucket independently, and a NULL-group doc keeps
+    its row with NULL score and bucket."""
+    rows = [(i, "en", "a a a") for i in range(3)]  # 3 identical scores
+    rows += [(10, "de", "x"), (11, "de", "y"), (12, "de", "x y")]
+    df = _docs_lang(spark, rows).union(
+        _docs_lang(spark, []).sparkSession.createDataFrame(
+            [(99, None, "zz")], "doc_id long, lang string, text string"
+        )
+    )
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in textstats.ppl_tercile_buckets(df, by="lang").collect()}
+    # en ties: rank by doc_id -> 0 head, 1 middle, 2 tail
+    assert (got[0], got[1], got[2]) == ("head", "middle", "tail")
+    assert got[99] is None and len(got) == 7
+    # de: x,y rarer than the x/y in doc 12? all tokens appear twice
+    # except none - x:2, y:2 -> doc 10,11 score equal, doc12 equal too:
+    # all three tie -> doc_id order decides
+    assert (got[10], got[11], got[12]) == ("head", "middle", "tail")
+
+
 def test_contamination_report_pairs(spark):
     from beats_spark.corpus.cleaning import contamination_report
 
