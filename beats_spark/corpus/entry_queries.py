@@ -810,6 +810,39 @@ FROM s
 """
 
 
+def q_detokenize(spark, sf_dir):
+    """Round trip: tokenize_ids → hash_vocab surface table →
+    detokenize. Where the corpus has no id collision the text comes
+    back byte-identical; collisions resolve keep-min-word on both
+    engines, so the output is deterministic either way."""
+    docs = _docs(spark, sf_dir)
+    return toks.detokenize(toks.tokenize_ids(docs), toks.hash_vocab(docs))
+
+
+_DETOKENIZE_SQL = f"""
+WITH {{tokenize}},
+vw AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+vh AS (
+  SELECT ({{h32w}} % {{vocab}}) AS tid, min(w) AS tok
+  FROM vw GROUP BY 1
+),
+pos AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tid
+  FROM tk, unnest(range(1, len(toks)::INT + 1)) AS u(i)
+),
+j AS (
+  SELECT p.doc_id, p.pos, coalesce(v.tok, '<unk>') AS tok
+  FROM pos p LEFT JOIN vh v ON v.tid = p.tid
+),
+re AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(re.text, '') AS text
+FROM documents d LEFT JOIN re ON re.doc_id = d.doc_id
+"""
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet cutoff DERIVATION (the half lm_score_lang presumes done):
     per-language perplexity terciles computed from the corpus's own
@@ -1221,6 +1254,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_sample": q_quality_sample,
         "split_leakage_safe": q_split_leakage_safe,
         "ppl_buckets": q_ppl_buckets,
+        "detokenize": q_detokenize,
     }
 
 
@@ -1315,6 +1349,11 @@ def corpus_oracles() -> dict[str, str]:
         "quality_sample": _QUALITY_SAMPLE_SQL,
         "split_leakage_safe": _SPLIT_LEAKAGE_SAFE_SQL,
         "ppl_buckets": _PPL_BUCKETS_SQL,
+        "detokenize": _DETOKENIZE_SQL.format(
+            tokenize=_TOKENIZE_SQL,
+            h32w=H32_SQL.format(expr="w"),
+            vocab=_TOKVOCAB,
+        ),
     }
 
 

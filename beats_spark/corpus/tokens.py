@@ -33,6 +33,74 @@ def tokenize_ids(df: DataFrame, text_col: str = "text",
     )
 
 
+def hash_vocab(df: DataFrame, text_col: str = "text",
+               vocab: int = 50257) -> DataFrame:
+    """Surface-form table for :func:`tokenize_ids`' hash mapping:
+    every distinct corpus word keyed by its token id, hash collisions
+    resolved keep-min-word (deterministic, so the table is a FUNCTION
+    id → token on any engine). Distinct-words hash agg then a
+    vocab-bounded (≤ ``vocab`` rows) min agg — the output is
+    model-vocabulary-sized, always broadcastable.
+
+    Returns ``(token_id, token)``."""
+    words = df.select(
+        F.explode(word_tokens(F.col(text_col))).alias("token")
+    ).distinct()
+    return (
+        words.withColumn(
+            "token_id", F.pmod(h32(F.col("token")), F.lit(vocab)).cast("int")
+        )
+        .groupBy("token_id")
+        .agg(F.min("token").alias("token"))
+    )
+
+
+def detokenize(df: DataFrame, vocab: DataFrame, tokens_col: str = "tokens",
+               id_col: str = "doc_id", sep: str = " ",
+               unk: str = "<unk>") -> DataFrame:
+    """Token ids → surface text (the inverse bridge of
+    :func:`tokenize_ids`, and the id→string half of any decode step):
+    map each id through a broadcast vocab table ``(token_id, token)``
+    and reassemble the document in position order.
+
+    Plan: posexplode (∝ token volume, the unavoidable cost) →
+    broadcast hash join on the int id (vocab is model-sized) →
+    per-doc reassembly via the sort-structs-then-concat aggregate
+    (combinable; document-sized groups, no window) — the same
+    reassembly shape as ``cleaning.line_dedup``. Ids absent from the
+    vocab render as ``unk``; a doc with an EMPTY token array keeps its
+    row with ``text = ''`` (one-row-per-doc contract).
+
+    Returns ``(doc_id, text)``."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col(tokens_col)).alias("pos", "_tid"),
+    )
+    v = vocab.select(
+        F.col("token_id").alias("_tid"), F.col("token").alias("_tok")
+    )
+    joined = ex.join(F.broadcast(v), "_tid", "left")
+    re = joined.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos", F.coalesce("_tok", F.lit(unk)).alias("tok")
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("text")
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(re, "doc_id", "left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+
+
 def _global_starts(sel: DataFrame, n_parts: int | None) -> DataFrame:
     """Distributed prefix sum of ``size(_t)`` in ``_id`` order: split
     the id domain into ranges, cumsum WITHIN each range, and add

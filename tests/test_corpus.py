@@ -1874,6 +1874,32 @@ def test_lm_score_grouped_ngram_and_short_docs(spark):
     assert got[0] == got[2] and got[0][0] == 3 and got[0][1] > 0
 
 
+def test_detokenize_round_trip_and_unk(spark):
+    """tokenize_ids → hash_vocab → detokenize reproduces the text
+    byte-identically on a collision-free corpus; ids missing from the
+    vocab render as <unk>; an empty token array keeps its row."""
+    from beats_spark.corpus import tokens as toks
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "jumps over the dog")],
+        "doc_id long, text string",
+    )
+    vocab = toks.hash_vocab(docs)
+    # collision-free check: one surface form per id among these words
+    n_words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).distinct().count()
+    assert vocab.count() == n_words
+    back = {r["doc_id"]: r["text"]
+            for r in toks.detokenize(toks.tokenize_ids(docs), vocab).collect()}
+    assert back == {0: "the quick brown fox", 1: "jumps over the dog"}
+    # unknown ids + empty array
+    t = spark.createDataFrame(
+        [(0, [123456789]), (1, [])], "doc_id long, tokens array<int>"
+    )
+    got = {r["doc_id"]: r["text"] for r in toks.detokenize(t, vocab).collect()}
+    assert got == {0: "<unk>", 1: ""}
+
+
 def test_ppl_tercile_buckets_rank_rule(spark):
     """9 docs in one language with strictly ordered scores split 3/3/3
     head/middle/tail under the integer rank rule, regardless of how
