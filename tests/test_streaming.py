@@ -816,3 +816,83 @@ def test_span_corrupt_on_stream_matches_batch(spark, tmp_path):
     want = sorted(rows(span_corrupt(spark.read.parquet(src)), *cols))
     assert got == want and len(got) == 500
     assert any(r[4] for r in got)
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """Streaming exact dedup: the JVM state store carries seen
+    fingerprints across micro-batches (maxFilesPerTrigger=1 = one
+    batch per file), so a doc repeated in a LATER file drops; each
+    distinct normalized text survives exactly once, whitespace/case
+    variants collapse onto one fingerprint."""
+    from beats_spark.streaming.dedup import stream_dedup_exact
+
+    src = str(tmp_path / "docs")
+    first = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "Alpha  Beta")],
+        "doc_id long, text string",
+    )
+    # batch 2: exact dup of 0, normalized dup of 1, one new doc
+    second = spark.createDataFrame(
+        [(3, "alpha beta"), (4, "  GAMMA DELTA "), (5, "epsilon")],
+        "doc_id long, text string",
+    )
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_dedup_exact(stream_parquet_dir(spark, src, max_files_per_trigger=1))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3
+    fps = [r["fp"] for r in got.collect()]
+    assert len(set(fps)) == 3
+    kept_texts = {r["text"] for r in got.collect()}
+    # first-arrival-wins within the normalized-fp key space: doc 5 is
+    # the only batch-2 survivor; 0/2 and 1/4 collapse (0,1 or 2 win
+    # within batch 1 arbitrarily - both are batch-1 members)
+    assert "epsilon" in kept_texts
+    assert not {"alpha beta", "Alpha  Beta"} <= kept_texts
+    assert "  GAMMA DELTA " not in kept_texts
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """Watermark-bounded regime: dropDuplicatesWithinWatermark plans
+    and runs with the fingerprint key + event-time column, suppressing
+    the in-horizon duplicate."""
+    from beats_spark.streaming.dedup import stream_dedup_exact
+
+    src = str(tmp_path / "docs")
+    rows_ = [(0, "2024-01-01 00:00:00", "same text"),
+             (1, "2024-01-01 00:00:10", "same text"),
+             (2, "2024-01-01 00:00:20", "other text")]
+    df = spark.createDataFrame(
+        rows_, "doc_id long, ts string, text string"
+    ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "text")
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_dedup_exact(
+            stream_parquet_dir(spark, src), ts_col="ts", within="10 minutes"
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2
+    assert {r["text"] for r in got.collect()} == {"same text", "other text"}
