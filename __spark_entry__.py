@@ -1222,8 +1222,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # quality_classifier, truncation_stats, nb_weights,
     # quality_classifier_trained, source_kl, dedup_incremental,
     # quality_by_source, bm25_topk, packing_efficiency,
-    # quality_sample, split_leakage_safe, plus the four rotated-out
-    # r2 queries above.
+    # quality_sample, split_leakage_safe, ppl_buckets, detokenize,
+    # plus the four rotated-out r2 queries above.
 ]
 
 
