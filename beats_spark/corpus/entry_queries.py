@@ -810,6 +810,48 @@ FROM s
 """
 
 
+def q_repeat_ngram_mask(spark, sf_dir):
+    """Within-doc repeated-3-gram loss mask over the tokenized corpus:
+    repeated-gram positions flip to 0, keep-first semantics."""
+    return toks.repeat_ngram_mask(
+        toks.tokenize_ids(_docs(spark, sf_dir)), n=3
+    )
+
+
+_REPEAT_NGRAM_MASK_SQL = """
+WITH {tokenize},
+occ AS (
+  SELECT doc_id, u.i AS s,
+         md5(array_to_string(toks[u.i + 1:u.i + {n}], ' ')) AS gh
+  FROM tk, unnest(range(0, greatest(len(toks) - {n} + 1, 0)::INT)) AS u(i)
+),
+firsts AS (SELECT doc_id, gh, min(s) AS s0 FROM occ GROUP BY doc_id, gh),
+reps AS (
+  SELECT o.doc_id, o.s FROM occ o
+  JOIN firsts f ON o.doc_id = f.doc_id AND o.gh = f.gh
+  WHERE o.s > f.s0
+),
+starts AS (SELECT doc_id, list(s ORDER BY s) AS sts FROM reps GROUP BY doc_id),
+m AS (
+  SELECT t.doc_id, t.toks AS tokens,
+         list_transform(
+           range(0, len(t.toks)::INT),
+           i -> CASE WHEN len(list_filter(coalesce(st.sts, []),
+                                          x -> x <= i AND i < x + {n})) > 0
+                     THEN 0 ELSE 1 END
+         ) AS loss_mask
+  FROM tk t LEFT JOIN starts st ON st.doc_id = t.doc_id
+)
+SELECT doc_id, tokens, loss_mask,
+       len(tokens) - list_sum_or0 AS n_masked
+FROM (
+  SELECT doc_id, tokens, loss_mask,
+         coalesce(list_aggregate(loss_mask, 'sum'), 0) AS list_sum_or0
+  FROM m
+)
+"""
+
+
 def q_detokenize(spark, sf_dir):
     """Round trip: tokenize_ids → hash_vocab surface table →
     detokenize. Where the corpus has no id collision the text comes
@@ -1255,6 +1297,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": q_split_leakage_safe,
         "ppl_buckets": q_ppl_buckets,
         "detokenize": q_detokenize,
+        "repeat_ngram_mask": q_repeat_ngram_mask,
     }
 
 
@@ -1349,6 +1392,9 @@ def corpus_oracles() -> dict[str, str]:
         "quality_sample": _QUALITY_SAMPLE_SQL,
         "split_leakage_safe": _SPLIT_LEAKAGE_SAFE_SQL,
         "ppl_buckets": _PPL_BUCKETS_SQL,
+        "repeat_ngram_mask": _REPEAT_NGRAM_MASK_SQL.format(
+            tokenize=_TOKENIZE_SQL, n=3
+        ),
         "detokenize": _DETOKENIZE_SQL.format(
             tokenize=_TOKENIZE_SQL,
             h32w=H32_SQL.format(expr="w"),

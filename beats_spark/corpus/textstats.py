@@ -838,9 +838,10 @@ def ppl_tercile_buckets(df: DataFrame, by: str = "lang",
         counts[g] = base
     if not offsets:  # empty/unscored corpus: all buckets NULL
         return scored.withColumn("ppl_bucket", F.lit(None).cast("string"))
+    gtype = dict(scored.dtypes)[by]
     off = spark.createDataFrame(
         [(g, p, b, counts[g]) for g, p, b in offsets],
-        f"{by} string, _rg int, _base long, _n long",
+        f"{by} {gtype}, _rg int, _base long, _n long",
     )
     w = Window.partitionBy(by, "_rg").orderBy("bits_per_token", id_col)
     rk = F.col("_base") + F.row_number().over(w)

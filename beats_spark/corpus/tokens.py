@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from beats_spark.corpus.hashing import h32, word_tokens
+from beats_spark.corpus.hashing import h32, shingles, word_tokens
 
 
 def tokenize_ids(df: DataFrame, text_col: str = "text",
@@ -30,6 +30,63 @@ def tokenize_ids(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         ids.alias("tokens"),
         F.size(ids).alias("n_tok"),
+    )
+
+
+def repeat_ngram_mask(df: DataFrame, n: int = 3,
+                      tokens_col: str = "tokens",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Loss mask over WITHIN-doc repeated n-grams: every token
+    position covered by an n-gram whose identical gram occurred
+    earlier in the same document gets mask 0; the first occurrence
+    (and everything else) keeps mask 1. The mask-don't-cut sibling of
+    ``cleaning.substring_dedup``'s intra-doc case — training keeps the
+    full context but stops paying loss on degenerate repetition
+    (chat-template boilerplate, looped generations).
+
+    Plan: gram occurrences explode (∝ token volume) → per-(doc, gram)
+    min-start hash agg (combinable, uniform md5 keys — never a
+    per-gram window) → repeat starts collect per doc (doc-bounded
+    arrays) → the mask materializes as ONE array transform over the
+    tokens. One row per input doc, always; ``len(toks) < n`` masks
+    nothing.
+
+    Returns ``(doc_id, tokens, loss_mask, n_masked)``."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks")
+    )
+    occ = base.select(
+        "doc_id", F.posexplode(shingles(F.col("toks"), n)).alias("s", "gram")
+    ).select("doc_id", "s", F.md5("gram").alias("gh"))
+    firsts = occ.groupBy("doc_id", "gh").agg(F.min("s").alias("s0"))
+    reps = (
+        occ.join(firsts, ["doc_id", "gh"])
+        .filter(F.col("s") > F.col("s0"))
+        .select("doc_id", "s")
+    )
+    starts = reps.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("_starts")
+    )
+    sts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    mask = F.transform(
+        F.col("toks"),
+        lambda _, i: F.when(
+            F.exists(sts, lambda st: (st <= i) & (i < st + F.lit(n))),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    return (
+        base.join(starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("toks").alias("tokens"),
+            mask.alias("loss_mask"),
+        )
+        .withColumn(
+            "n_masked",
+            F.size("tokens")
+            - F.aggregate("loss_mask", F.lit(0), lambda a, x: a + x),
+        )
     )
 
 

@@ -79,6 +79,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+class SnapshotConflict(RuntimeError):
+    """A concurrent commit flipped LATEST between a maintenance
+    operation's pinned read and its pointer flip (Iceberg's commit
+    validation failure) — retry against the new base."""
+
+
 class SnapshotTable:
     """Minimal snapshot-log table over parquet (see module docstring)."""
 
@@ -262,6 +268,72 @@ class SnapshotTable:
         return out
 
     # -- maintenance ---------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        commit_id: str,
+        partition_by: list[str] | None = None,
+        min_dirs: int = 2,
+        base_snapshot: int | None = None,
+    ) -> int | None:
+        """Rewrite the visible set as ONE directory (Iceberg's
+        ``rewrite_data_files``): a long-lived append table accumulates
+        one directory per batch, and every read pays the
+        per-directory open + union + replace_where masking — compaction
+        folds the net visible rows (masks applied) into a single
+        parquet dir and commits it as a new snapshot. History is
+        untouched: older snapshots still time-travel to the original
+        directories, so orphan expiry (not compaction) reclaims space.
+
+        Optimistic concurrency, Iceberg-style: the read pins
+        ``base_snapshot`` (default: LATEST at call time); if another
+        commit flips the pointer between that read and this commit,
+        the table raises :class:`SnapshotConflict` INSTEAD of silently
+        discarding the concurrent commit — callers retry on the new
+        base. Returns the new snapshot id, or None when the visible
+        set is already under ``min_dirs`` directories.
+        """
+        base = self.latest_snapshot() if base_snapshot is None else base_snapshot
+        if base is None:
+            raise FileNotFoundError(f"{self.path}: no committed snapshot")
+        m = self._manifest(base)
+        if len(m["dirs"]) < min_dirs:
+            return None
+        df = self.read(spark, base)
+        dname = self._fresh_dir_name(commit_id)
+        w = df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.mode("overwrite").parquet(os.path.join(self.data_dir, dname))
+
+        with self._commit_lock():
+            if self.latest_snapshot() != base:
+                raise SnapshotConflict(
+                    f"{self.path}: snapshot {self.latest_snapshot()} "
+                    f"committed since compaction read snapshot {base}; "
+                    "retry against the new base"
+                )
+            ids = self._manifest_ids()
+            snap = (ids[-1] if ids else 0) + 1
+            manifest = {
+                "snapshot": snap,
+                "parent": base,
+                "operation": "compact",
+                "commit_id": commit_id,
+                "dirs": [
+                    {"commit_id": commit_id, "dir": dname,
+                     "replace_where": None}
+                ],
+            }
+            mpath = os.path.join(self.snap_dir, f"{snap}.json")
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(manifest, f)
+            os.replace(mpath + ".tmp", mpath)
+            with open(self.latest_ptr + ".tmp", "w") as f:
+                f.write(str(snap))
+            os.replace(self.latest_ptr + ".tmp", self.latest_ptr)
+        return snap
 
     def expire_orphans(self, min_age_s: float = 86400.0) -> list[str]:
         """Delete data directories (and off-chain manifests) no

@@ -161,6 +161,14 @@ AUDITED = {
     # CC labels resolve EAGERLY at plan build (localCheckpoint rounds);
     # the audited plan is labels ⋈ docs + the split projection
     "split_leakage_safe": dict(),
+    # CCNet tercile derivation: per-(lang,range) offsets broadcast into
+    # the range-split rank; the vocab feature join broadcasts
+    "ppl_buckets": dict(broadcast=True),
+    # id → surface text: the vocab table must broadcast into the
+    # exploded token stream
+    "detokenize": dict(broadcast=True),
+    # gram min-start hash agg + per-doc mask transform — equi-joins only
+    "repeat_ngram_mask": dict(),
 }
 
 

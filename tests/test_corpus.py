@@ -1874,6 +1874,28 @@ def test_lm_score_grouped_ngram_and_short_docs(spark):
     assert got[0] == got[2] and got[0][0] == 3 and got[0][1] > 0
 
 
+def test_repeat_ngram_mask_hand_case(spark):
+    """[1,2,3,1,2,3,4] at n=3: the second (1,2,3) starts at position 3
+    -> mask covers 3,4,5; first occurrence and the fresh tail token
+    keep loss. Short and repeat-free docs mask nothing."""
+    from beats_spark.corpus import tokens as toks
+
+    t = spark.createDataFrame(
+        [(0, [1, 2, 3, 1, 2, 3, 4]),   # one repeated 3-gram
+         (1, [7, 8]),                  # shorter than n
+         (2, [1, 2, 3, 4, 5]),         # no repeats
+         (3, [9, 9, 9, 9, 9, 9])],     # overlapping self-repeats
+        "doc_id long, tokens array<int>",
+    )
+    got = {r["doc_id"]: (r["loss_mask"], r["n_masked"])
+           for r in toks.repeat_ngram_mask(t, n=3).collect()}
+    assert got[0] == ([1, 1, 1, 0, 0, 0, 1], 3)
+    assert got[1] == ([1, 1], 0)
+    assert got[2] == ([1, 1, 1, 1, 1], 0)
+    # (9,9,9) first at 0; repeats start at 1,2,3 covering 1..5
+    assert got[3] == ([1, 0, 0, 0, 0, 0], 5)
+
+
 def test_detokenize_round_trip_and_unk(spark):
     """tokenize_ids → hash_vocab → detokenize reproduces the text
     byte-identically on a collision-free corpus; ids missing from the

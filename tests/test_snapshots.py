@@ -138,3 +138,65 @@ def test_fanout_write_snapshot_atomic_and_idempotent(spark, tmp_path):
     assert t.read(spark).count() == 6
     assert t.read(spark, snapshot=s2).count() == 3
 
+
+
+def test_compact_folds_visible_set_keeps_history(spark, tmp_path):
+    """compact() rewrites N visible dirs (replace_where masks applied)
+    into one; rows identical to the pre-compact read, older snapshots
+    still time-travel to the original directories, and a visible set
+    already under min_dirs is a no-op."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]), commit_id="c1")
+    t.commit(_df(spark, [(3, "c")]), commit_id="c2")
+    t.commit(
+        _df(spark, [(2, "b2")]), commit_id="c3",
+        mode="replace_partitions", replace_where="id = 2",
+    )
+    before = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert before == {1: "a", 2: "b2", 3: "c"}
+
+    snap = t.compact(spark, commit_id="maint1")
+    assert snap == 4
+    after = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert after == before
+    # one visible directory now; masking is materialized
+    assert t.history()[-1]["n_dirs"] == 1 and t.history()[-1]["operation"] == "compact"
+    # pre-compact snapshots unchanged (time travel)
+    assert {r["id"] for r in t.read(spark, snapshot=2).collect()} == {1, 2, 3}
+    assert {r["id"]: r["v"] for r in t.read(spark, snapshot=3).collect()} == before
+    # already compact -> no-op
+    assert t.compact(spark, commit_id="maint2") is None
+
+
+def test_compact_conflict_raises_not_discards(spark, tmp_path):
+    """Optimistic concurrency: a commit landing between compaction's
+    pinned read and its pointer flip must raise SnapshotConflict, and
+    the concurrent commit's rows must survive."""
+    from beats_spark.snapshots import SnapshotConflict
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]), commit_id="c1")
+    base = t.commit(_df(spark, [(2, "b")]), commit_id="c2")
+    # concurrent writer lands AFTER the compactor pinned its base
+    t.commit(_df(spark, [(3, "c")]), commit_id="c3")
+    with pytest.raises(SnapshotConflict):
+        t.compact(spark, commit_id="maint1", base_snapshot=base)
+    # nothing lost, nothing flipped
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3}
+    # retry on the new base succeeds
+    assert t.compact(spark, commit_id="maint1") is not None
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3}
+
+
+def test_compact_then_expire_reclaims_old_dirs(spark, tmp_path):
+    """After compaction, dropping the old snapshots' manifests is NOT
+    how expiry works here — expire_orphans only removes unreferenced
+    dirs, so as long as pre-compact snapshots exist their dirs stay;
+    the compacted dir itself is referenced and always safe."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]), commit_id="c1")
+    t.commit(_df(spark, [(2, "b")]), commit_id="c2")
+    t.compact(spark, commit_id="maint1")
+    removed = t.expire_orphans(min_age_s=0.0)
+    assert removed == []  # every dir is referenced by some committed snapshot
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
