@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from beats_spark.app import LogPipeline
-from beats_spark.routing import fanout_counts, fanout_write
+from beats_spark.routing import fanout_counts, fanout_write, fanout_write_snapshot
 
 
 def dedup_stream(
@@ -88,6 +88,30 @@ class StreamingLogPipeline:
         return (
             routed.writeStream.outputMode("append")
             .foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+    def start_snapshot(self, stream_df: DataFrame, table,
+                       trigger: dict | None = None) -> StreamingQuery:
+        """Exactly-once streaming fan-out into the snapshot-log table
+        (:class:`beats_spark.snapshots.SnapshotTable`) — Iceberg's
+        streaming-sink commit semantics: each micro-batch lands as ONE
+        atomic snapshot commit (every sink visible together or not at
+        all), keyed by batch id, so a foreachBatch replay after
+        restart REPLACES its own commit instead of appending
+        duplicates. Readers always see a whole number of batches and
+        can time-travel to any batch boundary; the one-directory-per-
+        batch accumulation folds away with ``table.compact``."""
+        routed = self.routed(stream_df)
+
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            fanout_write_snapshot(batch_df, table, run_id=f"b{batch_id:012d}")
+
+        return (
+            routed.writeStream.outputMode("append")
+            .foreachBatch(write)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(**(trigger or {"availableNow": True}))
             .start()

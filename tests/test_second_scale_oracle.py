@@ -39,6 +39,8 @@ ORDER_SENSITIVE = [
     "shuffle_shards",
     "sessionize",
     "multiline_pattern",
+    # per-group rank over range-split score boundaries (CCNet terciles)
+    "ppl_buckets",
 ]
 
 

@@ -896,3 +896,38 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 2
     assert {r["text"] for r in got.collect()} == {"same text", "other text"}
+
+
+def test_streaming_snapshot_sink_atomic_batches_no_dup(spark, pipe, tmp_path):
+    """Streaming fan-out through the snapshot table: one atomic commit
+    per micro-batch; restart with the same checkpoint neither loses
+    nor duplicates rows; each commit is a readable time-travel point;
+    compaction folds the per-batch dirs without changing rows."""
+    from beats_spark.snapshots import SnapshotTable
+
+    src = str(tmp_path / "in")
+    cp = str(tmp_path / "cp")
+    t = SnapshotTable(str(tmp_path / "table"))
+    s = StreamingLogPipeline(pipe, sink_dir="", checkpoint_dir=cp)
+
+    _write_events(spark, src, N)
+    s.start_snapshot(stream_parquet_dir(spark, src), t).awaitTermination(120)
+    first_rows = t.read(spark).count()
+    snaps_after_first = t.snapshots()
+    assert first_rows > 0 and len(snaps_after_first) >= 1
+
+    # restart: new data arrives; the old batches must not re-commit
+    _write_events(spark, src, N, start=N)
+    s.start_snapshot(stream_parquet_dir(spark, src), t).awaitTermination(120)
+
+    got = t.read(spark)
+    want = pipe.routed(spark.read.parquet(src))
+    assert got.count() == want.count()
+    assert got.select("doc_id").distinct().count() == got.count()
+    assert rows(got, "doc_id", "sink") == rows(want, "doc_id", "sink")
+    # time travel to the first run's boundary still sees only its rows
+    assert t.read(spark, snapshot=snaps_after_first[-1]).count() == first_rows
+    # compact and re-verify
+    t.compact(spark, commit_id="maint")
+    assert t.read(spark).count() == want.count()
+    assert t.history()[-1]["n_dirs"] == 1
