@@ -885,6 +885,24 @@ FROM documents d LEFT JOIN re ON re.doc_id = d.doc_id
 """
 
 
+def q_script_stats(spark, sf_dir):
+    """Per-doc Unicode-script composition + replacement-char mojibake
+    counter — narrow single-pass column expressions."""
+    return textstats.script_stats(_docs(spark, sf_dir))
+
+
+_SCRIPT_STATS_SQL = r"""
+SELECT doc_id, length(text) AS n_chars,
+  length(text) - length(regexp_replace(text, '\p{Latin}', '', 'g')) AS n_latin,
+  length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS n_cyrillic,
+  length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) AS n_han,
+  length(text) - length(regexp_replace(text, '\p{Arabic}', '', 'g')) AS n_arabic,
+  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+  length(text) - length(regexp_replace(text, '�', '', 'g')) AS n_replacement
+FROM documents
+"""
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet cutoff DERIVATION (the half lm_score_lang presumes done):
     per-language perplexity terciles computed from the corpus's own
@@ -1296,6 +1314,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_sample": q_quality_sample,
         "split_leakage_safe": q_split_leakage_safe,
         "ppl_buckets": q_ppl_buckets,
+        "script_stats": q_script_stats,
         "detokenize": q_detokenize,
         "repeat_ngram_mask": q_repeat_ngram_mask,
     }
@@ -1392,6 +1411,7 @@ def corpus_oracles() -> dict[str, str]:
         "quality_sample": _QUALITY_SAMPLE_SQL,
         "split_leakage_safe": _SPLIT_LEAKAGE_SAFE_SQL,
         "ppl_buckets": _PPL_BUCKETS_SQL,
+        "script_stats": _SCRIPT_STATS_SQL,
         "repeat_ngram_mask": _REPEAT_NGRAM_MASK_SQL.format(
             tokenize=_TOKENIZE_SQL, n=3
         ),

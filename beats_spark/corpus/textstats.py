@@ -772,6 +772,47 @@ def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
     return out.withColumnRenamed("_g", by)
 
 
+#: Unicode script classes counted by :func:`script_stats` — (output
+#: column, Java regex class, RE2/DuckDB regex class). Same Unicode
+#: script property on both engines, different spelling.
+SCRIPT_CLASSES = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+]
+
+
+def script_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Char-script composition + mojibake signal per document: counts
+    of Latin/Cyrillic/Han/Arabic script chars, digits, and U+FFFD
+    replacement chars (the fingerprint of a charset-decode error —
+    docs with a nonzero count went through a wrong-encoding decode and
+    are candidates for dropping or re-decoding). Complements
+    :func:`lang_id`: language models confuse transliterations, script
+    counts don't.
+
+    All counts are length-deltas after ``regexp_replace`` — narrow
+    column expressions fused into one codegen pass, zero shuffles at
+    any corpus size. Returns ``(doc_id, n_chars, n_latin, n_cyrillic,
+    n_han, n_arabic, n_digit, n_replacement)``."""
+    c = F.col(text_col)
+    n = F.length(c)
+
+    def cnt(rx: str):
+        return n - F.length(F.regexp_replace(c, rx, ""))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_chars"),
+        *[cnt(java_rx).alias(f"n_{name}")
+          for name, java_rx, _ in SCRIPT_CLASSES],
+        cnt("[0-9]").alias("n_digit"),
+        cnt("�").alias("n_replacement"),
+    )
+
+
 def ppl_tercile_buckets(df: DataFrame, by: str = "lang",
                         text_col: str = "text", id_col: str = "doc_id",
                         ngram: int = 1, broadcast_lm: bool = True,

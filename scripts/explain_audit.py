@@ -169,6 +169,8 @@ AUDITED = {
     "detokenize": dict(broadcast=True),
     # gram min-start hash agg + per-doc mask transform — equi-joins only
     "repeat_ngram_mask": dict(),
+    # script composition: pure regexp length-deltas, one codegen pass
+    "script_stats": dict(),
 }
 
 

@@ -1874,6 +1874,22 @@ def test_lm_score_grouped_ngram_and_short_docs(spark):
     assert got[0] == got[2] and got[0][0] == 3 and got[0][1] > 0
 
 
+def test_script_stats_mixed_scripts(spark):
+    """Hand-counted mixed-script doc: Latin/Cyrillic/Han/Arabic/digit/
+    replacement counts, and a pure-ASCII doc is all-Latin with zero
+    mojibake."""
+    df = spark.createDataFrame(
+        [(0, "aбвxy漢字1�"), (1, "plain ascii 42")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in textstats.script_stats(df).collect()}
+    assert got[0] == {"doc_id": 0, "n_chars": 9, "n_latin": 3,
+                      "n_cyrillic": 2, "n_han": 2, "n_arabic": 0,
+                      "n_digit": 1, "n_replacement": 1}
+    assert got[1]["n_latin"] == 10 and got[1]["n_replacement"] == 0
+    assert got[1]["n_digit"] == 2
+
+
 def test_repeat_ngram_mask_hand_case(spark):
     """[1,2,3,1,2,3,4] at n=3: the second (1,2,3) starts at position 3
     -> mask covers 3,4,5; first occurrence and the fresh tail token
