@@ -1223,7 +1223,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # quality_classifier_trained, source_kl, dedup_incremental,
     # quality_by_source, bm25_topk, packing_efficiency,
     # quality_sample, split_leakage_safe, ppl_buckets, detokenize,
-    # repeat_ngram_mask, script_stats,
+    # repeat_ngram_mask, script_stats, bpe_compression,
     # plus the four rotated-out r2 queries above.
 ]
 

@@ -1293,6 +1293,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_merges": q_bpe_merges,
         "bpe_apply": q_bpe_apply,
+        "bpe_compression": q_bpe_compression,
         "token_pipeline": q_token_pipeline,
         "winnow_neardup_tokens": q_winnow_neardup_tokens,
         "pack_bins": q_pack_bins,
@@ -1390,6 +1391,7 @@ def corpus_oracles() -> dict[str, str]:
         "token_stats": _TOKEN_STATS_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "bpe_apply": _bpe_apply_sql(),
+        "bpe_compression": _bpe_compression_sql(),
         "token_pipeline": _TOKEN_PIPELINE_SQL,
         "winnow_neardup_tokens": _WINNOW_NEARDUP_TOKENS_SQL,
         "pack_bins": _PACK_BINS_SQL,
@@ -1794,6 +1796,67 @@ def _bpe_merges_sql() -> str:
 WITH {_TOKENIZE_SQL},
 tk0 AS (SELECT doc_id, toks FROM tk), {ctes}
 {sel}
+"""
+
+
+def q_bpe_compression(spark, sf_dir):
+    """Per-language merge-table datacard: how much the learned BPE
+    merge table compresses each language (tokens/word after merges)
+    and the resulting chars/token — the fertility-style metric that
+    decides whether a tokenizer is trained enough for a language
+    before burning GPU hours at the wrong sequence budget. Integer-ppm
+    ratios (BIGINT div) for cross-engine exactness."""
+    docs = _docs(spark, sf_dir)
+    t = toks.tokenize_ids(docs)
+    m = toks.learn_bpe_merges(t, n_merges=_BPE_MERGES,
+                              new_id_start=_BPE_START)
+    out = toks.apply_bpe_merges(t, m)
+    joined = out.select("doc_id", F.size("tokens").alias("n_sub")).join(
+        docs.select(
+            "doc_id", "lang",
+            F.size(F.split("text", " ")).alias("n_w"),
+            F.length("text").alias("n_c"),
+        ),
+        "doc_id",
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_w").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subtokens"),
+            F.sum("n_c").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_docs", "n_words", "n_subtokens", "n_chars",
+            F.expr("(n_subtokens * 1000000L) div n_words")
+            .alias("tokens_per_word_ppm"),
+            F.expr("(n_chars * 1000000L) div n_subtokens")
+            .alias("chars_per_token_ppm"),
+        )
+    )
+
+
+def _bpe_compression_sql() -> str:
+    ctes, _ = _bpe_sql_ctes(_BPE_MERGES, _BPE_START)
+    return f"""
+WITH {_TOKENIZE_SQL},
+tk0 AS (SELECT doc_id, toks FROM tk), {ctes},
+sub AS (SELECT doc_id, len(toks)::BIGINT AS n_sub FROM tk{_BPE_MERGES}),
+base AS (
+  SELECT d.lang, len(string_split(d.text, ' '))::BIGINT AS n_w,
+         length(d.text)::BIGINT AS n_c, s.n_sub
+  FROM documents d JOIN sub s ON s.doc_id = d.doc_id
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_w)::BIGINT AS n_words,
+       sum(n_sub)::BIGINT AS n_subtokens,
+       sum(n_c)::BIGINT AS n_chars,
+       (sum(n_sub)::BIGINT * 1000000) // sum(n_w)::BIGINT
+         AS tokens_per_word_ppm,
+       (sum(n_c)::BIGINT * 1000000) // sum(n_sub)::BIGINT
+         AS chars_per_token_ppm
+FROM base GROUP BY lang
 """
 
 

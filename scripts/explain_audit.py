@@ -171,6 +171,9 @@ AUDITED = {
     "repeat_ngram_mask": dict(),
     # script composition: pure regexp length-deltas, one codegen pass
     "script_stats": dict(),
+    # merge learning is eager at plan build (bpe_apply discipline);
+    # the audited plan is one Arrow pass + a doc_id equi-join + #langs agg
+    "bpe_compression": dict(),
 }
 
 
