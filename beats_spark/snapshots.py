@@ -242,11 +242,19 @@ class SnapshotTable:
 
     # -- read side -----------------------------------------------------------
 
-    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, snapshot: int | None = None,
+             exclude_commit_id: str | None = None) -> DataFrame | None:
         """One DataFrame over the snapshot's visible set (default:
         LATEST) — time travel by passing an older committed snapshot
         id. The directory list is pinned at plan build: concurrent
-        commits never change a running scan."""
+        commits never change a running scan.
+
+        ``exclude_commit_id`` drops that commit's directory from the
+        visible set — the replay-idempotency hook: a foreachBatch
+        retry that processes batch N against state must see the table
+        WITHOUT batch N's own earlier (possibly partial) commit, or
+        every row would self-match. Returns None when the visible set
+        is empty after exclusion (caller treats as empty table)."""
         latest = self.latest_snapshot()
         if latest is None:
             raise FileNotFoundError(f"{self.path}: no committed snapshot")
@@ -255,6 +263,10 @@ class SnapshotTable:
             raise FileNotFoundError(f"{self.path}: no snapshot {snapshot}")
         m = self._manifest(snap)
         dirs = m["dirs"]
+        if exclude_commit_id is not None:
+            dirs = [d for d in dirs if d["commit_id"] != exclude_commit_id]
+            if not dirs:
+                return None
         out = None
         for i, d in enumerate(dirs):
             part = spark.read.parquet(os.path.join(self.data_dir, d["dir"]))

@@ -931,3 +931,58 @@ def test_streaming_snapshot_sink_atomic_batches_no_dup(spark, pipe, tmp_path):
     t.compact(spark, commit_id="maint")
     assert t.read(spark).count() == want.count()
     assert t.history()[-1]["n_dirs"] == 1
+
+
+def test_streaming_ingest_cross_batch_neardup_suppression(spark, tmp_path):
+    """Live-ingest dedup: within-batch exact dups collapse keep-min;
+    a later batch's exact and near duplicates of already-admitted docs
+    are suppressed via the PERSISTED index (no re-signing of the
+    existing corpus); fresh docs land; both tables commit per batch."""
+    from beats_spark.snapshots import SnapshotTable
+    from beats_spark.streaming.ingest import StreamingCorpusIngest
+
+    base_a = " ".join(f"alpha{i}" for i in range(40))
+    base_b = " ".join(f"beta{i}" for i in range(40))
+    near_a = " ".join(f"alpha{i}" for i in range(39)) + " CHANGED"
+    fresh = " ".join(f"gamma{i}" for i in range(40))
+
+    src = str(tmp_path / "in")
+    corpus = SnapshotTable(str(tmp_path / "corpus"))
+    index = SnapshotTable(str(tmp_path / "index"))
+    ing = StreamingCorpusIngest(
+        corpus, index, checkpoint_dir=str(tmp_path / "cp"), min_matches=8
+    )
+
+    def stream():
+        return stream_parquet_dir(spark, src, max_files_per_trigger=1)
+
+    b1 = spark.createDataFrame(
+        [(0, base_a), (1, base_b), (2, base_a)],  # 2 = exact dup of 0
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    ing.start(stream()).awaitTermination(120)
+    got1 = {r["doc_id"] for r in corpus.read(spark).collect()}
+    assert got1 == {0, 1}
+
+    b2 = spark.createDataFrame(
+        [(10, base_b),   # exact dup of admitted doc 1
+         (11, near_a),   # near-dup of admitted doc 0
+         (12, fresh)],
+        "doc_id long, text string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    ing.start(stream()).awaitTermination(120)
+    got2 = {r["doc_id"] for r in corpus.read(spark).collect()}
+    assert got2 == {0, 1, 12}, got2
+
+    # the index accumulated fp + band rows for every ADMITTED doc only
+    idx = index.read(spark)
+    assert {r["doc_id"] for r in idx.collect()} == {0, 1, 12}
+    assert idx.filter("band = -1").count() == 3          # one fp row each
+    assert idx.filter("band >= 0").count() == 3 * 4       # bands per doc
+
+    # restart with no new data: no new batch, nothing re-commits
+    snaps = corpus.snapshots()
+    ing.start(stream()).awaitTermination(120)
+    assert corpus.snapshots() == snaps
