@@ -347,6 +347,36 @@ class SnapshotTable:
             os.replace(self.latest_ptr + ".tmp", self.latest_ptr)
         return snap
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop committed snapshots older than the newest ``keep_last``
+        (Iceberg's ``expire_snapshots``): their manifests are removed
+        and the oldest kept manifest's parent pointer is cut, so the
+        directories only they referenced become orphans —
+        :meth:`expire_orphans` then reclaims the space. Time travel to
+        an expired snapshot stops working, by design; LATEST and the
+        kept history are untouched. Returns the expired snapshot ids.
+
+        Runs under the commit lock: the chain is re-read inside it, so
+        a concurrent commit either lands before (and is kept — it is
+        newer) or blocks until the expiry finishes."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (LATEST always kept)")
+        with self._commit_lock():
+            chain = self.snapshots()
+            if len(chain) <= keep_last:
+                return []
+            expired = chain[:-keep_last]
+            oldest_kept = chain[-keep_last]
+            m = self._manifest(oldest_kept)
+            m["parent"] = None
+            mpath = os.path.join(self.snap_dir, f"{oldest_kept}.json")
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(m, f)
+            os.replace(mpath + ".tmp", mpath)
+            for s in expired:
+                os.remove(os.path.join(self.snap_dir, f"{s}.json"))
+        return expired
+
     def expire_orphans(self, min_age_s: float = 86400.0) -> list[str]:
         """Delete data directories (and off-chain manifests) no
         committed snapshot references — cleanup for crashes between

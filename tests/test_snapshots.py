@@ -200,3 +200,31 @@ def test_compact_then_expire_reclaims_old_dirs(spark, tmp_path):
     removed = t.expire_orphans(min_age_s=0.0)
     assert removed == []  # every dir is referenced by some committed snapshot
     assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+
+
+def test_expire_snapshots_then_orphans_reclaims(spark, tmp_path):
+    """The maintenance triad: compact folds the visible set,
+    expire_snapshots drops the pre-compact history (time travel to it
+    now raises), and expire_orphans reclaims the directories only that
+    history referenced. LATEST is untouched throughout."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]), commit_id="c1")
+    t.commit(_df(spark, [(2, "b")]), commit_id="c2")
+    t.compact(spark, commit_id="maint")
+    assert len(t.snapshots()) == 3
+
+    # nothing reclaimable while history pins the per-batch dirs
+    assert t.expire_orphans(min_age_s=0.0) == []
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    assert t.snapshots() == [3]
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot=1)
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+
+    removed = t.expire_orphans(min_age_s=0.0)
+    assert len(removed) == 2  # c1 + c2 batch dirs, maint dir survives
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+    # keep_last larger than history is a no-op
+    assert t.expire_snapshots(keep_last=5) == []
