@@ -25,6 +25,12 @@ Within a batch, exact dups resolve keep-min-id and near-dup pairs
 resolve keep-min-id via the band self-join — so a batch containing its
 own near-dups admits one representative, and later batches dedup
 against that representative through the index.
+
+Replay after the index has been COMPACTED (batch dirs folded into a
+maintenance commit) degrades safely: the replayed batch's rows
+self-match inside the compacted dir, the survivor set comes back
+empty, and the batch body returns without committing — the original
+commits already hold its rows, so nothing is lost or duplicated.
 """
 
 from __future__ import annotations
