@@ -1224,6 +1224,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # quality_by_source, bm25_topk, packing_efficiency,
     # quality_sample, split_leakage_safe, ppl_buckets, detokenize,
     # repeat_ngram_mask, script_stats, bpe_compression,
+    # compression_ratio (rows-only: no zlib in DuckDB),
     # plus the four rotated-out r2 queries above.
 ]
 

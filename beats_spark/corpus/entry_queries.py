@@ -885,6 +885,12 @@ FROM documents d LEFT JOIN re ON re.doc_id = d.doc_id
 """
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib ratio per doc — no SQL oracle (DuckDB has no zlib);
+    driver records the rows-only check, pytest pins hand cases."""
+    return textstats.compression_ratio(_docs(spark, sf_dir))
+
+
 def q_script_stats(spark, sf_dir):
     """Per-doc Unicode-script composition + replacement-char mojibake
     counter — narrow single-pass column expressions."""
@@ -1316,6 +1322,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": q_split_leakage_safe,
         "ppl_buckets": q_ppl_buckets,
         "script_stats": q_script_stats,
+        "compression_ratio": q_compression_ratio,
         "detokenize": q_detokenize,
         "repeat_ngram_mask": q_repeat_ngram_mask,
     }

@@ -772,6 +772,48 @@ def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
     return out.withColumnRenamed("_g", by)
 
 
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """zlib compression ratio per document — the cheap degenerate-text
+    detector (RedPajama/Dolma quality heuristic): machine-generated
+    loops and boilerplate compress far below natural prose, mojibake
+    and random ids compress far above it. Arrow-batched
+    ``mapInPandas`` (zlib is C-speed inside the batch loop; no
+    JVM-side codec exists for this) — a narrow map, no shuffle at any
+    scale. ``ratio_ppm`` = compressed/raw in integer ppm
+    (deterministic at a pinned zlib level).
+
+    Returns ``(doc_id, n_bytes, n_compressed, ratio_ppm)``; empty text
+    rows carry ratio_ppm NULL (nothing to compress)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio_ppm long"
+    )
+    sel = df.select(id_col, text_col)
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            nb = raw.str.len()
+            nc = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio_ppm": [
+                        (c * 1_000_000) // b if b else None
+                        for b, c in zip(nb, nc)
+                    ],
+                }
+            )
+
+    return sel.mapInPandas(run, out_schema)
+
+
 #: Unicode script classes counted by :func:`script_stats` — (output
 #: column, Java regex class, RE2/DuckDB regex class). Same Unicode
 #: script property on both engines, different spelling.

@@ -1874,6 +1874,25 @@ def test_lm_score_grouped_ngram_and_short_docs(spark):
     assert got[0] == got[2] and got[0][0] == 3 and got[0][1] > 0
 
 
+def test_compression_ratio_separates_loops_from_prose(spark):
+    """A degenerate loop compresses far below varied prose; empty text
+    keeps its row with NULL ratio; byte accounting is exact."""
+    import zlib
+
+    prose = " ".join(f"word{i}" for i in range(60))
+    loop = "spam " * 60
+    df = spark.createDataFrame(
+        [(0, prose), (1, loop), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.compression_ratio(df).collect()}
+    assert got[1]["ratio_ppm"] < got[0]["ratio_ppm"]
+    assert got[2]["ratio_ppm"] is None and got[2]["n_bytes"] == 0
+    want = len(zlib.compress(prose.encode(), 6))
+    assert got[0]["n_compressed"] == want
+    assert got[0]["ratio_ppm"] == want * 1_000_000 // len(prose.encode())
+
+
 def test_script_stats_mixed_scripts(spark):
     """Hand-counted mixed-script doc: Latin/Cyrillic/Han/Arabic/digit/
     replacement counts, and a pure-ASCII doc is all-Latin with zero
