@@ -92,6 +92,15 @@ HEADLINE = [
     "dedup_incremental",
     "bm25_topk",
     "csv_extract",
+    # r4 late additions (all narrow or equi-join plans at sf0.1 scale;
+    # bpe_compression is excluded like bpe_merges/bpe_apply — its
+    # plan-build merge learning dominates and is covered by
+    # token_pipeline's BPE stage)
+    "ppl_buckets",
+    "detokenize",
+    "repeat_ngram_mask",
+    "script_stats",
+    "compression_ratio",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the
