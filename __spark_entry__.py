@@ -1225,6 +1225,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # quality_sample, split_leakage_safe, ppl_buckets, detokenize,
     # repeat_ngram_mask, script_stats, bpe_compression,
     # compression_ratio (rows-only: no zlib in DuckDB),
+    # hashed_embedding,
     # plus the four rotated-out r2 queries above.
 ]
 

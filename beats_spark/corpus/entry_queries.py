@@ -885,6 +885,38 @@ FROM documents d LEFT JOIN re ON re.doc_id = d.doc_id
 """
 
 
+_HE_DIM = 8
+
+
+def q_hashed_embedding(spark, sf_dir):
+    """Feature-hashing doc embedding at dim=8 — integer-exact signed
+    bucket counts, the text→vector bridge for the similarity ops."""
+    return textstats.hashed_embedding(_docs(spark, sf_dir), dim=_HE_DIM)
+
+
+def _hashed_embedding_sql() -> str:
+    h32w = H32_SQL.format(expr="w")
+    h32s = H32_SQL.format(expr="'sign:' || w")
+    sums = ", ".join(
+        f"sum(CASE WHEN b = {d} THEN s ELSE 0 END)::BIGINT"
+        for d in range(_HE_DIM)
+    )
+    zeros = ", ".join("0" for _ in range(_HE_DIM))
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+h AS (
+  SELECT doc_id, {h32w} % {_HE_DIM} AS b,
+         CASE WHEN {h32s} % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM w
+),
+v AS (SELECT doc_id, [{sums}] AS vec FROM h GROUP BY doc_id)
+SELECT d.doc_id, coalesce(v.vec, [{zeros}]) AS vec
+FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id
+"""
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib ratio per doc — no SQL oracle (DuckDB has no zlib);
     driver records the rows-only check, pytest pins hand cases."""
@@ -1323,6 +1355,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "script_stats": q_script_stats,
         "compression_ratio": q_compression_ratio,
+        "hashed_embedding": q_hashed_embedding,
         "detokenize": q_detokenize,
         "repeat_ngram_mask": q_repeat_ngram_mask,
     }
@@ -1421,6 +1454,7 @@ def corpus_oracles() -> dict[str, str]:
         "split_leakage_safe": _SPLIT_LEAKAGE_SAFE_SQL,
         "ppl_buckets": _PPL_BUCKETS_SQL,
         "script_stats": _SCRIPT_STATS_SQL,
+        "hashed_embedding": _hashed_embedding_sql(),
         "repeat_ngram_mask": _REPEAT_NGRAM_MASK_SQL.format(
             tokenize=_TOKENIZE_SQL, n=3
         ),

@@ -772,6 +772,63 @@ def lm_score_grouped(df: DataFrame, by: str, text_col: str = "text",
     return out.withColumnRenamed("_g", by)
 
 
+def hashed_embedding(df: DataFrame, dim: int = 16, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     normalize: bool = False) -> DataFrame:
+    """Feature-hashing document embedding (hashing-trick bag of words
+    with ±1 signs, Weinberger 2009) — the deterministic, engine-exact
+    stand-in for a model embedding that bridges the TEXT tables to
+    every vector operator (cosine top-k, IVF/PQ ANN, SemDeDup) without
+    a precomputed embeddings table: bucket ``h32(w) mod dim``, sign
+    from an independent seeded hash bit, vector = signed count per
+    bucket (integer-exact on any engine).
+
+    Plan: word explode (∝ token volume) → ONE hash aggregate per doc
+    with ``dim`` conditional sums (map-side combine collapses each
+    partition to one partial vector per doc) — never ``dim`` separate
+    per-row folds (which would re-evaluate the md5 per dimension).
+    ``normalize=True`` appends the L2-normalized double vector
+    (``vec_norm``) ready for the cosine operators; all-zero vectors
+    normalize to NULL rather than dividing by zero.
+
+    Returns ``(doc_id, vec[, vec_norm])`` — one row per input doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("w"),
+    )
+    bucket = F.pmod(h32(F.col("w")), F.lit(dim))
+    sign = F.when(
+        F.pmod(h32(F.col("w"), seed="sign"), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    agg = toks.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(bucket == d, sign).otherwise(0)).cast("long")
+                for d in range(dim)
+            ]
+        ).alias("vec")
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(dim)])
+    out = ids.join(agg, "doc_id", "left").select(
+        "doc_id", F.coalesce("vec", zero).alias("vec")
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                "vec", F.lit(0.0), lambda a, x: a + (x * x).cast("double")
+            )
+        )
+        out = out.withColumn(
+            "vec_norm",
+            F.when(
+                nrm > 0,
+                F.transform("vec", lambda x: x.cast("double") / nrm),
+            ),
+        )
+    return out
+
+
 def compression_ratio(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", level: int = 6) -> DataFrame:
     """zlib compression ratio per document — the cheap degenerate-text

@@ -174,6 +174,8 @@ AUDITED = {
     # merge learning is eager at plan build (bpe_apply discipline);
     # the audited plan is one Arrow pass + a doc_id equi-join + #langs agg
     "bpe_compression": dict(),
+    # word explode + ONE doc-keyed hash agg (partial dim-vectors)
+    "hashed_embedding": dict(),
 }
 
 

@@ -1874,6 +1874,40 @@ def test_lm_score_grouped_ngram_and_short_docs(spark):
     assert got[0] == got[2] and got[0][0] == 3 and got[0][1] > 0
 
 
+def test_hashed_embedding_exact_and_composes_with_cosine(spark):
+    """Hand-checkable properties: identical docs get identical vectors,
+    per-doc bucket counts sum to ±word count parity, empty-vocab docs
+    keep a zero row, and the normalized form feeds cosine_topk — the
+    text→vector bridge end to end."""
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d"), (2, "x y z w"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           textstats.hashed_embedding(df, dim=8, normalize=True).collect()}
+    assert len(out) == 4
+    assert out[0]["vec"] == out[1]["vec"]
+    # total signed mass = sum of ±1 per word -> |sum| <= n_words, and
+    # sum of |counts| parity equals word-count parity
+    assert sum(abs(v) for v in out[0]["vec"]) <= 4
+    assert out[0]["vec"] != out[2]["vec"]
+    for r in out.values():
+        if any(v != 0 for v in r["vec"]):
+            n = sum(x * x for x in r["vec_norm"])
+            assert abs(n - 1.0) < 1e-9
+    # compose into the exact cosine operator: the twin docs are each
+    # other's top-1 neighbor with cos == 1
+    from beats_spark.corpus.similarity import cosine_topk
+
+    vecs = textstats.hashed_embedding(df, dim=8, normalize=True).filter(
+        F.col("vec_norm").isNotNull()
+    ).select(F.col("doc_id").alias("vec_id"),
+             F.col("vec_norm").alias("embedding"))
+    top = {r["vec_id"]: (r["nid"], round(r["cos"], 9))
+           for r in cosine_topk(vecs, k=1, mode="crossjoin").collect()}
+    assert top[0] == (1, 1.0) and top[1] == (0, 1.0)
+
+
 def test_compression_ratio_separates_loops_from_prose(spark):
     """A degenerate loop compresses far below varied prose; empty text
     keeps its row with NULL ratio; byte accounting is exact."""
