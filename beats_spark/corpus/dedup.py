@@ -527,3 +527,98 @@ def incremental_neardup(
             "near_of",
         )
     )
+
+
+def dup_profile(df: DataFrame, key_cols: Sequence[str] = ("text",),
+                id_col: str = "doc_id") -> DataFrame:
+    """Duplication profile datacard: the cluster-SIZE histogram of
+    exact duplicates — for each multiplicity ``n_copies``, how many
+    distinct texts occur exactly that often, how many document rows
+    they account for, and how many of those rows are excess (would be
+    removed by keep-one dedup). The curve is the standard corpus-audit
+    view of duplicate load (Lee et al. 2021, arXiv:2107.06499 §4
+    reports exactly this shape for C4/RealNews) and sizes the payoff
+    of a dedup pass before running it.
+
+    Scale: two partial+final hash aggregations back to back —
+    groupBy(key) → count, then groupBy(count) → stats. The second
+    input is one row per DISTINCT text and the output is one row per
+    distinct multiplicity (tens of rows at any corpus size); nothing
+    is collected, nothing is wide."""
+    sizes = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        sizes.groupBy("n_copies")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "n_copies",
+            "n_clusters",
+            (F.col("n_copies") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("n_copies") - F.lit(1)) * F.col("n_clusters")).alias(
+                "n_excess"
+            ),
+        )
+    )
+
+
+def source_overlap(df: DataFrame, source_col: str = "source",
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cross-source duplicate overlap matrix: for every unordered pair
+    of sources, the number of distinct text fingerprints present in
+    BOTH, each side's distinct-fingerprint count, and the Jaccard
+    overlap of the two fingerprint sets (integer ppm). This is the
+    mixture-design audit — two feeds that are largely the same corpus
+    (a recrawl, a mirror, a re-release) show up as a high-Jaccard
+    pair, and their mixture weights double-count unless one is
+    deduped against the other.
+
+    Scale: distinct (source, fp) pairs — one hash aggregate whose
+    output is bounded by the corpus's distinct-text count — then a
+    self-equi-join ON THE FINGERPRINT (shuffle join keyed by fp; a
+    fingerprint appearing in k sources expands to k·(k-1)/2 pair rows,
+    so the join output is bounded by duplicate volume, never
+    all-pairs), then a final tiny aggregate with one row per source
+    pair. Per-source totals ride along via two broadcast joins of a
+    #sources-row aggregate. Jaccard is emitted as integer ppm over
+    exact long counts (< 2^53), so the double division is correctly
+    rounded and the value reproduces bit-identically on any engine."""
+    fp = df.select(
+        F.col(source_col).alias("source"), F.md5(text_col).alias("fp")
+    ).distinct()
+    per_source = fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("n_a")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("n_b")
+    )
+    out = (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_shared").cast("double") * 1_000_000.0
+            / union.cast("double")
+        ).cast("long").alias("jaccard_ppm"),
+    )

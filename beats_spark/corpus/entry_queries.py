@@ -40,6 +40,79 @@ FROM documents GROUP BY text
 """
 
 
+def _docs_with_mirror(spark, sf_dir):
+    """documents plus a deterministic 'mirror recrawl': every doc whose
+    md5(doc_id) starts with 0-5 (~3/8 of rows) reappears under
+    source '<source>_mirror' with a fresh doc_id — the synthetic-dup
+    fixture for the duplication-audit datacards (the base table has no
+    exact duplicates at any SF)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source"
+    )
+    mirror = docs.filter(
+        F.substring(F.md5("doc_id"), 1, 1).isin(*"012345")
+    ).select(
+        F.concat(F.col("doc_id"), F.lit("_m")).alias("doc_id"),
+        "text",
+        F.concat(F.col("source"), F.lit("_mirror")).alias("source"),
+    )
+    return docs.unionByName(mirror)
+
+
+_MIRROR_SQL = """
+mirrored AS (
+  SELECT doc_id::VARCHAR AS doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id::VARCHAR || '_m' AS doc_id, text,
+         source || '_mirror' AS source
+  FROM documents
+  WHERE substr(md5(doc_id::VARCHAR), 1, 1)
+        IN ('0','1','2','3','4','5')
+)
+"""
+
+
+def q_dup_profile(spark, sf_dir):
+    return dedup.dup_profile(
+        _docs_with_mirror(spark, sf_dir), ["text"], "doc_id"
+    )
+
+
+_DUP_PROFILE_SQL = f"""
+WITH {_MIRROR_SQL},
+sizes AS (SELECT count(*) AS n_copies FROM mirrored GROUP BY text)
+SELECT n_copies, count(*) AS n_clusters,
+       n_copies * count(*) AS n_docs,
+       (n_copies - 1) * count(*) AS n_excess
+FROM sizes GROUP BY n_copies
+"""
+
+
+def q_source_overlap(spark, sf_dir):
+    return dedup.source_overlap(_docs_with_mirror(spark, sf_dir))
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH {_MIRROR_SQL},
+fp AS (SELECT DISTINCT source, md5(text) AS fp FROM mirrored),
+per AS (SELECT source, count(*) AS n_distinct FROM fp GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       pa.n_distinct AS n_a, pb.n_distinct AS n_b,
+       CAST(round(s.n_shared * 1000000.0
+                  / (pa.n_distinct + pb.n_distinct - s.n_shared)) AS BIGINT)
+         AS jaccard_ppm
+FROM shared s
+JOIN per pa ON pa.source = s.source_a
+JOIN per pb ON pb.source = s.source_b
+"""
+
+
 # -- text stats --------------------------------------------------------------
 
 
@@ -1264,6 +1337,8 @@ FROM m, (SELECT unnest(range(0, 8)) AS pos)
 def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
+        "dup_profile": q_dup_profile,
+        "source_overlap": q_source_overlap,
         "text_stats": q_text_stats,
         "quality_filters": q_quality_filters,
         "lm_score": q_lm_score,
@@ -1364,6 +1439,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def corpus_oracles() -> dict[str, str]:
     return {
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "dup_profile": _DUP_PROFILE_SQL,
+        "source_overlap": _SOURCE_OVERLAP_SQL,
         "text_stats": _text_stats_sql(),
         "quality_filters": _quality_filters_sql(),
         "lm_score": _LM_SCORE_SQL,

@@ -101,6 +101,8 @@ HEADLINE = [
     "repeat_ngram_mask",
     "script_stats",
     "compression_ratio",
+    "dup_profile",
+    "source_overlap",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

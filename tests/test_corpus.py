@@ -2728,3 +2728,36 @@ def test_split_assign_by_col_groups_stay_together(spark):
              for r in split_assign(df).collect()}
     grouped = {r["doc_id"]: r["split"] for r in out}
     assert plain != grouped
+
+
+# -- duplication-audit datacards ----------------------------------------------
+
+
+def test_dup_profile_histogram(spark):
+    df = _docs(spark, ["a", "a", "a", "b", "b", "c", "d"])
+    got = rows(
+        dedup.dup_profile(df, ["text"], "doc_id"),
+        "n_copies", "n_clusters", "n_docs", "n_excess",
+    )
+    # one text x3, one x2, two x1
+    assert got == [(1, 2, 2, 0), (2, 1, 2, 1), (3, 1, 3, 2)]
+    # invariant: n_docs sums to the input row count
+    assert sum(r[2] for r in got) == df.count()
+
+
+def test_source_overlap_jaccard(spark):
+    data = [
+        # src A: texts t1 t2 t3; src B: t2 t3 t4; src C: t9 (disjoint)
+        (0, "t1", "A"), (1, "t2", "A"), (2, "t3", "A"),
+        (3, "t2", "B"), (4, "t3", "B"), (5, "t4", "B"),
+        (6, "t9", "C"),
+        # duplicate row inside A: distinct-fp semantics must ignore it
+        (7, "t1", "A"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = rows(
+        dedup.source_overlap(df),
+        "source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard_ppm",
+    )
+    # only the A-B pair overlaps; C never appears (no shared fp)
+    assert got == [("A", "B", 2, 3, 3, 500000)]
