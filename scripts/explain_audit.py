@@ -176,6 +176,11 @@ AUDITED = {
     "bpe_compression": dict(),
     # word explode + ONE doc-keyed hash agg (partial dim-vectors)
     "hashed_embedding": dict(),
+    # two chained hash aggs: groupBy(text)->count then groupBy(count)
+    "dup_profile": dict(),
+    # distinct (source,fp) + fp-keyed self-equi-join; per-source
+    # totals broadcast back in
+    "source_overlap": dict(broadcast=True),
 }
 
 
