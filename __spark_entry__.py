@@ -1225,7 +1225,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # quality_sample, split_leakage_safe, ppl_buckets, detokenize,
     # repeat_ngram_mask, script_stats, bpe_compression,
     # compression_ratio (rows-only: no zlib in DuckDB),
-    # hashed_embedding, dup_profile, source_overlap,
+    # hashed_embedding, dup_profile, source_overlap, soft_dedup,
+    # neardup_profile, split_leakage_report,
     # plus the four rotated-out r2 queries above.
 ]
 

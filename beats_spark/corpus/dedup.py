@@ -622,3 +622,103 @@ def source_overlap(df: DataFrame, source_col: str = "source",
             / union.cast("double")
         ).cast("long").alias("jaccard_ppm"),
     )
+
+
+def soft_dedup_weights(df: DataFrame, key_cols: Sequence[str] = ("text",),
+                       id_col: str = "doc_id",
+                       sharpness: float = 1.0) -> DataFrame:
+    """SoftDeDup-style duplicate reweighting (arXiv:2407.06654): keep
+    every document but scale its training/sampling weight down by its
+    exact-duplicate multiplicity — ``weight = n_copies ** -sharpness``
+    (ppm-quantized). At ``sharpness=1`` a duplicate group's weights sum
+    to ~1e6, so each distinct text contributes one unit of effective
+    training mass no matter how many times it was crawled; the hard
+    keep-one dedup is the ``sharpness → ∞`` limit. The soft form keeps
+    the corpus's coverage (no document vanishes) while removing the
+    gradient over-counting hard dedup targets.
+
+    Scale: rows are fingerprinted once (md5, narrow), counted with one
+    partial+final hash aggregate, and the counts join back on the
+    32-char fingerprint — the shuffle never carries document text
+    twice. Output is one row per input document.
+
+    ``sharpness=1`` computes ``round(1e6 / n)`` as a SINGLE double
+    division so the value reproduces bit-identically cross-engine;
+    other sharpness values go through ``pow`` (two roundings — exact in
+    practice but not certified at rounding boundaries)."""
+    key = key_cols[0] if len(key_cols) == 1 else F.concat_ws(
+        "\x1f", *key_cols
+    )
+    fp = df.select(F.col(id_col), F.md5(key).alias("fp"))
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    if sharpness == 1.0:
+        w = F.round(F.lit(1_000_000.0) / F.col("n_copies"))
+    else:
+        w = F.round(
+            F.pow(F.col("n_copies").cast("double"),
+                  F.lit(-float(sharpness))) * 1_000_000.0
+        )
+    return fp.join(counts, "fp").select(
+        id_col, "n_copies", w.cast("long").alias("weight_ppm")
+    )
+
+
+def neardup_profile(clusters: DataFrame, canon_col: str = "canonical_id"
+                    ) -> DataFrame:
+    """Near-duplicate load curve: the cluster-size histogram over
+    resolved near-dup clusters (the :func:`neardup_resolve` output) —
+    the fuzzy-dedup analog of :func:`dup_profile`'s exact-duplicate
+    curve (Lee et al. 2021 §4). For each cluster size ``n_members``:
+    how many clusters, how many documents they hold, and how many are
+    excess under keep-one survivorship. Feed it the resolve over ALL
+    docs (pass ``docs=`` to neardup_resolve) so singletons appear as
+    the ``n_members=1`` row and ``n_docs`` sums to the corpus size.
+
+    Scale: two chained partial+final hash aggregates over the
+    (doc, canonical) table — same zero-wide-operator shape as
+    dup_profile; output is one row per distinct cluster size."""
+    sizes = clusters.groupBy(canon_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        sizes.groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "n_members",
+            "n_clusters",
+            (F.col("n_members") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("n_members") - F.lit(1)) * F.col("n_clusters")).alias(
+                "n_excess"
+            ),
+        )
+    )
+
+
+def split_leakage_report(split_docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         split_col: str = "split") -> DataFrame:
+    """Cross-split leakage audit: which near-dup pairs STRADDLE a
+    train/val/test boundary. A plain per-id split leaks — a test doc's
+    near-copy lands in train with probability ~= train fraction — and
+    this report makes that measurable before training: run it over the
+    split assignment and the LSH candidate pairs; every returned row is
+    a document whose evaluation-split twin is trainable. The
+    leakage-safe split (``split_assign(by_col='canonical_id')``, driver
+    query ``split_leakage_safe``) must produce ZERO rows here — that
+    invariant is pinned in tests.
+
+    Scale: the pair list (bounded by LSH candidate volume, never
+    all-pairs) equi-joins twice against the narrow (id, split)
+    projection — both shuffles keyed on uniformly-hashed doc ids;
+    output ∝ leaking pairs only."""
+    s = split_docs.select(F.col(id_col), F.col(split_col))
+    sa = s.select(F.col(id_col).alias("doc_a"),
+                  F.col(split_col).alias("split_a"))
+    sb = s.select(F.col(id_col).alias("doc_b"),
+                  F.col(split_col).alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )

@@ -113,6 +113,25 @@ JOIN per pb ON pb.source = s.source_b
 """
 
 
+def q_soft_dedup(spark, sf_dir):
+    """SoftDeDup duplicate reweighting over the mirror-recrawl fixture:
+    every doc kept, weight_ppm = round(1e6 / n_copies) — a duplicate
+    group's weights sum to one unit of training mass."""
+    return dedup.soft_dedup_weights(
+        _docs_with_mirror(spark, sf_dir), ["text"], "doc_id"
+    )
+
+
+_SOFT_DEDUP_SQL = f"""
+WITH {_MIRROR_SQL},
+c AS (SELECT md5(text) AS fp, count(*) AS n_copies
+      FROM mirrored GROUP BY md5(text))
+SELECT m.doc_id, c.n_copies,
+       CAST(round(1000000.0 / c.n_copies) AS BIGINT) AS weight_ppm
+FROM mirrored m JOIN c ON md5(m.text) = c.fp
+"""
+
+
 # -- text stats --------------------------------------------------------------
 
 
@@ -1244,6 +1263,73 @@ FROM documents d LEFT JOIN labs l ON l.id = d.doc_id
 """
 
 
+def q_neardup_profile(spark, sf_dir):
+    """Near-dup load curve: cluster-size histogram over the resolved
+    clusters (fuzzy analog of dup_profile's exact-duplicate curve).
+    Resolve runs over ALL docs, so singletons appear as n_members=1
+    and n_docs sums to the corpus size. Eager CC loop at plan build,
+    same as neardup_clusters."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs).select("doc_a", "doc_b")
+    return dedup.neardup_profile(dedup.neardup_resolve(pairs, docs))
+
+
+_NEARDUP_PROFILE_SQL = f"""
+WITH RECURSIVE {_SHINGLE_SQL}, {_MINH_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labs AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+cl AS (
+  SELECT d.doc_id, coalesce(l.lab, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN labs l ON l.id = d.doc_id
+),
+sizes AS (SELECT count(*) AS n_members FROM cl GROUP BY canonical_id)
+SELECT n_members, count(*) AS n_clusters,
+       n_members * count(*) AS n_docs,
+       (n_members - 1) * count(*) AS n_excess
+FROM sizes GROUP BY n_members
+"""
+
+
+def q_split_leakage_report(spark, sf_dir):
+    """Leakage audit of the PLAIN per-id split (the leaky baseline):
+    near-dup pairs straddling a split boundary. 50/25/25 split so
+    crossings are visible at small SF; split_leakage_safe's
+    cluster-grouped assignment yields zero rows here (pinned in
+    pytest)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs).select("doc_a", "doc_b")
+    sp = toks.split_assign(docs, train_pct=50, val_pct=25)
+    return dedup.split_leakage_report(sp, pairs)
+
+
+_SPLIT_LEAKAGE_REPORT_SQL = f"""
+WITH {_SHINGLE_SQL}, {_MINH_SQL},
+sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 50 THEN 'train' WHEN b < 75 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ({H32_SQL.format(expr="'split:' || doc_id::VARCHAR")} % 100)
+                 AS b
+        FROM documents)
+)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.doc_a
+JOIN sp sb ON sb.doc_id = p.doc_b
+WHERE sa.split <> sb.split
+"""
+
+
 def q_neardup_survivors(spark, sf_dir):
     """Survivor set after near-dup resolution: each cluster's canonical
     document + all singletons (what a dedup pass feeds downstream)."""
@@ -1339,6 +1425,9 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dup_profile": q_dup_profile,
         "source_overlap": q_source_overlap,
+        "soft_dedup": q_soft_dedup,
+        "neardup_profile": q_neardup_profile,
+        "split_leakage_report": q_split_leakage_report,
         "text_stats": q_text_stats,
         "quality_filters": q_quality_filters,
         "lm_score": q_lm_score,
@@ -1441,6 +1530,9 @@ def corpus_oracles() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dup_profile": _DUP_PROFILE_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
+        "soft_dedup": _SOFT_DEDUP_SQL,
+        "neardup_profile": _NEARDUP_PROFILE_SQL,
+        "split_leakage_report": _SPLIT_LEAKAGE_REPORT_SQL,
         "text_stats": _text_stats_sql(),
         "quality_filters": _quality_filters_sql(),
         "lm_score": _LM_SCORE_SQL,

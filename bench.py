@@ -103,6 +103,9 @@ HEADLINE = [
     "compression_ratio",
     "dup_profile",
     "source_overlap",
+    "soft_dedup",
+    "neardup_profile",
+    "split_leakage_report",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

@@ -181,6 +181,14 @@ AUDITED = {
     # distinct (source,fp) + fp-keyed self-equi-join; per-source
     # totals broadcast back in
     "source_overlap": dict(broadcast=True),
+    # fp hash agg + counts joined back on the 32-char fp
+    "soft_dedup": dict(),
+    # eager CC at plan build (like neardup_clusters), then two
+    # chained hash aggs over (doc, canonical)
+    "neardup_profile": dict(),
+    # LSH pair list equi-joined twice against the (id, split)
+    # projection; output ∝ leaking pairs
+    "split_leakage_report": dict(),
 }
 
 

@@ -2761,3 +2761,81 @@ def test_source_overlap_jaccard(spark):
     )
     # only the A-B pair overlaps; C never appears (no shared fp)
     assert got == [("A", "B", 2, 3, 3, 500000)]
+
+
+def test_soft_dedup_weights_sum_to_unit_mass(spark):
+    df = _docs(spark, ["a", "a", "a", "b", "b", "c"])
+    out = rows(
+        dedup.soft_dedup_weights(df, ["text"], "doc_id"),
+        "doc_id", "n_copies", "weight_ppm",
+    )
+    # every input doc keeps a row
+    assert len(out) == 6
+    by_id = {r[0]: r for r in out}
+    # triple 'a' -> 333333 each; pair 'b' -> 500000; unique 'c' -> 1e6
+    assert by_id[0][1:] == (3, 333333)
+    assert by_id[3][1:] == (2, 500000)
+    assert by_id[5][1:] == (1, 1000000)
+
+
+def test_soft_dedup_weights_sharpness(spark):
+    df = _docs(spark, ["a", "a", "b"])
+    out = {r[0]: r[1] for r in rows(
+        dedup.soft_dedup_weights(df, ["text"], "doc_id", sharpness=2.0),
+        "doc_id", "weight_ppm",
+    )}
+    # n=2, t=2 -> 1e6 / 4; singleton unchanged
+    assert out[0] == 250000
+    assert out[2] == 1000000
+
+
+def test_neardup_profile_histogram(spark):
+    cl = spark.createDataFrame(
+        # one 3-cluster, one 2-cluster, two singletons
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5), (6, 6)],
+        "doc_id long, canonical_id long",
+    )
+    got = rows(
+        dedup.neardup_profile(cl),
+        "n_members", "n_clusters", "n_docs", "n_excess",
+    )
+    assert got == [(1, 2, 2, 0), (2, 1, 2, 1), (3, 1, 3, 2)]
+    assert sum(r[2] for r in got) == cl.count()
+
+
+def test_split_leakage_report_filters_cross_split_pairs(spark):
+    sp = spark.createDataFrame(
+        [(0, "train"), (1, "train"), (2, "test"), (3, "val")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = rows(
+        dedup.split_leakage_report(sp, pairs),
+        "doc_a", "doc_b", "split_a", "split_b",
+    )
+    # (0,1) same split -> dropped; the two straddlers survive
+    assert got == [(0, 2, "train", "test"), (2, 3, "test", "val")]
+
+
+def test_split_leakage_safe_split_has_zero_leakage(spark):
+    from beats_spark.corpus import tokens as toks
+
+    # identical texts share every LSH band -> guaranteed pair
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [base, base, base + " extra tail", "unrelated " * 6])
+    pairs = dedup.minhash_neardup_pairs(df).select("doc_a", "doc_b")
+    assert pairs.count() > 0
+    cl = dedup.neardup_resolve(pairs, df)
+    safe = toks.split_assign(cl, by_col="canonical_id")
+    assert dedup.split_leakage_report(safe, pairs).count() == 0
+    # self-consistency of the PLAIN split's report: rows == pairs whose
+    # endpoints landed in different splits per the engine's own labels
+    plain = toks.split_assign(df, train_pct=50, val_pct=25)
+    labels = {r["doc_id"]: r["split"] for r in plain.collect()}
+    expect = sum(
+        1 for r in pairs.collect()
+        if labels[r["doc_a"]] != labels[r["doc_b"]]
+    )
+    assert dedup.split_leakage_report(plain, pairs).count() == expect
