@@ -1226,7 +1226,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # repeat_ngram_mask, script_stats, bpe_compression,
     # compression_ratio (rows-only: no zlib in DuckDB),
     # hashed_embedding, dup_profile, source_overlap, soft_dedup,
-    # neardup_profile, split_leakage_report,
+    # neardup_profile, split_leakage_report, padding_stats,
+    # length_resample,
     # plus the four rotated-out r2 queries above.
 ]
 

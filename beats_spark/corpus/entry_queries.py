@@ -1471,6 +1471,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corrupt": q_span_corrupt,
         "curriculum_order": q_curriculum_order,
         "length_buckets": q_length_buckets,
+        "padding_stats": q_padding_stats,
+        "length_resample": q_length_resample,
         "pack_seq_boundaries": q_pack_seq_boundaries,
         "epoch_schedule": q_epoch_schedule,
         "corpus_report": q_corpus_report,
@@ -1576,6 +1578,8 @@ def corpus_oracles() -> dict[str, str]:
         "span_corrupt": _SPANC_SQL,
         "curriculum_order": _CURRICULUM_SQL,
         "length_buckets": _LENGTH_BUCKETS_SQL,
+        "padding_stats": _PADDING_STATS_SQL,
+        "length_resample": _LENGTH_RESAMPLE_SQL,
         "pack_seq_boundaries": _PACK_SEQ_BOUND_SQL,
         "epoch_schedule": _EPOCH_SCHEDULE_SQL,
         "corpus_report": _corpus_report_sql(),
@@ -3114,6 +3118,76 @@ b AS (
 SELECT doc_id, n_tok, bucket, shard, pos,
        floor(pos / 32.0)::BIGINT AS batch_id
 FROM p
+"""
+
+
+def q_padding_stats(spark, sf_dir):
+    """Padding-waste datacard over the length-bucketed batch layout:
+    per bucket, real tokens vs pad-to-longest slots and waste_ppm —
+    the number that justifies length-bucketed batching."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    lay = toks.length_buckets(t, batch_size=32, n_shards=4)
+    return toks.padding_stats(lay)
+
+
+_PADDING_STATS_SQL = f"""
+WITH {_TOKENIZE_SQL},
+b AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         (CASE WHEN len(toks) <= 1 THEN 0
+               ELSE length(bin(len(toks) - 1)) END)::INT AS bucket,
+         ({H32_SQL.format(expr="'lenbatch:sh:' || doc_id::VARCHAR")} % 4)::INT
+           AS shard,
+         {H32_SQL.format(expr="'lenbatch:' || doc_id::VARCHAR")} AS sk
+  FROM tk
+), p AS (
+  SELECT n_tok, bucket, shard,
+         (row_number() OVER (PARTITION BY bucket, shard
+                             ORDER BY sk, doc_id) - 1) AS pos
+  FROM b
+), pb AS (
+  SELECT bucket, shard, floor(pos / 32.0)::BIGINT AS batch_id,
+         count(*) AS n_rows, max(n_tok) AS max_tok,
+         sum(n_tok) AS real_tok
+  FROM p GROUP BY 1, 2, 3
+), pk AS (
+  SELECT bucket, count(*) AS n_batches,
+         sum(real_tok)::BIGINT AS real_tokens,
+         sum(n_rows * max_tok)::BIGINT AS padded_slots
+  FROM pb GROUP BY bucket
+)
+SELECT bucket, n_batches, real_tokens, padded_slots,
+       CAST(round((padded_slots - real_tokens) * 1000000.0
+                  / padded_slots) AS BIGINT) AS waste_ppm
+FROM pk
+"""
+
+
+def q_length_resample(spark, sf_dir):
+    """Long-context resampling weights: equal-mass-per-length-bucket
+    doc weights (uniform target over occupied power-of-2 buckets)."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    return toks.length_resample_weights(t)
+
+
+_LENGTH_RESAMPLE_SQL = f"""
+WITH {_TOKENIZE_SQL},
+d AS (
+  SELECT doc_id,
+         (CASE WHEN len(toks) <= 1 THEN 0
+               ELSE length(bin(len(toks) - 1)) END)::INT AS bucket
+  FROM tk
+),
+c AS (SELECT bucket, count(*) AS n_docs FROM d GROUP BY bucket),
+t AS (SELECT sum(n_docs) AS total_docs, count(*) AS k_buckets FROM c),
+w AS (
+  SELECT bucket, n_docs,
+         CAST(round(total_docs * 1000000.0 / (k_buckets * n_docs))
+              AS BIGINT) AS weight_ppm
+  FROM c, t
+)
+SELECT d.doc_id, d.bucket, w.n_docs, w.weight_ppm
+FROM d JOIN w USING (bucket)
 """
 
 

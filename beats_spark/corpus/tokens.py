@@ -1235,9 +1235,7 @@ def length_buckets(df: DataFrame, tokens_col: str = "tokens",
     ``(id, n_tok, bucket, shard, pos, batch_id)``."""
     n = F.size(F.col(tokens_col))
     ids = F.col(id_col).cast("string")
-    bucket = F.when(n <= 1, F.lit(0)).otherwise(
-        F.length(F.bin(n - 1))
-    ).cast("int")
+    bucket = len_bucket(n)
     shard = F.pmod(h32(ids, seed=f"{salt}:sh"), F.lit(n_shards)).cast("int")
     out = df.select(
         F.col(id_col), n.alias("n_tok"), bucket.alias("bucket"),
@@ -1447,4 +1445,94 @@ def packing_efficiency(packed: DataFrame, max_len: int,
             F.col("tokens_total").cast("double") * F.lit(1000000.0)
             / (F.col("n_bins") * ml).cast("double")
         ).cast("long").alias("fill_ppm"),
+    )
+
+
+def padding_stats(batched: DataFrame, tok_col: str = "n_tok") -> DataFrame:
+    """Padding-waste datacard over a batch layout (the
+    :func:`length_buckets` output shape — rows carry ``bucket``,
+    ``shard``, ``batch_id``, ``n_tok``): every batch pads to its
+    longest member, so its cost is ``n_rows * max(n_tok)`` slots of
+    which ``sum(n_tok)`` are real tokens. Per length bucket:
+    batch count, real tokens, padded slots, and waste_ppm — the number
+    that justifies length-bucketed batching (random batching wastes
+    30-60% of step compute on pad tokens; within-2×-bucket batching
+    bounds it). Partial final batches are counted at their actual
+    size, not padded up to batch_size.
+
+    Scale: one hash aggregate per (bucket, shard, batch) — the same
+    keys the layout already shuffled on, so the exchange is reused —
+    then a log-many-row rollup per bucket. waste_ppm divides exact
+    long counts once, so it reproduces bit-identically cross-engine."""
+    per_batch = batched.groupBy("bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(tok_col).alias("max_tok"),
+        F.sum(tok_col).alias("real_tok"),
+    )
+    per_bucket = per_batch.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("real_tok").cast("long").alias("real_tokens"),
+        F.sum(F.col("n_rows") * F.col("max_tok")).cast("long").alias(
+            "padded_slots"
+        ),
+    )
+    waste = (
+        (F.col("padded_slots") - F.col("real_tokens")).cast("double")
+        * F.lit(1_000_000.0) / F.col("padded_slots").cast("double")
+    )
+    return per_bucket.select(
+        "bucket", "n_batches", "real_tokens", "padded_slots",
+        F.round(waste).cast("long").alias("waste_ppm"),
+    )
+
+
+def len_bucket(n: Column) -> Column:
+    """Power-of-2 length bucket: bit length of ``n - 1`` (integer-exact
+    ceil(log2), no libm) — the bucket rule shared by
+    :func:`length_buckets` and :func:`length_resample_weights`."""
+    return F.when(n <= 1, F.lit(0)).otherwise(
+        F.length(F.bin(n - 1))
+    ).cast("int")
+
+
+def length_resample_weights(df: DataFrame, tokens_col: str = "tokens",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Long-context resampling weights: per-doc sampling weight that
+    reshapes the corpus's length distribution to UNIFORM mass across
+    its power-of-2 length buckets — the standard context-extension
+    recipe (long documents are rare, so a long-context training phase
+    upsamples them; e.g. 'Data Engineering for Scaling Language Models
+    to 128K Context', arXiv:2402.10171, upsamples long sequences
+    rather than changing the mix). ``weight_ppm = round(1e6 *
+    (1/K) / bucket_share)`` where K is the number of occupied buckets
+    and bucket_share is the bucket's fraction of documents — weights
+    within a bucket are equal, every bucket's total mass equalizes at
+    ``total_docs / K`` doc-equivalents, and the corpus's total mass is
+    preserved (~1e6 × total_docs ppm).
+
+    Scale: one log-many-row hash aggregate (docs per bucket), a 1-row
+    total crossed back LINEARLY onto those K rows (broadcast
+    nested-loop on K×1 — the temperature_mix discipline, whitelisted
+    in the plan audit), then one broadcast equi-join of the K-row
+    weight table back onto the corpus. The big side is never
+    reshuffled."""
+    n = F.size(F.col(tokens_col))
+    docs = df.select(F.col(id_col), len_bucket(n).alias("bucket"))
+    counts = docs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.count(F.lit(1)).alias("k_buckets"),
+    )
+    weights = counts.crossJoin(totals).select(
+        "bucket",
+        "n_docs",
+        F.round(
+            F.col("total_docs").cast("double") * F.lit(1_000_000.0)
+            / (F.col("k_buckets") * F.col("n_docs")).cast("double")
+        ).cast("long").alias("weight_ppm"),
+    )
+    return docs.join(F.broadcast(weights), "bucket").select(
+        id_col, "bucket", "n_docs", "weight_ppm"
     )

@@ -106,6 +106,8 @@ HEADLINE = [
     "soft_dedup",
     "neardup_profile",
     "split_leakage_report",
+    "padding_stats",
+    "length_resample",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

@@ -189,6 +189,12 @@ AUDITED = {
     # LSH pair list equi-joined twice against the (id, split)
     # projection; output ∝ leaking pairs
     "split_leakage_report": dict(),
+    # (bucket,shard,batch) hash agg reusing the layout's exchange,
+    # then a log-many-row bucket rollup
+    "padding_stats": dict(),
+    # K-row bucket counts × 1-row total (linear BNLJ on tiny side,
+    # temperature_mix discipline), K-row weights broadcast back
+    "length_resample": dict(broadcast=True, allow_cartesian=True),
 }
 
 

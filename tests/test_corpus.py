@@ -2839,3 +2839,50 @@ def test_split_leakage_safe_split_has_zero_leakage(spark):
         if labels[r["doc_a"]] != labels[r["doc_b"]]
     )
     assert dedup.split_leakage_report(plain, pairs).count() == expect
+
+
+def test_padding_stats_hand_math(spark):
+    from beats_spark.corpus import tokens as toks
+
+    lay = spark.createDataFrame(
+        [
+            (3, 0, 0, 5), (3, 0, 0, 7), (3, 0, 0, 6),   # pads to 7
+            (3, 0, 1, 8),                                # partial batch
+            (4, 1, 0, 9), (4, 1, 0, 16),                 # pads to 16
+        ],
+        "bucket int, shard int, batch_id long, n_tok int",
+    )
+    got = rows(
+        toks.padding_stats(lay),
+        "bucket", "n_batches", "real_tokens", "padded_slots", "waste_ppm",
+    )
+    # bucket 3: batches (3x7=21 vs 18) + (1x8=8 vs 8) -> 3/29
+    # bucket 4: 2x16=32 vs 25 -> 7/32
+    assert got == [
+        (3, 2, 26, 29, round((29 - 26) * 1e6 / 29)),
+        (4, 1, 25, 32, round((32 - 25) * 1e6 / 32)),
+    ]
+
+
+def test_length_resample_weights_equalize_bucket_mass(spark):
+    from beats_spark.corpus import tokens as toks
+
+    df = spark.createDataFrame(
+        [(i, list(range(n))) for i, n in enumerate([1, 2, 3, 4, 8])],
+        "doc_id long, tokens array<int>",
+    )
+    out = rows(
+        toks.length_resample_weights(df),
+        "doc_id", "bucket", "n_docs", "weight_ppm",
+    )
+    assert len(out) == 5  # every doc keeps a row
+    by_bucket = {}
+    for _, b, n, w in out:
+        by_bucket.setdefault(b, []).append((n, w))
+    # K=4 buckets (0,1,2,3), total 5 docs: weight = 5e6 / (4 * n_docs)
+    assert sorted(by_bucket) == [0, 1, 2, 3]
+    assert by_bucket[0] == [(1, 1250000)]
+    assert by_bucket[2] == [(2, 625000), (2, 625000)]
+    # per-bucket mass is equal across buckets
+    masses = {b: sum(w for _, w in v) for b, v in by_bucket.items()}
+    assert len(set(masses.values())) == 1
