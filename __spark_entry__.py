@@ -1227,7 +1227,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # compression_ratio (rows-only: no zlib in DuckDB),
     # hashed_embedding, dup_profile, source_overlap, soft_dedup,
     # neardup_profile, split_leakage_report, padding_stats,
-    # length_resample,
+    # length_resample, chat_loss_mask, preference_pairs,
     # plus the four rotated-out r2 queries above.
 ]
 

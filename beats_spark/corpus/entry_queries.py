@@ -1473,6 +1473,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "padding_stats": q_padding_stats,
         "length_resample": q_length_resample,
+        "chat_loss_mask": q_chat_loss_mask,
+        "preference_pairs": q_preference_pairs,
         "pack_seq_boundaries": q_pack_seq_boundaries,
         "epoch_schedule": q_epoch_schedule,
         "corpus_report": q_corpus_report,
@@ -1580,6 +1582,8 @@ def corpus_oracles() -> dict[str, str]:
         "length_buckets": _LENGTH_BUCKETS_SQL,
         "padding_stats": _PADDING_STATS_SQL,
         "length_resample": _LENGTH_RESAMPLE_SQL,
+        "chat_loss_mask": _CHAT_LOSS_MASK_SQL,
+        "preference_pairs": _PREFERENCE_PAIRS_SQL,
         "pack_seq_boundaries": _PACK_SEQ_BOUND_SQL,
         "epoch_schedule": _EPOCH_SCHEDULE_SQL,
         "corpus_report": _corpus_report_sql(),
@@ -3188,6 +3192,96 @@ w AS (
 )
 SELECT d.doc_id, d.bucket, w.n_docs, w.weight_ppm
 FROM d JOIN w USING (bucket)
+"""
+
+
+def q_chat_loss_mask(spark, sf_dir):
+    """SFT conversation flattening: docs chunked into alternating
+    user/assistant turns of 6 tokens (deterministic fixture), then
+    role-sentinel concat + assistant-only loss mask."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    n_chunks = F.greatest(
+        F.ceil(F.col("n_tok") / F.lit(6.0)).cast("int"), F.lit(1)
+    )
+    turns = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.when(i % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.slice(F.col("tokens"), i * 6 + 1, 6).alias("tokens"),
+        ),
+    )
+    conv = t.select(F.col("doc_id").alias("conv_id"), turns.alias("turns"))
+    return toks.chat_loss_mask(conv)
+
+
+_CHAT_LOSS_MASK_SQL = f"""
+WITH {_TOKENIZE_SQL},
+conv AS (
+  SELECT doc_id AS conv_id,
+         list_transform(
+           range(0, greatest(cast(ceil(len(toks) / 6.0) AS INT), 1)),
+           i -> struct_pack(
+             role := CASE WHEN i % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END,
+             tokens := list_slice(toks, i * 6 + 1, i * 6 + 6))
+         ) AS turns
+  FROM tk
+)
+SELECT conv_id,
+       flatten(list_transform(turns,
+         t -> list_prepend(CASE WHEN t.role = 'user' THEN 2
+                                WHEN t.role = 'assistant' THEN 3
+                                ELSE -1 END, t.tokens))) AS tokens,
+       flatten(list_transform(turns,
+         t -> list_prepend(0, list_transform(t.tokens,
+                x -> CASE WHEN t.role = 'assistant' THEN 1
+                          ELSE 0 END)))) AS loss_mask,
+       len(flatten(list_transform(turns, t -> list_prepend(0, t.tokens))))
+         AS n_tok
+FROM conv
+"""
+
+
+def q_preference_pairs(spark, sf_dir):
+    """DPO pair construction over a deterministic scored pool: docs
+    grouped 20 ways by id, response score = token count; chosen =
+    best score (ties: smallest id), rejected = worst; all-tie pools
+    drop."""
+    t = toks.tokenize_ids(_docs(spark, sf_dir))
+    pool = t.select(
+        (F.col("doc_id") % 20).alias("prompt_id"),
+        F.col("doc_id").alias("response_id"),
+        F.col("n_tok").alias("score"),
+    )
+    return toks.preference_pairs(pool)
+
+
+_PREFERENCE_PAIRS_SQL = """
+WITH p AS (
+  SELECT doc_id % 20 AS prompt_id, doc_id AS response_id,
+         len(string_split(text, ' ')) AS score
+  FROM documents
+),
+r AS (
+  SELECT prompt_id, response_id, score,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score DESC, response_id ASC) AS rb,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score ASC, response_id ASC) AS rw,
+         count(*) OVER (PARTITION BY prompt_id) AS n
+  FROM p
+),
+b AS (SELECT prompt_id, response_id AS chosen_id, score AS chosen_score
+      FROM r WHERE rb = 1 AND n >= 2),
+w AS (SELECT prompt_id, response_id AS rejected_id,
+             score AS rejected_score
+      FROM r WHERE rw = 1)
+SELECT b.prompt_id, chosen_id, rejected_id, chosen_score, rejected_score,
+       chosen_score - rejected_score AS margin
+FROM b JOIN w USING (prompt_id)
+WHERE chosen_score - rejected_score > 0
 """
 
 

@@ -1536,3 +1536,99 @@ def length_resample_weights(df: DataFrame, tokens_col: str = "tokens",
     return docs.join(F.broadcast(weights), "bucket").select(
         id_col, "bucket", "n_docs", "weight_ppm"
     )
+
+
+def chat_loss_mask(df: DataFrame, turns_col: str = "turns",
+                   id_col: str = "conv_id",
+                   role_ids: dict[str, int] | None = None,
+                   train_roles: tuple[str, ...] = ("assistant",)
+                   ) -> DataFrame:
+    """SFT conversation flattening with assistant-only loss: turn a
+    role-tagged conversation (``turns: array<struct<role, tokens>>``)
+    into one packed-ready training row — tokens with a role-sentinel
+    id prepended to every turn, and a parallel 0/1 loss mask that is 1
+    exactly on the content tokens of ``train_roles`` (role sentinels
+    are never trained, matching the usual chat-template recipe: the
+    model learns to produce assistant content after the assistant
+    header, not to emit headers). Output (id, tokens, loss_mask,
+    n_tok) feeds straight into :func:`pack_bins_sequences` /
+    :func:`pack_training_meta` like any other sequence.
+
+    Scale: pure array expressions (transform + flatten) — narrow,
+    Exchange-free, whole-stage-codegen; no UDF, no shuffle. A role
+    missing from ``role_ids`` maps to sentinel -1 with mask 0, so a
+    malformed row degrades to untrained rather than failing a
+    10^12-row job; count such rows upstream if the corpus should not
+    contain any."""
+    rids = role_ids or {"system": 1, "user": 2, "assistant": 3}
+
+    def sent(t):
+        expr = F.lit(-1)
+        for role, rid in sorted(rids.items()):
+            expr = F.when(t["role"] == role, F.lit(rid)).otherwise(expr)
+        return expr
+
+    def trained(t):
+        cond = F.lit(False)
+        for role in train_roles:
+            cond = cond | (t["role"] == role)
+        return cond.cast("int")
+
+    turns = F.col(turns_col)
+    tokens = F.flatten(
+        F.transform(turns, lambda t: F.concat(F.array(sent(t)), t["tokens"]))
+    )
+    mask = F.flatten(
+        F.transform(
+            turns,
+            lambda t: F.concat(
+                F.array(F.lit(0)),
+                F.transform(t["tokens"], lambda _: trained(t)),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        tokens.alias("tokens"),
+        mask.alias("loss_mask"),
+        F.size(tokens).alias("n_tok"),
+    )
+
+
+def preference_pairs(df: DataFrame, prompt_col: str = "prompt_id",
+                     id_col: str = "response_id",
+                     score_col: str = "score") -> DataFrame:
+    """DPO/RLHF preference-pair construction: per prompt, pair the
+    best-scoring response (chosen) against the worst (rejected), ties
+    broken by smallest id — the standard reduction of an n-response
+    scored pool to one training pair per prompt. Prompts with a single
+    response produce no pair (nothing to contrast), and all-tied pools
+    are dropped (margin 0 carries no preference signal). Returns
+    (prompt_id, chosen_id, rejected_id, chosen_score, rejected_score,
+    margin).
+
+    Scale: ONE partial+final hash aggregate keyed on the prompt —
+    min/max-by-struct, the same combinable-argmin trick as ExactSubstr
+    keep-first (never a per-prompt window): each partition reduces its
+    slice to one struct per prompt before the shuffle, so a hot prompt
+    with a million responses costs map-side memory O(1)."""
+    best = F.max(F.struct(F.col(score_col), (-F.col(id_col)).alias("nid")))
+    worst = F.min(F.struct(F.col(score_col), F.col(id_col).alias("pid")))
+    agg = df.groupBy(prompt_col).agg(
+        best.alias("b"), worst.alias("w"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        agg.filter(F.col("n") >= 2)
+        .select(
+            prompt_col,
+            (-F.col("b.nid")).alias("chosen_id"),
+            F.col("w.pid").alias("rejected_id"),
+            F.col(f"b.{score_col}").alias("chosen_score"),
+            F.col(f"w.{score_col}").alias("rejected_score"),
+            (F.col(f"b.{score_col}") - F.col(f"w.{score_col}")).alias(
+                "margin"
+            ),
+        )
+        .filter(F.col("margin") > 0)
+    )

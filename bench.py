@@ -108,6 +108,8 @@ HEADLINE = [
     "split_leakage_report",
     "padding_stats",
     "length_resample",
+    "chat_loss_mask",
+    "preference_pairs",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

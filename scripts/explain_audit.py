@@ -195,6 +195,10 @@ AUDITED = {
     # K-row bucket counts × 1-row total (linear BNLJ on tiny side,
     # temperature_mix discipline), K-row weights broadcast back
     "length_resample": dict(broadcast=True, allow_cartesian=True),
+    # pure array transform+flatten — must stay Exchange-free
+    "chat_loss_mask": dict(),
+    # ONE prompt-keyed hash agg (combinable min/max-of-struct)
+    "preference_pairs": dict(),
 }
 
 

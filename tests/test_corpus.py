@@ -2886,3 +2886,38 @@ def test_length_resample_weights_equalize_bucket_mass(spark):
     # per-bucket mass is equal across buckets
     masses = {b: sum(w for _, w in v) for b, v in by_bucket.items()}
     assert len(set(masses.values())) == 1
+
+
+def test_chat_loss_mask_roles_and_sentinels(spark):
+    from beats_spark.corpus import tokens as toks
+
+    conv = spark.createDataFrame(
+        [(7, [("user", [10, 11]), ("assistant", [20]), ("tool", [30])])],
+        "conv_id long, turns array<struct<role:string,tokens:array<int>>>",
+    )
+    got = rows(
+        toks.chat_loss_mask(conv), "conv_id", "tokens", "loss_mask", "n_tok"
+    )
+    # sentinels: user=2, assistant=3, unknown role -> -1; mask is 1
+    # only on assistant CONTENT (never on sentinels)
+    assert got == [(7, [2, 10, 11, 3, 20, -1, 30],
+                    [0, 0, 0, 0, 1, 0, 0], 7)]
+
+
+def test_preference_pairs_tiebreak_and_drops(spark):
+    from beats_spark.corpus import tokens as toks
+
+    pool = spark.createDataFrame(
+        [
+            (1, 10, 5), (1, 11, 9), (1, 12, 9),   # tie on best: min id wins
+            (2, 20, 7),                            # singleton: no pair
+            (3, 30, 4), (3, 31, 4),                # all-tie: margin 0, drop
+        ],
+        "prompt_id long, response_id long, score long",
+    )
+    got = rows(
+        toks.preference_pairs(pool),
+        "prompt_id", "chosen_id", "rejected_id",
+        "chosen_score", "rejected_score", "margin",
+    )
+    assert got == [(1, 11, 10, 9, 5, 4)]
