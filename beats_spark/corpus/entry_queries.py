@@ -1475,6 +1475,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_resample": q_length_resample,
         "chat_loss_mask": q_chat_loss_mask,
         "preference_pairs": q_preference_pairs,
+        "log_corpus_bridge": q_log_corpus_bridge,
         "pack_seq_boundaries": q_pack_seq_boundaries,
         "epoch_schedule": q_epoch_schedule,
         "corpus_report": q_corpus_report,
@@ -1584,6 +1585,7 @@ def corpus_oracles() -> dict[str, str]:
         "length_resample": _LENGTH_RESAMPLE_SQL,
         "chat_loss_mask": _CHAT_LOSS_MASK_SQL,
         "preference_pairs": _PREFERENCE_PAIRS_SQL,
+        "log_corpus_bridge": _LOG_CORPUS_BRIDGE_SQL,
         "pack_seq_boundaries": _PACK_SEQ_BOUND_SQL,
         "epoch_schedule": _EPOCH_SCHEDULE_SQL,
         "corpus_report": _corpus_report_sql(),
@@ -3282,6 +3284,93 @@ SELECT b.prompt_id, chosen_id, rejected_id, chosen_score, rejected_score,
        chosen_score - rejected_score AS margin
 FROM b JOIN w USING (prompt_id)
 WHERE chosen_score - rejected_score > 0
+"""
+
+
+def q_log_corpus_bridge(spark, sf_dir):
+    """Axes A+B bridge — the log pipeline's output IS the training
+    corpus's input: harvest-rendered event lines are dissect-parsed
+    through a processor chain with a drop_event noise filter, the
+    surviving messages become documents, exact-dedup keep-one
+    collapses the repeated templates, and the distinct texts tokenize
+    and pack into 64-id training sequences. One declarative plan end
+    to end: parse → filter → dedup → tokenize → pack."""
+    from beats_spark.dissect import dissect
+    from beats_spark.pipeline import build_pipeline, normalize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    level = (
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("value") >= 400, "warn")
+        .otherwise("info")
+    )
+    raw = ev.withColumn(
+        "message",
+        F.concat(
+            F.lit("level="), level,
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(' msg="'), F.col("event_type"), F.lit(' evt"'),
+        ),
+    )
+    chain = build_pipeline(
+        [
+            lambda df: dissect(
+                df, 'level=%{level} user=%{uid|long} msg="%{msg}"',
+                target_prefix="",
+            ),
+            {"drop_event": {}, "when": {"equals": {"msg": "view evt"}}},
+        ]
+    )
+    parsed = chain(normalize(raw))
+    docs = parsed.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat(
+            F.col("level"), F.lit(" "), F.col("msg"),
+            F.lit(" u"), (F.col("uid") % 100).cast("string"),
+        ).alias("text"),
+    )
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    t = toks.tokenize_ids(keep)
+    out = toks.pack_sequences(t, max_len=64, emit="exploded")
+    return out.select(
+        "seq_no", "pos_in_seq", F.col("token_id").cast("long").alias("token_id")
+    )
+
+
+_LOG_CORPUS_BRIDGE_SQL = f"""
+WITH lines AS (
+  SELECT event_id AS doc_id,
+         lvl || ' ' || event_type || ' evt u'
+             || (user_id % 100)::VARCHAR AS text
+  FROM (SELECT event_id, user_id, event_type,
+               CASE WHEN event_type = 'error' THEN 'error'
+                    WHEN value >= 400 THEN 'warn'
+                    ELSE 'info' END AS lvl
+        FROM events)
+  WHERE event_type <> 'view'
+),
+keep AS (SELECT min(doc_id) AS doc_id, text FROM lines GROUP BY text),
+tk AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> ({H32_SQL.format(expr='w')} % {_TOKVOCAB}))
+           AS toks
+  FROM keep
+),
+o AS (
+  SELECT doc_id, toks,
+         coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS strt
+  FROM tk
+),
+ex AS (
+  SELECT strt + i AS pos, toks[i::INT + 1] AS token_id
+  FROM (SELECT strt, toks, unnest(range(0, len(toks))) AS i FROM o)
+)
+SELECT (pos // 64)::BIGINT AS seq_no, (pos % 64)::BIGINT AS pos_in_seq,
+       token_id::BIGINT AS token_id
+FROM ex
 """
 
 

@@ -110,6 +110,7 @@ HEADLINE = [
     "length_resample",
     "chat_loss_mask",
     "preference_pairs",
+    "log_corpus_bridge",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

@@ -199,6 +199,9 @@ AUDITED = {
     "chat_loss_mask": dict(),
     # ONE prompt-keyed hash agg (combinable min/max-of-struct)
     "preference_pairs": dict(),
+    # parse -> filter (narrow) -> text-keyed keep-one agg ->
+    # range-partitioned pack; no joins
+    "log_corpus_bridge": dict(),
 }
 
 

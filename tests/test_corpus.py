@@ -2921,3 +2921,35 @@ def test_preference_pairs_tiebreak_and_drops(spark):
         "chosen_score", "rejected_score", "margin",
     )
     assert got == [(1, 11, 10, 9, 5, 4)]
+
+
+def test_log_corpus_bridge_counts(spark):
+    from beats_spark.corpus.entry_queries import q_log_corpus_bridge
+
+    sf = "/root/testdata/sf0.001"
+    out = q_log_corpus_bridge(spark, sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet").filter(
+        F.col("event_type") != "view"
+    )
+    lvl = (
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("value") >= 400, "warn")
+        .otherwise("info")
+    )
+    texts = ev.select(
+        F.concat(
+            lvl, F.lit(" "), F.col("event_type"), F.lit(" evt u"),
+            (F.col("user_id") % 100).cast("string"),
+        ).alias("text")
+    ).distinct()
+    # one packed token row per token of each DISTINCT surviving text
+    expect = texts.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).first()["n"]
+    assert out.count() == expect
+    # every sequence except the last (highest seq_no) is full
+    counts = {r["seq_no"]: r["c"] for r in out.groupBy("seq_no").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    last = max(counts)
+    assert all(c == 64 for s, c in counts.items() if s != last)
+    assert counts[last] <= 64
