@@ -1228,7 +1228,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # hashed_embedding, dup_profile, source_overlap, soft_dedup,
     # neardup_profile, split_leakage_report, padding_stats,
     # length_resample, chat_loss_mask, preference_pairs,
-    # log_corpus_bridge,
+    # log_corpus_bridge, token_budget_sample,
     # plus the four rotated-out r2 queries above.
 ]
 

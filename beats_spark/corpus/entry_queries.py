@@ -1476,6 +1476,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_loss_mask": q_chat_loss_mask,
         "preference_pairs": q_preference_pairs,
         "log_corpus_bridge": q_log_corpus_bridge,
+        "token_budget_sample": q_token_budget_sample,
         "pack_seq_boundaries": q_pack_seq_boundaries,
         "epoch_schedule": q_epoch_schedule,
         "corpus_report": q_corpus_report,
@@ -1586,6 +1587,7 @@ def corpus_oracles() -> dict[str, str]:
         "chat_loss_mask": _CHAT_LOSS_MASK_SQL,
         "preference_pairs": _PREFERENCE_PAIRS_SQL,
         "log_corpus_bridge": _LOG_CORPUS_BRIDGE_SQL,
+        "token_budget_sample": _TOKEN_BUDGET_SAMPLE_SQL,
         "pack_seq_boundaries": _PACK_SEQ_BOUND_SQL,
         "epoch_schedule": _EPOCH_SCHEDULE_SQL,
         "corpus_report": _corpus_report_sql(),
@@ -3371,6 +3373,37 @@ ex AS (
 SELECT (pos // 64)::BIGINT AS seq_no, (pos % 64)::BIGINT AS pos_in_seq,
        token_id::BIGINT AS token_id
 FROM ex
+"""
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Per-source token-budget draw (2500 tokens/source): hash-ordered
+    docs kept while the inclusive running total fits the budget; one
+    audit row per input doc with the cut line visible."""
+    d = _docs(spark, sf_dir)
+    from beats_spark.corpus.hashing import word_tokens
+
+    pool = d.select(
+        "doc_id", "source",
+        F.size(word_tokens(F.col("text"))).alias("n_tok"),
+    )
+    return toks.token_budget_sample(pool, 2500)
+
+
+_TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+         {H32_SQL.format(expr="'budget:' || doc_id::VARCHAR")} AS sk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok, sk,
+         sum(n_tok) OVER (PARTITION BY source
+                          ORDER BY sk, doc_id) AS cum_tok
+  FROM d
+)
+SELECT doc_id, source, n_tok, cum_tok, (cum_tok <= 2500) AS kept
+FROM c
 """
 
 

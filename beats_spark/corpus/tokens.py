@@ -1632,3 +1632,62 @@ def preference_pairs(df: DataFrame, prompt_col: str = "prompt_id",
         )
         .filter(F.col("margin") > 0)
     )
+
+
+def token_budget_sample(df: DataFrame, budget,
+                        source_col: str = "source",
+                        id_col: str = "doc_id",
+                        tok_col: str = "n_tok",
+                        salt: str = "budget",
+                        n_buckets: int = 256) -> DataFrame:
+    """Deterministic per-source selection to an exact token budget —
+    the mixture-draw primitive: 'take N tokens from each source'.
+    Documents order by a content-independent id hash within their
+    source (stable across runs, engines, cluster sizes — never RNG),
+    and a document is kept while its INCLUSIVE running token total
+    fits the source's budget; the first doc that would overflow is
+    dropped, as is everything after it. Returns one row per input doc
+    (doc_id, source, n_tok, cum_tok, kept) so the caller can audit
+    the cut line, not just the survivors. ``budget`` is an int
+    (same for every source) or a ``{source: budget}`` dict.
+
+    Scale: NEVER one window partition per source (a single-source
+    corpus would serialize). The sort-key domain splits into
+    ``n_buckets`` contiguous ranges — a pure function of the key, no
+    RangePartitioner sampling (the :func:`_global_starts` lesson) —
+    per-(source, bucket) totals aggregate into a tiny offsets table
+    (#sources × n_buckets rows, windowed at that size), and each
+    bucket's rows cumsum independently where they shuffled to, plus
+    the broadcast base offset. Result is bucket-count-invariant."""
+    sk = h32(F.col(id_col).cast("string"), seed=salt)
+    width = 4294967296 // n_buckets
+    base = df.select(
+        F.col(source_col).alias("source"), F.col(id_col),
+        F.col(tok_col).cast("long").alias("n_tok"),
+        sk.alias("_sk"),
+        F.floor(sk / F.lit(width)).cast("int").alias("_bk"),
+    )
+    per = base.groupBy("source", "_bk").agg(F.sum("n_tok").alias("_bt"))
+    wob = (
+        Window.partitionBy("source").orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per.select(
+        "source", "_bk",
+        F.coalesce(F.sum("_bt").over(wob), F.lit(0)).alias("_off"),
+    )
+    w = Window.partitionBy("source", "_bk").orderBy("_sk", id_col)
+    cum = base.join(F.broadcast(off), ["source", "_bk"]).withColumn(
+        "cum_tok", (F.col("_off") + F.sum("n_tok").over(w)).cast("long")
+    )
+    if isinstance(budget, dict):
+        b = df.sparkSession.createDataFrame(
+            list(budget.items()), "source string, _budget long"
+        )
+        cum = cum.join(F.broadcast(b), "source")
+        kept = F.col("cum_tok") <= F.col("_budget")
+    else:
+        kept = F.col("cum_tok") <= F.lit(int(budget))
+    return cum.select(
+        id_col, "source", "n_tok", "cum_tok", kept.alias("kept")
+    )

@@ -111,6 +111,7 @@ HEADLINE = [
     "chat_loss_mask",
     "preference_pairs",
     "log_corpus_bridge",
+    "token_budget_sample",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

@@ -202,6 +202,9 @@ AUDITED = {
     # parse -> filter (narrow) -> text-keyed keep-one agg ->
     # range-partitioned pack; no joins
     "log_corpus_bridge": dict(),
+    # bucketed per-source prefix sum: tiny offsets table broadcast
+    # back; per-(source,bucket) windows only
+    "token_budget_sample": dict(broadcast=True),
 }
 
 

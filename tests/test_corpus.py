@@ -2953,3 +2953,43 @@ def test_log_corpus_bridge_counts(spark):
     last = max(counts)
     assert all(c == 64 for s, c in counts.items() if s != last)
     assert counts[last] <= 64
+
+
+def test_token_budget_sample_cut_line_and_bucket_invariance(spark):
+    from beats_spark.corpus import tokens as toks
+
+    pool = spark.createDataFrame(
+        [(i, "A" if i < 40 else "B", 10 + (i % 7)) for i in range(60)],
+        "doc_id long, source string, n_tok long",
+    )
+    out = toks.token_budget_sample(pool, 100)
+    got = out.collect()
+    assert len(got) == 60  # one audit row per input doc
+    for src in ("A", "B"):
+        kept = [r for r in got if r["source"] == src and r["kept"]]
+        dropped = [r for r in got if r["source"] == src and not r["kept"]]
+        assert max(r["cum_tok"] for r in kept) <= 100
+        assert min(r["cum_tok"] for r in dropped) > 100
+        # cumsum is consistent: kept token total == max kept cum_tok
+        assert sum(r["n_tok"] for r in kept) == max(r["cum_tok"] for r in kept)
+    # bucket-count invariance (the _global_starts property)
+    one = {(r["doc_id"], r["cum_tok"], r["kept"])
+           for r in toks.token_budget_sample(pool, 100, n_buckets=1).collect()}
+    many = {(r["doc_id"], r["cum_tok"], r["kept"])
+            for r in toks.token_budget_sample(pool, 100, n_buckets=256).collect()}
+    assert one == many
+
+
+def test_token_budget_sample_dict_budgets(spark):
+    from beats_spark.corpus import tokens as toks
+
+    pool = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", 10) for i in range(20)],
+        "doc_id long, source string, n_tok long",
+    )
+    out = toks.token_budget_sample(pool, {"A": 30, "B": 70}).collect()
+    kept = {"A": 0, "B": 0}
+    for r in out:
+        if r["kept"]:
+            kept[r["source"]] += r["n_tok"]
+    assert kept == {"A": 30, "B": 70}
