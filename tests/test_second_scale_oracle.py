@@ -41,6 +41,10 @@ ORDER_SENSITIVE = [
     "multiline_pattern",
     # per-group rank over range-split score boundaries (CCNet terciles)
     "ppl_buckets",
+    # bucketed per-source prefix sum (inclusive-cumsum cut line)
+    "token_budget_sample",
+    # ends in pack_sequences' distributed prefix sum
+    "log_corpus_bridge",
 ]
 
 
