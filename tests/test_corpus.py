@@ -2993,3 +2993,45 @@ def test_token_budget_sample_dict_budgets(spark):
         if r["kept"]:
             kept[r["source"]] += r["n_tok"]
     assert kept == {"A": 30, "B": 70}
+
+
+def test_minhash_lsh_recall_gate(spark):
+    """Quality gate for the LSH index itself (the dedup analog of the
+    ANN recall gates): on a synthetic corpus with KNOWN shingle-Jaccard
+    pairs, the 16-hash/4-band index must catch every high-J pair and
+    invent none. Deterministic hashes -> exact, stable numbers."""
+    def words(seed, n=60):
+        return [f"w{seed}x{j}" for j in range(n)]
+
+    def shingle_set(toks, k=3):
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    rows_, truth = [], {}
+    for i in range(30):
+        a = words(i)
+        b = list(a)
+        m = 1 + (i % 6)  # 1..6 mutations -> true J from 0.90 down to 0.53
+        for j in range(m):
+            b[5 + j * 9] = f"mut{i}x{j}"
+        truth[(2 * i, 2 * i + 1)] = (
+            len(shingle_set(a) & shingle_set(b))
+            / len(shingle_set(a) | shingle_set(b))
+        )
+        rows_.append((2 * i, " ".join(a)))
+        rows_.append((2 * i + 1, " ".join(b)))
+    df = spark.createDataFrame(rows_, "doc_id long, text string")
+    found = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_neardup_pairs(df)
+             .select("doc_a", "doc_b").collect()}
+    hi = {p for p, j in truth.items() if j >= 0.73}
+    # every pair at or above the 4-band S-curve knee is caught
+    assert hi <= found
+    # nothing across unrelated documents (precision: candidates only
+    # ever come from true mutated twins)
+    assert found <= set(truth)
+    # and the catch rate decays with J (S-curve sanity, exact pins)
+    frac = lambda j: (
+        sum(1 for p in truth if abs(truth[p] - j) < 1e-9 and p in found)
+        / sum(1 for p in truth if abs(truth[p] - j) < 1e-9)
+    )
+    assert frac(next(j for j in truth.values() if j > 0.9)) == 1.0
