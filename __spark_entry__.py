@@ -604,6 +604,122 @@ LEFT JOIN nation n ON (e.user_id % 40) = n.n_nationkey
 """
 
 
+def q_netflow_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetFlow v5 codec (§2.1, x-pack netflow input's fixed-template
+    member): flow fields derived from ``events`` are packed into real
+    24+48-byte big-endian wire packets (≤30 records each), then parsed
+    back by the production decoder. The oracle computes the same
+    fields directly in SQL — a hash match certifies
+    ``parse ∘ encode = identity`` on every field of every record."""
+    from beats_spark.processors.netflow import (
+        encode_netflow_v5,
+        ipv4_str,
+        parse_netflow_v5,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+
+    def h(seed: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"),
+                               F.lit(seed))), 1, 8),
+            16, 10,
+        ).cast("long")
+
+    pid = F.floor(F.col("event_id") / 30).cast("long")
+    flows = ev.select(
+        pid.alias("packet_id"),
+        (F.col("event_id") % 30).alias("rec_idx"),
+        F.concat(F.lit("udp://10.0.0."),
+                 (pid % 8).cast("string")).alias("exporter"),
+        ((pid * 1000) % 4294967296).alias("sys_uptime"),
+        (F.lit(1700000000) + pid).alias("unix_secs"),
+        F.lit(0).alias("unix_nsecs"),
+        (pid * 30).alias("flow_sequence"),
+        F.lit(1).alias("engine_type"),
+        F.lit(2).alias("engine_id"),
+        F.lit(0).alias("sampling_interval"),
+        h("s").alias("srcaddr"),
+        h("d").alias("dstaddr"),
+        h("n").alias("nexthop"),
+        (h("i") % 1024).alias("input_if"),
+        (h("o") % 1024).alias("output_if"),
+        (F.lit(1) + h("p") % 100000).alias("packets"),
+        (F.lit(64) + h("b") % 10000000).alias("octets"),
+        F.col("event_id").alias("first_uptime"),  # join-back key
+        h("l").alias("last_uptime"),
+        (h("sp") % 65536).alias("srcport"),
+        (h("dp") % 65536).alias("dstport"),
+        (h("tf") % 256).alias("tcp_flags"),
+        F.when(h("pr") % 3 == 0, 6)
+        .when(h("pr") % 3 == 1, 17)
+        .otherwise(1).alias("prot"),
+        (h("t") % 256).alias("tos"),
+        (h("sa") % 65536).alias("src_as"),
+        (h("da") % 65536).alias("dst_as"),
+        (h("sm") % 33).alias("src_mask"),
+        (h("dm") % 33).alias("dst_mask"),
+    )
+    parsed = parse_netflow_v5(encode_netflow_v5(flows))
+    return parsed.select(
+        F.col("first_uptime").alias("event_id"),
+        "exporter",
+        F.col("rec_idx").cast("long").alias("rec_pos"),
+        "flow_sequence", "unix_secs", "sys_uptime",
+        ipv4_str("srcaddr").alias("src_ip"),
+        ipv4_str("dstaddr").alias("dst_ip"),
+        ipv4_str("nexthop").alias("nexthop_ip"),
+        "input_if", "output_if", "packets", "octets", "last_uptime",
+        "srcport", "dstport", "tcp_flags", "prot", "tos",
+        "src_as", "dst_as", "src_mask", "dst_mask",
+    )
+
+
+def _netflow_oracle_sql() -> str:
+    from beats_spark.processors.netflow import IPV4_STR_SQL
+
+    h = ("(('0x' || substr(md5(event_id::VARCHAR || '{s}'), 1, 8))"
+         "::BIGINT)")
+
+    def H(seed: str) -> str:
+        return h.format(s=seed)
+
+    return f"""
+WITH f AS (
+  SELECT event_id,
+         event_id // 30 AS pid,
+         {H('s')} AS srcaddr, {H('d')} AS dstaddr, {H('n')} AS nexthop,
+         {H('i')} % 1024 AS input_if, {H('o')} % 1024 AS output_if,
+         1 + {H('p')} % 100000 AS packets,
+         64 + {H('b')} % 10000000 AS octets,
+         {H('l')} AS last_uptime,
+         {H('sp')} % 65536 AS srcport, {H('dp')} % 65536 AS dstport,
+         {H('tf')} % 256 AS tcp_flags,
+         CASE WHEN {H('pr')} % 3 = 0 THEN 6
+              WHEN {H('pr')} % 3 = 1 THEN 17 ELSE 1 END AS prot,
+         {H('t')} % 256 AS tos,
+         {H('sa')} % 65536 AS src_as, {H('da')} % 65536 AS dst_as,
+         {H('sm')} % 33 AS src_mask, {H('dm')} % 33 AS dst_mask
+  FROM events
+)
+SELECT event_id,
+       'udp://10.0.0.' || (pid % 8) AS exporter,
+       ROW_NUMBER() OVER (PARTITION BY pid ORDER BY event_id % 30) - 1
+         AS rec_pos,
+       pid * 30 AS flow_sequence,
+       1700000000 + pid AS unix_secs,
+       (pid * 1000) % 4294967296 AS sys_uptime,
+       {IPV4_STR_SQL('srcaddr')} AS src_ip,
+       {IPV4_STR_SQL('dstaddr')} AS dst_ip,
+       {IPV4_STR_SQL('nexthop')} AS nexthop_ip,
+       input_if, output_if, packets, octets, last_uptime,
+       srcport, dstport, tcp_flags, prot, tos,
+       src_as, dst_as, src_mask, dst_mask
+FROM f
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fingerprint processor (§2.3): sha256 + md5 over joined fields."""
     from beats_spark.processors.base import build_processor
@@ -1268,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_extract": q_csv_extract,
         "streaming_fanout": q_streaming_fanout,
         "checkpoint_resume": q_checkpoint_resume,
+        "netflow_parse": q_netflow_parse,
     }
     q.update(corpus_queries())
     ordered = {k: q[k] for k in _DRIVER_WINDOW_PRIORITY}
@@ -1310,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_extract": _Q_CSV_EXTRACT_SQL,
         "streaming_fanout": _Q_STREAM_FANOUT_SQL,
         "checkpoint_resume": _Q_CHECKPOINT_RESUME_SQL,
+        "netflow_parse": _netflow_oracle_sql(),
     }
     o.update(corpus_oracles())
     return o

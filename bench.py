@@ -112,6 +112,7 @@ HEADLINE = [
     "preference_pairs",
     "log_corpus_bridge",
     "token_budget_sample",
+    "netflow_parse",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

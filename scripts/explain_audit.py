@@ -85,6 +85,10 @@ AUDITED = {
     "dedup_tokens": dict(),
     # round-4 additions
     "ann_ivf_pq_rerank": dict(),
+    # netflow v5: encode is a grouped applyInPandas (one shuffle on
+    # packet_id — the test-direction grouping), decode is a narrow
+    # mapInPandas; nothing here may cartesian or BatchEval
+    "netflow_parse": dict(),
     # temperature mixing joins a ONE-ROW global aggregate back via
     # crossJoin(broadcast(...)) — Spark plans a scalar-dim
     # BroadcastNestedLoopJoin, which is linear (n × 1), not quadratic;
