@@ -720,6 +720,131 @@ FROM f
 """
 
 
+#: v9 driver-query template: 18 fields at conventional widths,
+#: 45-byte record → exercises the 4-byte flowset padding too.
+_V9_TEMPLATE = [(8, 4), (12, 4), (15, 4), (10, 2), (14, 2), (2, 4),
+                (1, 4), (22, 4), (21, 4), (7, 2), (11, 2), (6, 1),
+                (4, 1), (5, 1), (16, 2), (17, 2), (9, 1), (13, 1)]
+
+
+def q_netflow_v9_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetFlow v9 TEMPLATED codec (§2.1; reference
+    x-pack/filebeat/input/netflow/decoder/v9/v9.go + session.go):
+    the template flowset is announced ONLY in each exporter's first
+    packet — every later packet is data-only and undecodable without
+    the per-(exporter, source_id) session state, so a hash match
+    certifies template parsing, state carry-over AND field layout
+    (offsets, widths, big-endian) on every record."""
+    from beats_spark.processors.netflow import ipv4_str
+    from beats_spark.processors.netflow_v9 import (
+        encode_netflow_v9,
+        parse_netflow_v9,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+
+    def h(seed: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"),
+                               F.lit(seed))), 1, 8),
+            16, 10,
+        ).cast("long")
+
+    pid = F.floor(F.col("event_id") / 25).cast("long")
+    flows = ev.select(
+        pid.alias("packet_id"),
+        (F.col("event_id") % 25).alias("rec_idx"),
+        F.concat(F.lit("udp://10.0.9."),
+                 (pid % 8).cast("string")).alias("exporter"),
+        (pid < 8).alias("send_template"),
+        (pid % 8).alias("source_id"),
+        (pid * 11).alias("package_sequence"),
+        (F.lit(1700000000) + pid).alias("unix_secs"),
+        ((pid * 1000) % 4294967296).alias("sys_uptime"),
+        h("s").alias("srcaddr"),
+        h("d").alias("dstaddr"),
+        h("n").alias("nexthop"),
+        (h("i") % 1024).alias("input_if"),
+        (h("o") % 1024).alias("output_if"),
+        (F.lit(1) + h("p") % 100000).alias("packets"),
+        (F.lit(64) + h("b") % 10000000).alias("octets"),
+        F.col("event_id").alias("first_uptime"),  # join-back key
+        h("l").alias("last_uptime"),
+        (h("sp") % 65536).alias("srcport"),
+        (h("dp") % 65536).alias("dstport"),
+        (h("tf") % 256).alias("tcp_flags"),
+        F.when(h("pr") % 3 == 0, 6)
+        .when(h("pr") % 3 == 1, 17)
+        .otherwise(1).alias("prot"),
+        (h("t") % 256).alias("tos"),
+        (h("sa") % 65536).alias("src_as"),
+        (h("da") % 65536).alias("dst_as"),
+        (h("sm") % 33).alias("src_mask"),
+        (h("dm") % 33).alias("dst_mask"),
+    )
+    parsed = parse_netflow_v9(encode_netflow_v9(flows, _V9_TEMPLATE))
+    return parsed.select(
+        F.col("first_uptime").alias("event_id"),
+        "exporter",
+        F.col("rec_idx").cast("long").alias("rec_pos"),
+        "template_id", "source_id", "package_sequence",
+        "unix_secs", "sys_uptime",
+        ipv4_str("srcaddr").alias("src_ip"),
+        ipv4_str("dstaddr").alias("dst_ip"),
+        ipv4_str("nexthop").alias("nexthop_ip"),
+        "input_if", "output_if", "packets", "octets", "last_uptime",
+        "srcport", "dstport", "tcp_flags", "prot", "tos",
+        "src_as", "dst_as", "src_mask", "dst_mask",
+    )
+
+
+def _netflow_v9_oracle_sql() -> str:
+    from beats_spark.processors.netflow import IPV4_STR_SQL
+
+    h = ("(('0x' || substr(md5(event_id::VARCHAR || '{s}'), 1, 8))"
+         "::BIGINT)")
+
+    def H(seed: str) -> str:
+        return h.format(s=seed)
+
+    return f"""
+WITH f AS (
+  SELECT event_id,
+         event_id // 25 AS pid,
+         {H('s')} AS srcaddr, {H('d')} AS dstaddr, {H('n')} AS nexthop,
+         {H('i')} % 1024 AS input_if, {H('o')} % 1024 AS output_if,
+         1 + {H('p')} % 100000 AS packets,
+         64 + {H('b')} % 10000000 AS octets,
+         {H('l')} AS last_uptime,
+         {H('sp')} % 65536 AS srcport, {H('dp')} % 65536 AS dstport,
+         {H('tf')} % 256 AS tcp_flags,
+         CASE WHEN {H('pr')} % 3 = 0 THEN 6
+              WHEN {H('pr')} % 3 = 1 THEN 17 ELSE 1 END AS prot,
+         {H('t')} % 256 AS tos,
+         {H('sa')} % 65536 AS src_as, {H('da')} % 65536 AS dst_as,
+         {H('sm')} % 33 AS src_mask, {H('dm')} % 33 AS dst_mask
+  FROM events
+)
+SELECT event_id,
+       'udp://10.0.9.' || (pid % 8) AS exporter,
+       ROW_NUMBER() OVER (PARTITION BY pid ORDER BY event_id % 25) - 1
+         AS rec_pos,
+       256 AS template_id,
+       pid % 8 AS source_id,
+       pid * 11 AS package_sequence,
+       1700000000 + pid AS unix_secs,
+       (pid * 1000) % 4294967296 AS sys_uptime,
+       {IPV4_STR_SQL('srcaddr')} AS src_ip,
+       {IPV4_STR_SQL('dstaddr')} AS dst_ip,
+       {IPV4_STR_SQL('nexthop')} AS nexthop_ip,
+       input_if, output_if, packets, octets, last_uptime,
+       srcport, dstport, tcp_flags, prot, tos,
+       src_as, dst_as, src_mask, dst_mask
+FROM f
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fingerprint processor (§2.3): sha256 + md5 over joined fields."""
     from beats_spark.processors.base import build_processor
@@ -1344,7 +1469,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # hashed_embedding, dup_profile, source_overlap, soft_dedup,
     # neardup_profile, split_leakage_report, padding_stats,
     # length_resample, chat_loss_mask, preference_pairs,
-    # log_corpus_bridge, token_budget_sample,
+    # log_corpus_bridge, token_budget_sample, netflow_parse,
+    # netflow_v9_parse,
     # plus the four rotated-out r2 queries above.
 ]
 
@@ -1385,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_fanout": q_streaming_fanout,
         "checkpoint_resume": q_checkpoint_resume,
         "netflow_parse": q_netflow_parse,
+        "netflow_v9_parse": q_netflow_v9_parse,
     }
     q.update(corpus_queries())
     ordered = {k: q[k] for k in _DRIVER_WINDOW_PRIORITY}
@@ -1428,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_fanout": _Q_STREAM_FANOUT_SQL,
         "checkpoint_resume": _Q_CHECKPOINT_RESUME_SQL,
         "netflow_parse": _netflow_oracle_sql(),
+        "netflow_v9_parse": _netflow_v9_oracle_sql(),
     }
     o.update(corpus_oracles())
     return o

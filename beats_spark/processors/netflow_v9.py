@@ -1,0 +1,287 @@
+"""NetFlow v9 — the TEMPLATED decoder the v5 module scoped out.
+
+Reference: ``x-pack/filebeat/input/netflow/decoder/v9/v9.go`` (20-byte
+packet header, flowset walk, ``setID >= 256`` = data, v9.go:124) and
+``session.go:17-66`` (template state keyed by (exporter, source_id);
+``GetTemplate`` miss ⇒ the data set is DROPPED, not buffered). Wire
+layout: header ``version(2) count(2) sys_uptime(4) unix_secs(4)
+package_sequence(4) source_id(4)``; then flowsets ``set_id(2)
+length(2)`` — set 0 carries templates (``template_id(2) field_count(2)
+[type(2) len(2)]*``), set 1 options templates (parsed past, like the
+reference's metadata-only path), sets ≥256 carry records laid out by
+the template of that id, padded to a 4-byte boundary.
+
+Spark-first design. The whole difficulty of v9 over v5 is STATE: a
+record is undecodable without the template that an EARLIER packet of
+the same (exporter, source_id) session announced. Batch form:
+``groupBy(exporter).applyInPandas`` — one shuffle co-locates each
+session's packets, a sequence sort inside the group replays them in
+arrival order, and the template map lives only for the group's
+lifetime. Streaming form: ``applyInPandasWithState`` keyed by
+exporter with the serialized template map as state, so templates
+announced in micro-batch N decode records in micro-batch N+k —
+exactly the reference's long-lived session map.
+
+Per-record work stays C-speed: each template compiles ONCE into a
+numpy structured dtype (big-endian fields at their wire offsets), and
+every data flowset decodes with a single ``np.frombuffer`` over all
+its records. Python touches packets and flowsets (tens of bytes of
+header each), never records.
+
+Scale note: the shuffle key is the exporter — sessions are
+independent, so a 1000-executor cluster decodes 100 TB of capture
+with no cross-session traffic. A single hot exporter is the skew
+case; split its capture on ``source_id`` (part of the session key,
+so semantics are preserved) before grouping.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+V9_HEADER_DT = np.dtype([
+    ("version", ">u2"), ("count", ">u2"), ("sys_uptime", ">u4"),
+    ("unix_secs", ">u4"), ("package_sequence", ">u4"),
+    ("source_id", ">u4"),
+])  # 20 bytes
+
+#: field-type registry (fields.go names → the v5 module's column
+#: vocabulary, so v5 and v9 output join/union cleanly). width = the
+#: conventional wire length; other lengths still decode (1/2/4/8).
+V9_FIELDS: dict[int, tuple[str, int]] = {
+    1: ("octets", 4), 2: ("packets", 4), 4: ("prot", 1), 5: ("tos", 1),
+    6: ("tcp_flags", 1), 7: ("srcport", 2), 8: ("srcaddr", 4),
+    9: ("src_mask", 1), 10: ("input_if", 2), 11: ("dstport", 2),
+    12: ("dstaddr", 4), 13: ("dst_mask", 1), 14: ("output_if", 2),
+    15: ("nexthop", 4), 16: ("src_as", 2), 17: ("dst_as", 2),
+    21: ("last_uptime", 4), 22: ("first_uptime", 4),
+}
+
+_KNOWN_COLS = [name for name, _ in V9_FIELDS.values()]
+
+_HEADER_OUT = ["source_id", "package_sequence", "unix_secs",
+               "sys_uptime"]
+
+PARSED_V9_SCHEMA = (
+    "exporter string, template_id long, rec_idx long, "
+    + ", ".join(f"{c} long" for c in _HEADER_OUT) + ", "
+    + ", ".join(f"{c} long" for c in _KNOWN_COLS)
+)
+
+_WIDTH_FMT = {1: ">u1", 2: ">u2", 4: ">u4", 8: ">u8"}
+
+
+def compile_template(fields: list[tuple[int, int]]):
+    """[(type, length)] → (numpy structured dtype over one wire
+    record, [known column names present]). Unknown field types and
+    non-power-of-two widths become dead offsets (skipped bytes) —
+    the record still parses, mirroring the reference's tolerance of
+    enterprise-specific fields."""
+    names, formats, offsets = [], [], []
+    pos = 0
+    for i, (ftype, flen) in enumerate(fields):
+        if ftype in V9_FIELDS and flen in _WIDTH_FMT:
+            names.append(V9_FIELDS[ftype][0])
+            formats.append(_WIDTH_FMT[flen])
+            offsets.append(pos)
+        elif flen in _WIDTH_FMT:
+            names.append(f"_f{ftype}_{i}")
+            formats.append(_WIDTH_FMT[flen])
+            offsets.append(pos)
+        pos += flen
+    dt = np.dtype({"names": names, "formats": formats,
+                   "offsets": offsets, "itemsize": pos})
+    known = [n for n in names if not n.startswith("_f")]
+    return dt, known
+
+
+def _parse_templates(body: bytes) -> list[tuple[int, list]]:
+    """One template flowset body → [(template_id, [(type, len)])]."""
+    out, pos = [], 0
+    while pos + 4 <= len(body):
+        tid, nf = int.from_bytes(body[pos:pos + 2], "big"), \
+            int.from_bytes(body[pos + 2:pos + 4], "big")
+        pos += 4
+        if nf == 0 or pos + 4 * nf > len(body):
+            break  # padding or truncated — stop the walk
+        fields = [
+            (int.from_bytes(body[pos + 4 * i:pos + 4 * i + 2], "big"),
+             int.from_bytes(body[pos + 4 * i + 2:pos + 4 * i + 4], "big"))
+            for i in range(nf)
+        ]
+        pos += 4 * nf
+        out.append((tid, fields))
+    return out
+
+
+def _decode_packets(
+    exporter: str,
+    packets: Iterator[bytes],
+    templates: dict,
+) -> dict[str, list]:
+    """Replay packets in order through the session's template map.
+    ``templates`` maps (source_id, template_id) → (dtype, known) and
+    is MUTATED — the caller owns its lifetime (per-group in batch,
+    state-store in streaming)."""
+    cols: dict[str, list] = {c: [] for c in
+                             ["exporter", "template_id", "rec_idx",
+                              *_HEADER_OUT, *_KNOWN_COLS]}
+    for raw in packets:
+        b = bytes(raw)
+        if len(b) < 20:
+            continue
+        h = np.frombuffer(b, V9_HEADER_DT, count=1)
+        if int(h["version"][0]) != 9:
+            continue
+        sid = int(h["source_id"][0])
+        pos = 20
+        while pos + 4 <= len(b):
+            set_id = int.from_bytes(b[pos:pos + 2], "big")
+            set_len = int.from_bytes(b[pos + 2:pos + 4], "big")
+            if set_len < 4 or pos + set_len > len(b):
+                break  # malformed set — drop the rest of the packet
+            body = b[pos + 4:pos + set_len]
+            pos += set_len
+            if set_id == 0:
+                for tid, fields in _parse_templates(body):
+                    templates[(sid, tid)] = compile_template(fields)
+            elif set_id == 1:
+                continue  # options template: metadata-only, skipped
+            elif set_id >= 256:
+                hit = templates.get((sid, set_id))
+                if hit is None:
+                    continue  # no template yet → records dropped
+                dt, known = hit
+                n = len(body) // dt.itemsize
+                if n == 0:
+                    continue
+                recs = np.frombuffer(body[:n * dt.itemsize], dt)
+                cols["exporter"].extend([exporter] * n)
+                cols["template_id"].extend([set_id] * n)
+                cols["rec_idx"].extend(range(n))
+                for k in _HEADER_OUT:
+                    cols[k].extend([int(h[k][0])] * n)
+                kset = set(known)
+                for c in _KNOWN_COLS:
+                    if c in kset:
+                        cols[c].extend(recs[c].astype("int64"))
+                    else:
+                        cols[c].extend([None] * n)
+    return cols
+
+
+def parse_netflow_v9(df: DataFrame, packet_col: str = "packet",
+                     exporter_col: str = "exporter",
+                     seq_col: str = "recv_seq") -> DataFrame:
+    """Batch decode: one row per flow record. Packets shuffle once on
+    the exporter (the session key); ``seq_col`` restores arrival
+    order inside each session so templates precede the records they
+    describe, whatever partition the packets came from."""
+
+    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col)
+        exporter = str(pdf[exporter_col].iloc[0])
+        cols = _decode_packets(exporter, pdf[packet_col], {})
+        return pd.DataFrame(cols).astype(
+            {c: "object" for c in _KNOWN_COLS})
+
+    return df.groupBy(exporter_col).applyInPandas(
+        decode_group, schema=PARSED_V9_SCHEMA)
+
+
+def stream_netflow_v9(df: DataFrame, packet_col: str = "packet",
+                      exporter_col: str = "exporter",
+                      seq_col: str = "recv_seq",
+                      timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming decode with the reference's LONG-LIVED session map
+    (session.go:119-136): state per exporter is the pickled template
+    dict, so a template announced in one micro-batch decodes records
+    in every later one. Use on a streaming frame of
+    (exporter, recv_seq, packet)."""
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        if state.exists:
+            (blob,) = state.get
+            templates = pickle.loads(bytes(blob))
+        else:
+            templates = {}
+        frames = [p for p in pdfs]
+        pdf = (pd.concat(frames).sort_values(seq_col)
+               if frames else pd.DataFrame(
+                   {packet_col: [], seq_col: []}))
+        cols = _decode_packets(key[0], pdf[packet_col], templates)
+        state.update((pickle.dumps(templates),))
+        yield pd.DataFrame(cols).astype(
+            {c: "object" for c in _KNOWN_COLS})
+
+    return df.groupBy(exporter_col).applyInPandasWithState(
+        fn,
+        outputStructType=PARSED_V9_SCHEMA,
+        stateStructType="templates binary",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def encode_template_flowset(
+        templates: list[tuple[int, list[tuple[int, int]]]]) -> bytes:
+    """Template flowset (set 0) from [(template_id, [(type, len)])]."""
+    body = b""
+    for tid, fields in templates:
+        body += tid.to_bytes(2, "big") + len(fields).to_bytes(2, "big")
+        for ftype, flen in fields:
+            body += ftype.to_bytes(2, "big") + flen.to_bytes(2, "big")
+    return (0).to_bytes(2, "big") + (4 + len(body)).to_bytes(2, "big") \
+        + body
+
+
+def encode_netflow_v9(flows: DataFrame,
+                      template: list[tuple[int, int]],
+                      template_id: int = 256,
+                      packet_key: str = "packet_id",
+                      rec_idx: str = "rec_idx",
+                      exporter_col: str = "exporter",
+                      template_flag: str = "send_template") -> DataFrame:
+    """Inverse direction (round-trip certification + capture-replay
+    fixtures): group flow rows into v9 packets. A packet carries the
+    template flowset IFF its ``template_flag`` column is true — so a
+    fixture can model the real exporter behavior of announcing the
+    template once (or periodically) and then sending data-only
+    packets that are undecodable without session state."""
+    dt, known = compile_template(template)
+    if len(known) != len(template):
+        raise ValueError("encode requires all-known template fields")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(rec_idx)
+        h = np.zeros(1, V9_HEADER_DT)
+        h["version"] = 9
+        for k in ["sys_uptime", "unix_secs", "package_sequence",
+                  "source_id"]:
+            h[k] = int(pdf[k].iloc[0])
+        r = np.zeros(len(pdf), dt)
+        for c in known:
+            r[c] = pdf[c].to_numpy(dtype="int64")
+        sets = b""
+        if bool(pdf[template_flag].iloc[0]):
+            sets += encode_template_flowset([(template_id, template)])
+        body = r.tobytes()
+        pad = (-len(body)) % 4
+        sets += (template_id.to_bytes(2, "big")
+                 + (4 + len(body) + pad).to_bytes(2, "big")
+                 + body + b"\x00" * pad)
+        h["count"] = len(pdf) + (1 if bool(pdf[template_flag].iloc[0])
+                                 else 0)
+        return pd.DataFrame({
+            "exporter": [pdf[exporter_col].iloc[0]],
+            "recv_seq": [int(pdf[packet_key].iloc[0])],
+            "packet": [h.tobytes() + sets],
+        })
+
+    return flows.groupBy(packet_key).applyInPandas(
+        pack, schema="exporter string, recv_seq long, packet binary")

@@ -113,6 +113,7 @@ HEADLINE = [
     "log_corpus_bridge",
     "token_budget_sample",
     "netflow_parse",
+    "netflow_v9_parse",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

@@ -89,6 +89,10 @@ AUDITED = {
     # packet_id — the test-direction grouping), decode is a narrow
     # mapInPandas; nothing here may cartesian or BatchEval
     "netflow_parse": dict(),
+    # netflow v9: decode shuffles ONCE on the exporter (the session
+    # key — template state must co-locate with its data packets);
+    # same no-cartesian/no-BatchEval bar
+    "netflow_v9_parse": dict(),
     # temperature mixing joins a ONE-ROW global aggregate back via
     # crossJoin(broadcast(...)) — Spark plans a scalar-dim
     # BroadcastNestedLoopJoin, which is linear (n × 1), not quadratic;

@@ -45,6 +45,8 @@ ORDER_SENSITIVE = [
     "token_budget_sample",
     # ends in pack_sequences' distributed prefix sum
     "log_corpus_bridge",
+    # rec_pos is a per-packet rank; session replay sorts on recv_seq
+    "netflow_v9_parse",
 ]
 
 
