@@ -727,20 +727,10 @@ _V9_TEMPLATE = [(8, 4), (12, 4), (15, 4), (10, 2), (14, 2), (2, 4),
                 (4, 1), (5, 1), (16, 2), (17, 2), (9, 1), (13, 1)]
 
 
-def q_netflow_v9_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NetFlow v9 TEMPLATED codec (§2.1; reference
-    x-pack/filebeat/input/netflow/decoder/v9/v9.go + session.go):
-    the template flowset is announced ONLY in each exporter's first
-    packet — every later packet is data-only and undecodable without
-    the per-(exporter, source_id) session state, so a hash match
-    certifies template parsing, state carry-over AND field layout
-    (offsets, widths, big-endian) on every record."""
-    from beats_spark.processors.netflow import ipv4_str
-    from beats_spark.processors.netflow_v9 import (
-        encode_netflow_v9,
-        parse_netflow_v9,
-    )
-
+def _v9_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared flow derivation for the v9 and IPFIX round-trip
+    queries: 25 records/packet, 8 exporters, template only in each
+    exporter's first packet (``send_template`` = pid < 8)."""
     ev = _t(spark, sf_dir, "events").select("event_id")
 
     def h(seed: str):
@@ -752,7 +742,7 @@ def q_netflow_v9_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
 
     pid = F.floor(F.col("event_id") / 25).cast("long")
-    flows = ev.select(
+    return ev.select(
         pid.alias("packet_id"),
         (F.col("event_id") % 25).alias("rec_idx"),
         F.concat(F.lit("udp://10.0.9."),
@@ -783,6 +773,23 @@ def q_netflow_v9_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h("sm") % 33).alias("src_mask"),
         (h("dm") % 33).alias("dst_mask"),
     )
+
+
+def q_netflow_v9_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetFlow v9 TEMPLATED codec (§2.1; reference
+    x-pack/filebeat/input/netflow/decoder/v9/v9.go + session.go):
+    the template flowset is announced ONLY in each exporter's first
+    packet — every later packet is data-only and undecodable without
+    the per-(exporter, source_id) session state, so a hash match
+    certifies template parsing, state carry-over AND field layout
+    (offsets, widths, big-endian) on every record."""
+    from beats_spark.processors.netflow import ipv4_str
+    from beats_spark.processors.netflow_v9 import (
+        encode_netflow_v9,
+        parse_netflow_v9,
+    )
+
+    flows = _v9_flows(spark, sf_dir)
     parsed = parse_netflow_v9(encode_netflow_v9(flows, _V9_TEMPLATE))
     return parsed.select(
         F.col("first_uptime").alias("event_id"),
@@ -799,7 +806,36 @@ def q_netflow_v9_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _netflow_v9_oracle_sql() -> str:
+def q_ipfix_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPFIX / v10 codec (§2.1; reference decoder/ipfix/ipfix.go,
+    RFC 7011): the v9 round-trip re-run through the IPFIX message
+    framing — 16-byte header, byte-length bound, template set id 2,
+    observation-domain session key. Same cross-packet template
+    dependency (announced only in each exporter's first message)."""
+    from beats_spark.processors.netflow import ipv4_str
+    from beats_spark.processors.netflow_v9 import (
+        encode_ipfix,
+        parse_ipfix,
+    )
+
+    flows = _v9_flows(spark, sf_dir)
+    parsed = parse_ipfix(encode_ipfix(flows, _V9_TEMPLATE))
+    return parsed.select(
+        F.col("first_uptime").alias("event_id"),
+        "exporter",
+        F.col("rec_idx").cast("long").alias("rec_pos"),
+        "template_id", "source_id", "package_sequence",
+        "unix_secs", "sys_uptime",
+        ipv4_str("srcaddr").alias("src_ip"),
+        ipv4_str("dstaddr").alias("dst_ip"),
+        ipv4_str("nexthop").alias("nexthop_ip"),
+        "input_if", "output_if", "packets", "octets", "last_uptime",
+        "srcport", "dstport", "tcp_flags", "prot", "tos",
+        "src_as", "dst_as", "src_mask", "dst_mask",
+    )
+
+
+def _netflow_v9_oracle_sql(ipfix: bool = False) -> str:
     from beats_spark.processors.netflow import IPV4_STR_SQL
 
     h = ("(('0x' || substr(md5(event_id::VARCHAR || '{s}'), 1, 8))"
@@ -834,7 +870,7 @@ SELECT event_id,
        pid % 8 AS source_id,
        pid * 11 AS package_sequence,
        1700000000 + pid AS unix_secs,
-       (pid * 1000) % 4294967296 AS sys_uptime,
+       {'0' if ipfix else '(pid * 1000) % 4294967296'} AS sys_uptime,
        {IPV4_STR_SQL('srcaddr')} AS src_ip,
        {IPV4_STR_SQL('dstaddr')} AS dst_ip,
        {IPV4_STR_SQL('nexthop')} AS nexthop_ip,
@@ -1470,7 +1506,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # neardup_profile, split_leakage_report, padding_stats,
     # length_resample, chat_loss_mask, preference_pairs,
     # log_corpus_bridge, token_budget_sample, netflow_parse,
-    # netflow_v9_parse,
+    # netflow_v9_parse, ipfix_parse,
     # plus the four rotated-out r2 queries above.
 ]
 
@@ -1512,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": q_checkpoint_resume,
         "netflow_parse": q_netflow_parse,
         "netflow_v9_parse": q_netflow_v9_parse,
+        "ipfix_parse": q_ipfix_parse,
     }
     q.update(corpus_queries())
     ordered = {k: q[k] for k in _DRIVER_WINDOW_PRIORITY}
@@ -1556,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
         "checkpoint_resume": _Q_CHECKPOINT_RESUME_SQL,
         "netflow_parse": _netflow_oracle_sql(),
         "netflow_v9_parse": _netflow_v9_oracle_sql(),
+        "ipfix_parse": _netflow_v9_oracle_sql(ipfix=True),
     }
     o.update(corpus_oracles())
     return o

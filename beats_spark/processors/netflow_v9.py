@@ -1,4 +1,5 @@
-"""NetFlow v9 — the TEMPLATED decoder the v5 module scoped out.
+"""NetFlow v9 + IPFIX — the TEMPLATED decoders the v5 module scoped
+out.
 
 Reference: ``x-pack/filebeat/input/netflow/decoder/v9/v9.go`` (20-byte
 packet header, flowset walk, ``setID >= 256`` = data, v9.go:124) and
@@ -10,6 +11,17 @@ length(2)`` — set 0 carries templates (``template_id(2) field_count(2)
 [type(2) len(2)]*``), set 1 options templates (parsed past, like the
 reference's metadata-only path), sets ≥256 carry records laid out by
 the template of that id, padded to a 4-byte boundary.
+
+IPFIX (``decoder/ipfix/ipfix.go``; RFC 7011) rides the same session
+machinery — the parser dispatches on each packet's version word: a
+16-byte header (``length`` in bytes, ``export_time``, ``sequence``,
+``observation_domain_id`` → the ``source_id`` slot of the session
+key), template set id 2, options set id 3, enterprise-bit fields
+(4-byte PEN after the field spec) decoded as dead offsets.
+Variable-length fields (len 65535) make a template un-compilable to
+a fixed numpy dtype; such templates are remembered as ``None`` and
+their data sets drop — the fixed-length subset is what this module
+covers, the same scoping the v5 module applied to templates.
 
 Spark-first design. The whole difficulty of v9 over v5 is STATE: a
 record is undecodable without the template that an EARLIER packet of
@@ -50,6 +62,11 @@ V9_HEADER_DT = np.dtype([
     ("unix_secs", ">u4"), ("package_sequence", ">u4"),
     ("source_id", ">u4"),
 ])  # 20 bytes
+
+IPFIX_HEADER_DT = np.dtype([
+    ("version", ">u2"), ("length", ">u2"), ("export_time", ">u4"),
+    ("sequence", ">u4"), ("observation_domain_id", ">u4"),
+])  # 16 bytes (RFC 7011 §3.1; length = whole message in bytes)
 
 #: field-type registry (fields.go names → the v5 module's column
 #: vocabulary, so v5 and v9 output join/union cleanly). width = the
@@ -101,21 +118,44 @@ def compile_template(fields: list[tuple[int, int]]):
     return dt, known
 
 
-def _parse_templates(body: bytes) -> list[tuple[int, list]]:
-    """One template flowset body → [(template_id, [(type, len)])]."""
+def _parse_templates(body: bytes,
+                     ipfix: bool = False) -> list[tuple[int, list]]:
+    """One template (flow)set body → [(template_id, [(type, len)])].
+    IPFIX (RFC 7011 §3.4.1): a field whose ie_id has the enterprise
+    bit set is followed by a 4-byte enterprise number — recorded with
+    a synthetic out-of-registry type so it decodes as a dead offset.
+    A variable-length field (len 65535) makes the whole template
+    un-compilable to a fixed dtype → template_id maps to None and its
+    data sets drop (documented subset, like v5 scoping out v9)."""
     out, pos = [], 0
     while pos + 4 <= len(body):
         tid, nf = int.from_bytes(body[pos:pos + 2], "big"), \
             int.from_bytes(body[pos + 2:pos + 4], "big")
         pos += 4
-        if nf == 0 or pos + 4 * nf > len(body):
-            break  # padding or truncated — stop the walk
-        fields = [
-            (int.from_bytes(body[pos + 4 * i:pos + 4 * i + 2], "big"),
-             int.from_bytes(body[pos + 4 * i + 2:pos + 4 * i + 4], "big"))
-            for i in range(nf)
-        ]
-        pos += 4 * nf
+        if nf == 0:
+            break  # padding — stop the walk
+        fields: list[tuple[int, int]] | None = []
+        ok = True
+        for _ in range(nf):
+            if pos + 4 > len(body):
+                ok = False
+                break
+            ftype = int.from_bytes(body[pos:pos + 2], "big")
+            flen = int.from_bytes(body[pos + 2:pos + 4], "big")
+            pos += 4
+            if ipfix and ftype & 0x8000:
+                if pos + 4 > len(body):
+                    ok = False
+                    break
+                pos += 4  # enterprise number
+                ftype = 0x10000 + (ftype & 0x7FFF)  # never in V9_FIELDS
+            if flen == 65535:
+                fields = None  # variable-length: not fixed-decodable
+                continue
+            if fields is not None:
+                fields.append((ftype, flen))
+        if not ok:
+            break  # truncated — stop the walk
         out.append((tid, fields))
     return out
 
@@ -134,13 +174,28 @@ def _decode_packets(
                               *_HEADER_OUT, *_KNOWN_COLS]}
     for raw in packets:
         b = bytes(raw)
-        if len(b) < 20:
+        if len(b) < 16:
             continue
-        h = np.frombuffer(b, V9_HEADER_DT, count=1)
-        if int(h["version"][0]) != 9:
+        version = int.from_bytes(b[0:2], "big")
+        if version == 9:
+            if len(b) < 20:
+                continue
+            h = np.frombuffer(b, V9_HEADER_DT, count=1)
+            hdr = {k: int(h[k][0]) for k in _HEADER_OUT}
+            pos, tmpl_id, opts_id, ipfix = 20, 0, 1, False
+        elif version == 10:  # IPFIX, RFC 7011 §3.1
+            h = np.frombuffer(b, IPFIX_HEADER_DT, count=1)
+            b = b[:int(h["length"][0])]  # header length bounds the msg
+            hdr = {
+                "source_id": int(h["observation_domain_id"][0]),
+                "package_sequence": int(h["sequence"][0]),
+                "unix_secs": int(h["export_time"][0]),
+                "sys_uptime": 0,  # IPFIX has no uptime clock
+            }
+            pos, tmpl_id, opts_id, ipfix = 16, 2, 3, True
+        else:
             continue
-        sid = int(h["source_id"][0])
-        pos = 20
+        sid = hdr["source_id"]
         while pos + 4 <= len(b):
             set_id = int.from_bytes(b[pos:pos + 2], "big")
             set_len = int.from_bytes(b[pos + 2:pos + 4], "big")
@@ -148,15 +203,17 @@ def _decode_packets(
                 break  # malformed set — drop the rest of the packet
             body = b[pos + 4:pos + set_len]
             pos += set_len
-            if set_id == 0:
-                for tid, fields in _parse_templates(body):
-                    templates[(sid, tid)] = compile_template(fields)
-            elif set_id == 1:
+            if set_id == tmpl_id:
+                for tid, fields in _parse_templates(body, ipfix):
+                    templates[(sid, tid)] = (
+                        compile_template(fields)
+                        if fields is not None else None)
+            elif set_id == opts_id or set_id < 256:
                 continue  # options template: metadata-only, skipped
-            elif set_id >= 256:
+            else:
                 hit = templates.get((sid, set_id))
                 if hit is None:
-                    continue  # no template yet → records dropped
+                    continue  # no/uncompilable template → records drop
                 dt, known = hit
                 n = len(body) // dt.itemsize
                 if n == 0:
@@ -166,7 +223,7 @@ def _decode_packets(
                 cols["template_id"].extend([set_id] * n)
                 cols["rec_idx"].extend(range(n))
                 for k in _HEADER_OUT:
-                    cols[k].extend([int(h[k][0])] * n)
+                    cols[k].extend([hdr[k]] * n)
                 kset = set(known)
                 for c in _KNOWN_COLS:
                     if c in kset:
@@ -285,3 +342,57 @@ def encode_netflow_v9(flows: DataFrame,
 
     return flows.groupBy(packet_key).applyInPandas(
         pack, schema="exporter string, recv_seq long, packet binary")
+
+
+def encode_ipfix(flows: DataFrame,
+                 template: list[tuple[int, int]],
+                 template_id: int = 256,
+                 packet_key: str = "packet_id",
+                 rec_idx: str = "rec_idx",
+                 exporter_col: str = "exporter",
+                 template_flag: str = "send_template") -> DataFrame:
+    """IPFIX (v10) message encoder — same contract as
+    :func:`encode_netflow_v9` but the RFC 7011 header (16 bytes,
+    ``length`` = whole message in bytes, export_time / sequence /
+    observation_domain_id taken from the ``unix_secs`` /
+    ``package_sequence`` / ``source_id`` columns) and template set
+    id 2. Decode with the same :func:`parse_netflow_v9` (it
+    dispatches per packet on the version word)."""
+    dt, known = compile_template(template)
+    if len(known) != len(template):
+        raise ValueError("encode requires all-known template fields")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(rec_idx)
+        r = np.zeros(len(pdf), dt)
+        for c in known:
+            r[c] = pdf[c].to_numpy(dtype="int64")
+        sets = b""
+        if bool(pdf[template_flag].iloc[0]):
+            tset = encode_template_flowset([(template_id, template)])
+            sets += (2).to_bytes(2, "big") + tset[2:]  # set id 0 → 2
+        body = r.tobytes()
+        pad = (-len(body)) % 4
+        sets += (template_id.to_bytes(2, "big")
+                 + (4 + len(body) + pad).to_bytes(2, "big")
+                 + body + b"\x00" * pad)
+        h = np.zeros(1, IPFIX_HEADER_DT)
+        h["version"] = 10
+        h["length"] = 16 + len(sets)
+        h["export_time"] = int(pdf["unix_secs"].iloc[0])
+        h["sequence"] = int(pdf["package_sequence"].iloc[0])
+        h["observation_domain_id"] = int(pdf["source_id"].iloc[0])
+        return pd.DataFrame({
+            "exporter": [pdf[exporter_col].iloc[0]],
+            "recv_seq": [int(pdf[packet_key].iloc[0])],
+            "packet": [h.tobytes() + sets],
+        })
+
+    return flows.groupBy(packet_key).applyInPandas(
+        pack, schema="exporter string, recv_seq long, packet binary")
+
+
+#: IPFIX decode is the same session machinery — the parser dispatches
+#: on each packet's version word, so mixed v9/IPFIX capture works.
+parse_ipfix = parse_netflow_v9
+stream_ipfix = stream_netflow_v9

@@ -114,6 +114,7 @@ HEADLINE = [
     "token_budget_sample",
     "netflow_parse",
     "netflow_v9_parse",
+    "ipfix_parse",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

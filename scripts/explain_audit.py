@@ -93,6 +93,7 @@ AUDITED = {
     # key — template state must co-locate with its data packets);
     # same no-cartesian/no-BatchEval bar
     "netflow_v9_parse": dict(),
+    "ipfix_parse": dict(),
     # temperature mixing joins a ONE-ROW global aggregate back via
     # crossJoin(broadcast(...)) — Spark plans a scalar-dim
     # BroadcastNestedLoopJoin, which is linear (n × 1), not quadratic;

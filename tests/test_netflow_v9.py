@@ -175,6 +175,75 @@ def test_v9_streaming_template_state_across_batches(spark, tmp_path):
     assert sorted(r.first_uptime for r in got.collect()) == list(range(10))
 
 
+def test_ipfix_round_trip_and_mixed_capture(spark):
+    """IPFIX messages decode through the same session map (version
+    dispatch per packet): an IPFIX round trip preserves every field,
+    and a frame mixing v9 and IPFIX packets from DIFFERENT exporters
+    decodes both (observation domains stay isolated)."""
+    from beats_spark.processors.netflow_v9 import encode_ipfix
+
+    flows = _flows(spark, 30, n_exporters=2)
+    v10 = encode_ipfix(flows, TEMPLATE)
+    parsed = parse_netflow_v9(v10)
+    rows = {r.first_uptime: r for r in parsed.collect()}
+    assert len(rows) == 30
+    r = rows[29]
+    assert r.srcaddr == 29 * 3 + 1 and r.octets == 2900
+    assert r.sys_uptime == 0  # IPFIX has no uptime clock
+    assert r.unix_secs == 1700000000 + 5 and r.source_id == 7
+    # mixed v9 + ipfix capture in ONE frame
+    mixed = encode_netflow_v9(
+        _flows(spark, 10, n_exporters=1), TEMPLATE).union(
+        encode_ipfix(
+            _flows(spark, 10, n_exporters=1)
+            .withColumn("exporter", F.lit("udp://ipfix.exporter"))
+            .withColumn("packet_id", F.col("packet_id") + 100)
+            .withColumn("source_id", F.lit(9)),
+            TEMPLATE))
+    out = parse_netflow_v9(mixed)
+    assert out.count() == 20
+    assert out.filter(F.col("source_id") == 9).count() == 10
+
+
+def test_ipfix_enterprise_and_varlen_fields(spark):
+    """RFC 7011 §3.4.1: enterprise-bit fields carry a 4-byte PEN and
+    decode as dead offsets (offsets after them stay right); a
+    variable-length field makes the template un-compilable, so its
+    data sets drop instead of mis-parsing."""
+    import numpy as np
+    from beats_spark.processors.netflow_v9 import IPFIX_HEADER_DT
+
+    def msg(sets: bytes, odid=1):
+        h = np.zeros(1, IPFIX_HEADER_DT)
+        h["version"] = 10
+        h["length"] = 16 + len(sets)
+        h["observation_domain_id"] = odid
+        return h.tobytes() + sets
+
+    def tset(tid, fields_raw: bytes, nf):
+        body = tid.to_bytes(2, "big") + nf.to_bytes(2, "big") + fields_raw
+        return (2).to_bytes(2, "big") + (4 + len(body)).to_bytes(2, "big") + body
+
+    # template 256: srcaddr(4) + enterprise field 0x8001/PEN 9/len 6 + srcport(2)
+    f256 = ((8).to_bytes(2, "big") + (4).to_bytes(2, "big")
+            + (0x8001).to_bytes(2, "big") + (6).to_bytes(2, "big")
+            + (9).to_bytes(4, "big")
+            + (7).to_bytes(2, "big") + (2).to_bytes(2, "big"))
+    # template 257: one variable-length field
+    f257 = (8).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+    rec = int(42).to_bytes(4, "big") + b"\xee" * 6 + int(8080).to_bytes(2, "big")
+    d256 = (256).to_bytes(2, "big") + (4 + 12).to_bytes(2, "big") + rec
+    d257 = (257).to_bytes(2, "big") + (8).to_bytes(2, "big") + b"\x00" * 4
+    rows = [
+        Row(exporter="e", recv_seq=1,
+            packet=msg(tset(256, f256, 3) + tset(257, f257, 1))),
+        Row(exporter="e", recv_seq=2, packet=msg(d256 + d257)),
+    ]
+    out = parse_netflow_v9(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    assert out[0].srcaddr == 42 and out[0].srcport == 8080
+
+
 def test_v9_template_state_pickles_roundtrip():
     dt, known = compile_template(TEMPLATE)
     blob = pickle.dumps({(7, 256): (dt, known)})

@@ -47,6 +47,7 @@ ORDER_SENSITIVE = [
     "log_corpus_bridge",
     # rec_pos is a per-packet rank; session replay sorts on recv_seq
     "netflow_v9_parse",
+    "ipfix_parse",
 ]
 
 
