@@ -333,15 +333,33 @@ class Script(DFProc):
     (script/processor.go:38-52); our engine takes a Python callable —
     either a ``DataFrame -> DataFrame`` transform (``lang="dataframe"``)
     or a pandas batch function ``pd.DataFrame -> pd.DataFrame`` applied
-    via mapInPandas (``lang="pandas"``, Arrow-batched, never per-row)."""
+    via mapInPandas (``lang="pandas"``, Arrow-batched, never per-row).
 
-    def __init__(self, source: Callable, lang: str = "dataframe",
+    ``lang="javascript"`` takes the reference's OWN config shape (a
+    ``function process(event) {...}`` source STRING) and auto-translates
+    the declarative subset into native processors via
+    :mod:`beats_spark.processors.script_translate` — the script then
+    runs as column expressions with zero Python in the hot path.
+    Outside-subset scripts raise ``ScriptTranslationError`` at build
+    time (loud refusal; port those to ``lang="pandas"``)."""
+
+    def __init__(self, source: Callable | str, lang: str = "dataframe",
                  schema: T.StructType | str | None = None):
         self.source = source
         self.lang = lang
         self.schema = schema
+        if lang == "javascript":
+            from beats_spark.processors.script_translate import (
+                translate_script,
+            )
+
+            self._translated = translate_script(source)
 
     def transform(self, df: DataFrame) -> DataFrame:
+        if self.lang == "javascript":
+            from beats_spark.pipeline import build_pipeline
+
+            return build_pipeline(self._translated)(df)
         if self.lang == "dataframe":
             return self.source(df)
         if self.lang == "pandas":
