@@ -129,6 +129,79 @@ class _UdpSimpleReader(SimpleDataSourceStreamReader):
                 self._buf.popleft()
 
 
+PACKET_SCHEMA = "packet binary, exporter string, recv_seq long"
+
+
+class UdpPacketDataSource(DataSource):
+    """``spark.readStream.format("udp_packets")`` — the BINARY twin of
+    ``udp_lines``: one row per whole datagram, bytes untouched. This
+    is the wire for the netflow/IPFIX input (the reference's netflow
+    input IS a UDP listener, ``x-pack/filebeat/input/netflow/
+    input.go``): ``exporter`` is the peer address — exactly the
+    session key :func:`beats_spark.processors.netflow_v9.
+    parse_netflow_v9` groups templates by — and ``recv_seq`` the
+    arrival order its per-session replay sorts on."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "udp_packets"
+
+    def schema(self) -> str:
+        return PACKET_SCHEMA
+
+    def simpleStreamReader(self, schema):  # noqa: N802 (API name)
+        return _UdpPacketReader(self.options)
+
+
+class _UdpPacketReader(_UdpSimpleReader):
+    def _listen(self) -> None:
+        while True:
+            try:
+                data, addr = self._sock.recvfrom(65535)
+            except OSError:  # socket closed at shutdown
+                return
+            if not data:
+                continue
+            exporter = f"udp://{addr[0]}:{addr[1]}"
+            with self._lock:
+                self._seq += 1
+                self._buf.append((data, exporter, self._seq))
+
+
+def stream_udp_packets(
+    spark: SparkSession,
+    port: int,
+    host: str = "127.0.0.1",
+    max_batch: int = 10_000,
+) -> DataFrame:
+    """Raw-datagram stream: (packet, exporter, recv_seq) rows."""
+    spark.dataSource.register(UdpPacketDataSource)
+    return (
+        spark.readStream.format("udp_packets")
+        .option("host", host)
+        .option("port", port)
+        .option("maxBatchSize", max_batch)
+        .load()
+    )
+
+
+def stream_netflow_udp(
+    spark: SparkSession,
+    port: int,
+    host: str = "127.0.0.1",
+    max_batch: int = 10_000,
+) -> DataFrame:
+    """The reference's netflow input end to end: UDP listener →
+    per-session templated decode. Handles v9 and IPFIX datagrams on
+    the same port (version dispatch per packet); template state lives
+    in the streaming state store, so a template announced minutes ago
+    still decodes today's records across micro-batches."""
+    from beats_spark.processors.netflow_v9 import stream_netflow_v9
+
+    return stream_netflow_v9(stream_udp_packets(
+        spark, port, host=host, max_batch=max_batch))
+
+
 def udp_events(raw: DataFrame, message_key: str = "message") -> DataFrame:
     """Map the udp_lines frame onto the event schema. ``source`` is the
     per-datagram peer address (the reference's ``log.source.address``);
