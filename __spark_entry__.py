@@ -1506,7 +1506,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # neardup_profile, split_leakage_report, padding_stats,
     # length_resample, chat_loss_mask, preference_pairs,
     # log_corpus_bridge, token_budget_sample, netflow_parse,
-    # netflow_v9_parse, ipfix_parse,
+    # netflow_v9_parse, ipfix_parse, token_shard_export,
     # plus the four rotated-out r2 queries above.
 ]
 

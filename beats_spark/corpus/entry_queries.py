@@ -1528,6 +1528,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_embedding": q_hashed_embedding,
         "detokenize": q_detokenize,
         "repeat_ngram_mask": q_repeat_ngram_mask,
+        "token_shard_export": q_token_shard_export,
     }
 
 
@@ -1644,6 +1645,7 @@ def corpus_oracles() -> dict[str, str]:
             h32w=H32_SQL.format(expr="w"),
             vocab=_TOKVOCAB,
         ),
+        "token_shard_export": _TOKEN_SHARD_EXPORT_SQL,
     }
 
 
@@ -4096,3 +4098,41 @@ def q_split_leakage_safe(spark, sf_dir):
     cl = dedup.neardup_resolve(pairs, docs)
     out = toks.split_assign(cl, by_col="canonical_id")
     return out.select("doc_id", "canonical_id", "split")
+
+
+def q_token_shard_export(spark, sf_dir):
+    """Binary token-shard export (the trainer-facing ``.bin``/``.idx``
+    sink, corpus/shard_export.py): tokenize → deterministic shard
+    shuffle → one uint16 blob + index per shard, verified here through
+    the per-shard stats the write itself emits. Reference analogue:
+    the file output, libbeat/outputs/fileout/file.go."""
+    import tempfile
+
+    from beats_spark.corpus import shard_export as se
+
+    sh = toks.shuffle_shards(toks.tokenize_ids(_docs(spark, sf_dir)),
+                             n_shards=8)
+    out = tempfile.mkdtemp(prefix="qshardexp_")
+    return se.export_token_shards(
+        sh, out, shard_col="shard", order_cols=("sort_key", "doc_id"),
+        dtype="uint16",
+    )
+
+
+_TOKEN_SHARD_EXPORT_SQL = f"""
+WITH {_TOKENIZE_SQL},
+sh AS (
+  SELECT doc_id, toks,
+         ({H32_SQL.format(expr="'shuffle:' || doc_id")} % 8) AS shard
+  FROM tk
+)
+SELECT shard::INT AS shard,
+       count(*)::BIGINT AS n_seqs,
+       coalesce(sum(len(toks)), 0)::BIGINT AS n_tokens,
+       (coalesce(sum(len(toks)), 0) * 2)::BIGINT AS n_bytes,
+       coalesce(sum(list_aggregate(toks, 'sum')), 0)::BIGINT AS token_sum,
+       min(list_aggregate(toks, 'min'))::BIGINT AS token_min,
+       max(list_aggregate(toks, 'max'))::BIGINT AS token_max
+FROM sh
+GROUP BY shard
+"""

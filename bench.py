@@ -115,6 +115,7 @@ HEADLINE = [
     "netflow_parse",
     "netflow_v9_parse",
     "ipfix_parse",
+    "token_shard_export",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

@@ -179,6 +179,9 @@ AUDITED = {
     "detokenize": dict(broadcast=True),
     # gram min-start hash agg + per-doc mask transform — equi-joins only
     "repeat_ngram_mask": dict(),
+    # shard export: ONE hash repartition on shard + sortWithinPartitions
+    # + a streaming mapInPandas writer — no join anywhere
+    "token_shard_export": dict(),
     # script composition: pure regexp length-deltas, one codegen pass
     "script_stats": dict(),
     # merge learning is eager at plan build (bpe_apply discipline);

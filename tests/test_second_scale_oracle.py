@@ -48,6 +48,9 @@ ORDER_SENSITIVE = [
     # rec_pos is a per-packet rank; session replay sorts on recv_seq
     "netflow_v9_parse",
     "ipfix_parse",
+    # shard files are written in sortWithinPartitions order; the stats
+    # rows prove the same bytes land at any scale
+    "token_shard_export",
 ]
 
 
