@@ -1529,6 +1529,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detokenize": q_detokenize,
         "repeat_ngram_mask": q_repeat_ngram_mask,
         "token_shard_export": q_token_shard_export,
+        "batch_schedule": q_batch_schedule,
     }
 
 
@@ -1646,6 +1647,7 @@ def corpus_oracles() -> dict[str, str]:
             vocab=_TOKVOCAB,
         ),
         "token_shard_export": _TOKEN_SHARD_EXPORT_SQL,
+        "batch_schedule": _BATCH_SCHEDULE_SQL,
     }
 
 
@@ -4135,4 +4137,36 @@ SELECT shard::INT AS shard,
        max(list_aggregate(toks, 'max'))::BIGINT AS token_max
 FROM sh
 GROUP BY shard
+"""
+
+
+def q_batch_schedule(spark, sf_dir):
+    """Data-parallel batch schedule over the documents table: global
+    shard-major order → (step, dp_rank, slot) per doc, trailing
+    partial global batch dropped (tokens.batch_schedule)."""
+    out = toks.batch_schedule(_docs(spark, sf_dir), global_batch=256,
+                              n_ranks=8, n_shards=64)
+    return out.select("doc_id", "shard", "global_pos", "step",
+                      "dp_rank", "slot")
+
+
+_BATCH_SCHEDULE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         {H32_SQL.format(expr="'shuffle:' || doc_id")} AS sort_key
+  FROM documents
+),
+p AS (
+  SELECT doc_id, (sort_key % 64) AS shard, sort_key,
+         row_number() OVER (ORDER BY (sort_key % 64), sort_key, doc_id)
+           - 1 AS pos
+  FROM sh
+),
+t AS (SELECT count(*) AS n FROM sh)
+SELECT doc_id, shard::INT AS shard, pos::BIGINT AS global_pos,
+       (pos // 256)::BIGINT AS step,
+       ((pos % 256) // 32)::INT AS dp_rank,
+       (pos % 32)::INT AS slot
+FROM p, t
+WHERE pos < (n // 256) * 256
 """

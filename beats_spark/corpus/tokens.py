@@ -1691,3 +1691,69 @@ def token_budget_sample(df: DataFrame, budget,
     return cum.select(
         id_col, "source", "n_tok", "cum_tok", kept.alias("kept")
     )
+
+
+def batch_schedule(df: DataFrame, global_batch: int = 256,
+                   n_ranks: int = 8, id_col: str = "doc_id",
+                   n_shards: int = 64, salt: str = "shuffle",
+                   drop_last: bool = True) -> DataFrame:
+    """Deterministic data-parallel batch schedule — the last mile
+    between :func:`shuffle_shards` and the training loop: which
+    optimizer ``step``, data-parallel rank (``dp_rank``), and
+    within-rank ``slot`` consumes each (packed) sequence. The global
+    consumption order is shard-major (shard asc, then sort_key, id
+    within the shard — exactly the order :func:`shuffle_shards`
+    documents for readers), so ``global_pos`` = shard base offset +
+    within-shard rank, ``step = pos // global_batch``,
+    ``dp_rank = (pos % global_batch) // (global_batch / n_ranks)``,
+    ``slot = pos % (global_batch / n_ranks)``. ``drop_last`` trims the
+    trailing partial global batch, mirroring trainer loaders; any
+    worker can recompute any slice with no RNG state (the
+    :func:`epoch_schedule` property, extended to step granularity).
+
+    Scale: within-shard positions come from per-shard windows (size a
+    shard to ~corpus/n_shards rows); shard base offsets are a
+    #shards-row aggregate windowed at that size and broadcast back —
+    no global window, no RangePartitioner sampling (the
+    :func:`token_budget_sample` discipline). step/rank arithmetic uses
+    floor-of-double division: exact below 2^53 positions, i.e. any
+    real corpus. Returns (id, shard, global_pos, step, dp_rank, slot).
+    """
+    if n_ranks < 1 or global_batch < 1 or global_batch % n_ranks:
+        raise ValueError(
+            f"global_batch ({global_batch}) must be a positive multiple "
+            f"of n_ranks ({n_ranks})"
+        )
+    per_rank = global_batch // n_ranks
+    sh = shuffle_shards(df.select(id_col), n_shards=n_shards,
+                        id_col=id_col, salt=salt)
+    counts = sh.groupBy("shard").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1)
+    wtot = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    off = counts.select(
+        "shard",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_n").over(wtot).alias("_total"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    pos = (F.col("_off") + F.row_number().over(w) - 1).cast("long")
+    out = (
+        sh.join(F.broadcast(off), "shard")
+        .withColumn("global_pos", pos)
+        .withColumn("step",
+                    F.floor(F.col("global_pos") / global_batch).cast("long"))
+        .withColumn(
+            "dp_rank",
+            F.floor(F.pmod(F.col("global_pos"), global_batch) / per_rank)
+            .cast("int"),
+        )
+        .withColumn("slot",
+                    F.pmod(F.col("global_pos"), per_rank).cast("int"))
+    )
+    if drop_last:
+        full = F.col("_total") - F.pmod(F.col("_total"), F.lit(global_batch))
+        out = out.filter(F.col("global_pos") < full)
+    return out.select(id_col, "shard", "global_pos", "step", "dp_rank",
+                      "slot")

@@ -116,6 +116,7 @@ HEADLINE = [
     "netflow_v9_parse",
     "ipfix_parse",
     "token_shard_export",
+    "batch_schedule",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

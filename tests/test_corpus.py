@@ -2389,6 +2389,43 @@ def test_epoch_schedule_distinct_per_epoch_permutations(spark):
     assert a == b
 
 
+def test_batch_schedule_partitions_positions_into_steps(spark):
+    import pytest as _pytest
+
+    from beats_spark.corpus.tokens import batch_schedule, shuffle_shards
+
+    df = spark.createDataFrame([(str(i),) for i in range(433)],
+                               "doc_id string")
+    out = batch_schedule(df, global_batch=32, n_ranks=4, n_shards=8).collect()
+    # drop_last trims the trailing partial batch: 433 -> 13 full batches
+    assert len(out) == 416
+    assert sorted(r["global_pos"] for r in out) == list(range(416))
+    for r in out:
+        assert r["step"] == r["global_pos"] // 32
+        assert r["dp_rank"] == (r["global_pos"] % 32) // 8
+        assert r["slot"] == r["global_pos"] % 8
+    # every (step, rank, slot) cell is occupied exactly once
+    cells = {(r["step"], r["dp_rank"], r["slot"]) for r in out}
+    assert len(cells) == 416
+    # global order is shard-major over the shuffle_shards permutation
+    sh = {r["doc_id"]: (r["shard"], r["sort_key"])
+          for r in shuffle_shards(df, n_shards=8).collect()}
+    expect = sorted(sh, key=lambda d: (*sh[d], d))[:416]
+    got = [r["doc_id"] for r in sorted(out, key=lambda r: r["global_pos"])]
+    assert got == expect
+    # layout-independent
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, batch_schedule(
+        df.repartition(7), global_batch=32, n_ranks=4, n_shards=8).collect()))
+    assert a == b
+    # keep-all mode pads out the tail positions
+    full = batch_schedule(df, global_batch=32, n_ranks=4, n_shards=8,
+                          drop_last=False)
+    assert full.count() == 433
+    with _pytest.raises(ValueError):
+        batch_schedule(df, global_batch=30, n_ranks=4)
+
+
 def test_corpus_report_hand_case(spark):
     from beats_spark.corpus.textstats import corpus_report
 

@@ -51,6 +51,8 @@ ORDER_SENSITIVE = [
     # shard files are written in sortWithinPartitions order; the stats
     # rows prove the same bytes land at any scale
     "token_shard_export",
+    # global_pos = broadcast shard offsets + per-shard window rank
+    "batch_schedule",
 ]
 
 
