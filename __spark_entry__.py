@@ -1186,6 +1186,72 @@ FROM events
 """
 
 
+def q_decode_cef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEF codec round trip (§2.4, x-pack decode_cef processor,
+    decode_cef.go:60-140 + cef/cef.rl grammar): event fields render
+    into real CEF lines — header values with pipes/backslashes,
+    extension values with equals/backslashes, all escaped — and the
+    production decoder parses them back. The oracle computes the same
+    fields directly in SQL, so a hash match certifies
+    ``decode ∘ encode = identity`` incl. both escape alphabets, the
+    full-name key translation, and the typed ECS columns."""
+    from beats_spark.processors.cef import decode_cef, encode_cef
+
+    ev = _t(spark, sf_dir, "events")
+    src_ip = F.concat(
+        F.lit("10."), F.pmod("user_id", F.lit(200)).cast("string"),
+        F.lit(".0."), F.pmod("event_id", F.lit(250)).cast("string"),
+    )
+    msg = F.concat(
+        F.lit("v="), F.round(F.col("value") * 100).cast("long").cast("string"),
+        F.lit(" path c:\\tmp"),
+    )
+    enc = encode_cef(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        version=0,
+        device_vendor="secu|rity\\corp",
+        device_product=F.col("event_type"),
+        device_version="1.0",
+        device_event_class_id=F.pmod("event_id", F.lit(100)),
+        name=F.concat(F.lit("evt="), F.col("event_type")),
+        severity=F.pmod("event_id", F.lit(11)),
+        extensions={
+            "src": src_ip,
+            "spt": F.pmod("event_id", F.lit(65536)),
+            "msg": msg,
+            "eventId": F.col("event_id"),
+        },
+    )
+    dec = decode_cef(enc.select("message"))
+    return dec.select(
+        F.col("cef_event_id").alias("event_id"),
+        F.col("cef")["version"].alias("version"),
+        F.col("cef")["device_vendor"].alias("device_vendor"),
+        F.col("cef")["device_product"].alias("device_product"),
+        F.col("cef")["device_event_class_id"].alias("class_id"),
+        F.col("cef")["name"].alias("name"),
+        F.col("cef")["severity"].alias("severity"),
+        F.col("source_ip"),
+        F.col("source_port"),
+        F.col("cef_message"),
+    )
+
+
+_Q_DECODE_CEF_SQL = r"""
+SELECT event_id,
+       0::INT AS version,
+       'secu|rity\corp' AS device_vendor,
+       event_type AS device_product,
+       (event_id % 100)::VARCHAR AS class_id,
+       'evt=' || event_type AS name,
+       (event_id % 11)::VARCHAR AS severity,
+       '10.' || (user_id % 200) || '.0.' || (event_id % 250) AS source_ip,
+       (event_id % 65536)::INT AS source_port,
+       'v=' || round(value * 100)::BIGINT || ' path c:\tmp' AS cef_message
+FROM events
+"""
+
+
 def q_sink_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bulk per-item triage (§2.7): status → outcome ladder
     (elasticsearch/client.go:390-420), dropped class diverted to the
@@ -1507,7 +1573,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # length_resample, chat_loss_mask, preference_pairs,
     # log_corpus_bridge, token_budget_sample, netflow_parse,
     # netflow_v9_parse, ipfix_parse, token_shard_export,
-    # batch_schedule, plus the four rotated-out r2 queries above.
+    # batch_schedule, decode_cef, plus the four rotated-out r2
+    # queries above.
 ]
 
 
@@ -1549,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netflow_parse": q_netflow_parse,
         "netflow_v9_parse": q_netflow_v9_parse,
         "ipfix_parse": q_ipfix_parse,
+        "decode_cef": q_decode_cef,
     }
     q.update(corpus_queries())
     ordered = {k: q[k] for k in _DRIVER_WINDOW_PRIORITY}
@@ -1594,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
         "netflow_parse": _netflow_oracle_sql(),
         "netflow_v9_parse": _netflow_v9_oracle_sql(),
         "ipfix_parse": _netflow_v9_oracle_sql(ipfix=True),
+        "decode_cef": _Q_DECODE_CEF_SQL,
     }
     o.update(corpus_oracles())
     return o

@@ -116,6 +116,45 @@ class AddProcessMetadata(LookupJoin):
         super().__init__(dim, on=on, prefix=prefix, fields=fields)
 
 
+@register("add_nomad_metadata")
+class AddNomadMetadata(LookupJoin):
+    """Allocation-id → Nomad job/task metadata. The ``logs_path``
+    matcher extracts the allocation UUID from the harvested file path
+    (x-pack/filebeat/processors/add_nomad_metadata/matchers.go:55-92:
+    path must contain logs_path, first UUID in the path is the key;
+    otherwise the event stays unenriched), then the broadcast dim
+    stands in for the agent's allocation watcher cache."""
+
+    _ALLOC_ID_RX = (
+        "[a-fA-F0-9]{8}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-"
+        "[a-fA-F0-9]{4}-[a-fA-F0-9]{12}"
+    )
+    _KEY = "_nomad_alloc_id"
+
+    def __init__(self, dim: DataFrame, path_col: str = "source",
+                 logs_path: str = "/var/lib/nomad", prefix: str = "nomad_",
+                 fields: list[str] | None = None):
+        super().__init__(dim, on=self._KEY, dim_key="allocation_id",
+                         prefix=prefix, fields=fields)
+        self.path_col = path_col
+        self.logs_path = logs_path.rstrip("/") + "/"
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        extracted = F.regexp_extract(
+            F.col(self.path_col), self._ALLOC_ID_RX, 0
+        )
+        key = F.when(
+            F.col(self.path_col).contains(self.logs_path)
+            & (extracted != ""),
+            extracted,
+        )
+        return (
+            super()
+            .transform(df.withColumn(self._KEY, key))
+            .drop(self._KEY)
+        )
+
+
 @register("translate")
 class Translate(LookupJoin):
     """Generic value→value translation dim join (the translate_sid

@@ -117,6 +117,7 @@ HEADLINE = [
     "ipfix_parse",
     "token_shard_export",
     "batch_schedule",
+    "decode_cef",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the

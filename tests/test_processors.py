@@ -273,6 +273,32 @@ def test_lookup_enrichment_broadcast(spark, df):
     assert "BroadcastHashJoin" in plan
 
 
+def test_add_nomad_metadata_logs_path_matcher(spark):
+    alloc = "389d1bc4-fae4-6956-9f66-6df59a0f11f0"
+    dim = spark.createDataFrame(
+        [(alloc, "web", "frontend")],
+        "allocation_id string, job string, task string",
+    )
+    df = spark.createDataFrame(
+        [
+            # matcher path: logs_path prefix + UUID → enriched
+            (1, f"/var/lib/nomad/alloc/{alloc}/alloc/logs/app.stderr.0"),
+            # outside logs_path → MetadataIndex "" → unenriched
+            (2, f"/other/alloc/{alloc}/alloc/logs/app.stdout.0"),
+            # under logs_path but no UUID → unenriched
+            (3, "/var/lib/nomad/alloc/not-a-uuid/logs/app.stdout.0"),
+        ],
+        "id int, source string",
+    )
+    out = run(df, {"add_nomad_metadata": {"dim": dim}})
+    assert rows(out, "id", "nomad_job", "nomad_task") == [
+        (1, "web", "frontend"), (2, None, None), (3, None, None),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "_nomad_alloc_id" not in out.columns
+
+
 def test_dns_append_and_tag(spark):
     df = spark.createDataFrame([("8.8.8.8",), ("9.9.9.9",)], "ip string")
     dim = spark.createDataFrame([("8.8.8.8", "dns.google")], "ip string, hostname string")
