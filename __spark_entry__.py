@@ -1573,8 +1573,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # length_resample, chat_loss_mask, preference_pairs,
     # log_corpus_bridge, token_budget_sample, netflow_parse,
     # netflow_v9_parse, ipfix_parse, token_shard_export,
-    # batch_schedule, decode_cef, plus the four rotated-out r2
-    # queries above.
+    # batch_schedule, step_token_balance, decode_cef, plus the four
+    # rotated-out r2 queries above.
 ]
 
 

@@ -1530,6 +1530,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_ngram_mask": q_repeat_ngram_mask,
         "token_shard_export": q_token_shard_export,
         "batch_schedule": q_batch_schedule,
+        "step_token_balance": q_step_token_balance,
     }
 
 
@@ -1648,6 +1649,7 @@ def corpus_oracles() -> dict[str, str]:
         ),
         "token_shard_export": _TOKEN_SHARD_EXPORT_SQL,
         "batch_schedule": _BATCH_SCHEDULE_SQL,
+        "step_token_balance": _STEP_TOKEN_BALANCE_SQL,
     }
 
 
@@ -4169,4 +4171,52 @@ SELECT doc_id, shard::INT AS shard, pos::BIGINT AS global_pos,
        (pos % 32)::INT AS slot
 FROM p, t
 WHERE pos < (n // 256) * 256
+"""
+
+
+def q_step_token_balance(spark, sf_dir):
+    """Per-step DP-rank token-load imbalance over the batch schedule
+    (tokens.step_token_balance): one row per optimizer step with
+    min/max/total rank token loads and integer-ppm imbalance."""
+    d = _docs(spark, sf_dir)
+    from beats_spark.corpus.hashing import word_tokens
+
+    pool = d.select(
+        "doc_id", F.size(word_tokens(F.col("text"))).alias("n_tok")
+    )
+    out = toks.step_token_balance(pool, global_batch=256, n_ranks=8,
+                                  n_shards=64)
+    return out.select("step", "ranks", "step_tokens", "min_rank_tokens",
+                      "max_rank_tokens", "imbalance_ppm")
+
+
+_STEP_TOKEN_BALANCE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         {H32_SQL.format(expr="'shuffle:' || doc_id")} AS sort_key
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tok, (sort_key % 64) AS shard, sort_key,
+         row_number() OVER (ORDER BY (sort_key % 64), sort_key, doc_id)
+           - 1 AS pos
+  FROM sh
+),
+t AS (SELECT count(*) AS n FROM sh),
+kept AS (
+  SELECT doc_id, n_tok, (pos // 256) AS step, ((pos % 256) // 32) AS dp_rank
+  FROM p, t WHERE pos < (n // 256) * 256
+),
+pr AS (
+  SELECT step, dp_rank, sum(n_tok)::BIGINT AS rank_tokens
+  FROM kept GROUP BY 1, 2
+)
+SELECT step::BIGINT AS step,
+       count(*)::INT AS ranks,
+       sum(rank_tokens)::BIGINT AS step_tokens,
+       min(rank_tokens) AS min_rank_tokens,
+       max(rank_tokens) AS max_rank_tokens,
+       ((max(rank_tokens) * 1000000 * 8) // sum(rank_tokens))::BIGINT
+         AS imbalance_ppm
+FROM pr GROUP BY step
 """

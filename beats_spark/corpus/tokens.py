@@ -1757,3 +1757,44 @@ def batch_schedule(df: DataFrame, global_batch: int = 256,
         out = out.filter(F.col("global_pos") < full)
     return out.select(id_col, "shard", "global_pos", "step", "dp_rank",
                       "slot")
+
+
+def step_token_balance(df: DataFrame, global_batch: int = 256,
+                       n_ranks: int = 8, id_col: str = "doc_id",
+                       tok_col: str = "n_tok", n_shards: int = 64,
+                       salt: str = "shuffle",
+                       drop_last: bool = True) -> DataFrame:
+    """Per-step data-parallel token-load datacard: how evenly
+    :func:`batch_schedule`'s (step, rank) assignment spreads TOKENS —
+    the straggler signal a trainer actually feels (a step is as slow
+    as its heaviest rank; sequence-count balance is perfect by
+    construction, token balance is not unless sequences are packed to
+    uniform length). One row per step: per-rank min/max/total token
+    loads and ``imbalance_ppm`` = max-rank share of a perfectly even
+    split, in parts-per-million (1e6 = perfectly balanced, 2e6 = the
+    slowest rank carries 2x its fair share).
+
+    Scale: the schedule join is the only shuffle beyond
+    :func:`batch_schedule`'s own (hash join on the id), then two
+    partial+final hash aggregates of #steps x n_ranks and #steps rows.
+    Integer ppm (floored) for cross-engine bit parity.
+    """
+    sched = batch_schedule(df, global_batch=global_batch, n_ranks=n_ranks,
+                           id_col=id_col, n_shards=n_shards, salt=salt,
+                           drop_last=drop_last)
+    j = sched.select(id_col, "step", "dp_rank").join(
+        df.select(id_col, tok_col), id_col
+    )
+    per_rank = j.groupBy("step", "dp_rank").agg(
+        F.sum(tok_col).cast("long").alias("rank_tokens")
+    )
+    return per_rank.groupBy("step").agg(
+        F.count(F.lit(1)).cast("int").alias("ranks"),
+        F.sum("rank_tokens").alias("step_tokens"),
+        F.min("rank_tokens").alias("min_rank_tokens"),
+        F.max("rank_tokens").alias("max_rank_tokens"),
+        F.expr(
+            f"(max(rank_tokens) * 1000000 * {int(n_ranks)})"
+            " div sum(rank_tokens)"
+        ).alias("imbalance_ppm"),
+    )

@@ -117,6 +117,7 @@ HEADLINE = [
     "ipfix_parse",
     "token_shard_export",
     "batch_schedule",
+    "step_token_balance",
     "decode_cef",
 ]
 

@@ -2426,6 +2426,35 @@ def test_batch_schedule_partitions_positions_into_steps(spark):
         batch_schedule(df, global_batch=30, n_ranks=4)
 
 
+def test_step_token_balance_hand_math(spark):
+    from collections import defaultdict
+
+    from beats_spark.corpus.tokens import batch_schedule, step_token_balance
+
+    df = spark.createDataFrame(
+        [(str(i), 10 + (i * 7) % 23) for i in range(37)],
+        "doc_id string, n_tok int",
+    )
+    out = {r["step"]: r for r in
+           step_token_balance(df, global_batch=8, n_ranks=2,
+                              n_shards=4).collect()}
+    assert len(out) == 4  # 37 docs -> 4 full batches of 8
+    # recompute from the schedule directly
+    toks = {r["doc_id"]: r["n_tok"] for r in df.collect()}
+    loads = defaultdict(int)
+    for r in batch_schedule(df, global_batch=8, n_ranks=2,
+                            n_shards=4).collect():
+        loads[(r["step"], r["dp_rank"])] += toks[r["doc_id"]]
+    for step, row in out.items():
+        ranks = [loads[(step, k)] for k in (0, 1)]
+        assert row["ranks"] == 2
+        assert row["step_tokens"] == sum(ranks)
+        assert row["min_rank_tokens"] == min(ranks)
+        assert row["max_rank_tokens"] == max(ranks)
+        assert row["imbalance_ppm"] == max(ranks) * 1000000 * 2 // sum(ranks)
+        assert row["imbalance_ppm"] >= 1000000
+
+
 def test_corpus_report_hand_case(spark):
     from beats_spark.corpus.textstats import corpus_report
 

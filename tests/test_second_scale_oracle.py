@@ -53,6 +53,8 @@ ORDER_SENSITIVE = [
     "token_shard_export",
     # global_pos = broadcast shard offsets + per-shard window rank
     "batch_schedule",
+    # aggregates over batch_schedule's order-derived (step, rank) cells
+    "step_token_balance",
 ]
 
 
