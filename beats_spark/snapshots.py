@@ -212,15 +212,27 @@ class SnapshotTable:
                 dirs: list[dict] = []
             else:
                 dirs = list(self._manifest(latest)["dirs"])
-            # a retried commit_id must not appear twice in the visible set
-            dirs = [d for d in dirs if d["commit_id"] != commit_id]
-            dirs.append(
-                {
-                    "commit_id": commit_id,
-                    "dir": dname,
-                    "replace_where": replace_where,
-                }
+            # a retried commit_id must not appear twice in the visible
+            # set — and it must keep its ORIGINAL position: read()'s
+            # replace_where masking is ordered by this list, so
+            # re-appending a retry would promote it past commits that
+            # landed after the first attempt and mask their rows (a
+            # retried replace_partitions batch would swallow newer
+            # appends that match its predicate)
+            entry = {
+                "commit_id": commit_id,
+                "dir": dname,
+                "replace_where": replace_where,
+            }
+            idx = next(
+                (i for i, d in enumerate(dirs)
+                 if d["commit_id"] == commit_id),
+                None,
             )
+            if idx is None:
+                dirs.append(entry)
+            else:
+                dirs[idx] = entry
             ids = self._manifest_ids()
             snap = (ids[-1] if ids else 0) + 1
             manifest = {

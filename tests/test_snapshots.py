@@ -76,6 +76,34 @@ def test_replace_partitions_masks_older_dirs(spark, tmp_path):
                  mode="replace_partitions")
 
 
+def test_retried_replace_partitions_keeps_visibility_order(spark, tmp_path):
+    """A retried commit_id keeps its ORIGINAL position in the visible
+    set: read()'s replace_where masking is list-ordered, so if the
+    retry were re-appended it would mask rows of commits that landed
+    AFTER the first attempt (here: c3's day-d2 append would vanish
+    under c2's day='d2' predicate)."""
+    day_df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, v string, day string"
+    )
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(day_df([(1, "a", "d1"), (2, "b", "d2")]), commit_id="c1")
+    t.commit(
+        day_df([(3, "fix", "d2")]), commit_id="c2",
+        mode="replace_partitions", replace_where="day = 'd2'",
+    )
+    t.commit(day_df([(4, "later", "d2")]), commit_id="c3")
+    before = {r["id"] for r in t.read(spark).collect()}
+    assert before == {1, 3, 4}
+    # replay batch c2 (same predicate, fresh directory)
+    t.commit(
+        day_df([(3, "fix-retry", "d2")]), commit_id="c2",
+        mode="replace_partitions", replace_where="day = 'd2'",
+    )
+    rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    # c3's newer d2 row MUST survive the retried c2's predicate
+    assert rows == {1: "a", 3: "fix-retry", 4: "later"}
+
+
 def test_uncommitted_data_is_invisible_and_expirable(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"))
     t.commit(_df(spark, [(1, "a")]), commit_id="c1")
