@@ -1252,6 +1252,269 @@ FROM events
 """
 
 
+def _h8(seed: str) -> F.Column:
+    """8-hex-char md5 slice of event_id — the deterministic value
+    generator shared by the module-codec round-trip queries."""
+    return F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit(seed))), 1, 8
+    )
+
+
+def q_module_tidb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TiDB module, unified log format (filebeat/module/tidb/tidb —
+    shared by tikv/pd/tiflash/ticdc): events render into real
+    ``[time] [level] [logger] ["msg"] [k=v]...`` lines, then the
+    production parser (``beats_spark/modules.py``) takes them apart.
+    Six line variants exercise the module script's branch points —
+    no kvs, unquoted message (NULL message put), kv-regex abort
+    (body retained, earlier kvs kept), quoted keys/values, last-wins
+    duplicates — plus +08:00-zone timestamps. The oracle computes
+    every output column directly from the same md5 derivations."""
+    from beats_spark.modules import unified_log_parse
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    u = _h8("u")
+    k = F.conv(F.substring(_h8("k"), 1, 4), 16, 10).cast("long")
+    k = F.pmod(k, F.lit(1000)).cast("string")
+    msg = F.concat(F.lit("evt "), _h8("m"))
+    ts = F.timestamp_millis(
+        F.lit(1704067200000) + eid * 1000 + F.pmod(eid, F.lit(1000))
+    )
+    t_str = F.when(
+        F.pmod(eid, F.lit(5)) == 0,
+        F.concat(
+            F.date_format(
+                ts + F.expr("INTERVAL 8 HOURS"), "yyyy/MM/dd HH:mm:ss.SSS"
+            ),
+            F.lit(" +08:00"),
+        ),
+    ).otherwise(
+        F.concat(F.date_format(ts, "yyyy/MM/dd HH:mm:ss.SSS"),
+                 F.lit(" +00:00"))
+    )
+    level = (
+        F.when(F.pmod(eid, F.lit(3)) == 0, "INFO")
+        .when(F.pmod(eid, F.lit(3)) == 1, "WARN")
+        .otherwise("ERROR")
+    )
+    logger = F.concat(
+        F.lit("w"), F.pmod(eid, F.lit(9)).cast("string"),
+        F.lit(".go:"), F.pmod(eid, F.lit(999)).cast("string"),
+    )
+    qmsg = F.concat(F.lit('["'), msg, F.lit('"]'))
+    body = (
+        F.when(F.pmod(eid, F.lit(13)) == 0, qmsg)
+        .when(
+            F.pmod(eid, F.lit(11)) == 0,
+            F.concat(F.lit("[plain-"), _h8("p"), F.lit("] [uuid="), u,
+                     F.lit("] [n="), k, F.lit("]")),
+        )
+        .when(
+            F.pmod(eid, F.lit(7)) == 0,
+            F.concat(qmsg, F.lit(" [uuid="), u, F.lit("] [bad=] [n="), k,
+                     F.lit("]")),
+        )
+        .when(
+            F.pmod(eid, F.lit(9)) == 0,
+            F.concat(qmsg, F.lit(' ["k spc"='), u, F.lit('] [q="a b"]')),
+        )
+        .when(
+            F.pmod(eid, F.lit(17)) == 0,
+            F.concat(qmsg, F.lit(" [n=1] [n="), k, F.lit("]")),
+        )
+        .otherwise(
+            F.concat(qmsg, F.lit(" [uuid="), u, F.lit("] [n="), k,
+                     F.lit("]"))
+        )
+    )
+    line = F.concat(
+        F.lit("["), t_str, F.lit("] ["), level, F.lit("] ["), logger,
+        F.lit("] "), body,
+    )
+    parsed = unified_log_parse(ev.select("event_id",
+                                         line.alias("message")))
+    kv_csv = F.array_join(
+        F.transform(
+            F.sort_array(F.map_entries("kv")),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ";",
+    )
+    return parsed.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("at"),
+        F.col("log_level").alias("level"),
+        F.col("log_logger").alias("logger"),
+        "message",
+        "body",
+        kv_csv.alias("kv_csv"),
+    )
+
+
+_Q_MODULE_TIDB_SQL = """
+WITH f AS (
+  SELECT event_id,
+         substr(md5(event_id::VARCHAR || 'u'), 1, 8) AS u,
+         (('0x' || substr(md5(event_id::VARCHAR || 'k'), 1, 4))::BIGINT
+          % 1000)::VARCHAR AS k,
+         'evt ' || substr(md5(event_id::VARCHAR || 'm'), 1, 8) AS msg,
+         make_timestamp(1704067200000000
+                        + (event_id * 1000 + event_id % 1000) * 1000) AS t,
+         CASE WHEN event_id % 13 = 0 THEN 'nokv'
+              WHEN event_id % 11 = 0 THEN 'plain'
+              WHEN event_id % 7 = 0 THEN 'abort'
+              WHEN event_id % 9 = 0 THEN 'quoted'
+              WHEN event_id % 17 = 0 THEN 'dup'
+              ELSE 'std' END AS variant
+  FROM events
+)
+SELECT event_id,
+       strftime(t, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS at,
+       CASE WHEN event_id % 3 = 0 THEN 'INFO'
+            WHEN event_id % 3 = 1 THEN 'WARN' ELSE 'ERROR' END AS level,
+       'w' || (event_id % 9) || '.go:' || (event_id % 999) AS logger,
+       CASE WHEN variant = 'plain' THEN NULL ELSE msg END AS message,
+       CASE WHEN variant = 'abort'
+            THEN '["' || msg || '"] [uuid=' || u || '] [bad=] [n=' || k
+                 || ']'
+            ELSE NULL END AS body,
+       CASE variant
+            WHEN 'nokv' THEN ''
+            WHEN 'plain' THEN 'n=' || k || ';uuid=' || u
+            WHEN 'abort' THEN 'uuid=' || u
+            WHEN 'quoted' THEN 'k spc=' || u || ';q=a b'
+            WHEN 'dup' THEN 'n=' || k
+            ELSE 'n=' || k || ';uuid=' || u END AS kv_csv
+FROM f
+"""
+
+
+def q_module_slowlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TiDB slow-log module (filebeat/module/tidb/slowlog): events
+    render into ``# Time:``-delimited blocks — ``key: value`` comment
+    lines plus SQL text — and ``slowlog_parse`` recovers the typed
+    fields. Covers the JS number test's both outcomes (constructed
+    floats → kv_num; a sub-1e-6 decimal, booleans, digests →
+    kv_str), the Txn_start_ts/Conn_ID string forcing, and multi-line
+    query concatenation. The oracle knows each field by
+    construction."""
+    from beats_spark.modules import slowlog_parse
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+
+    def hl(seed: str) -> F.Column:
+        return F.conv(_h8(seed), 16, 10).cast("long")
+
+    qts = F.concat(
+        (F.pmod(hl("a"), F.lit(9)) + 1).cast("string"), F.lit("."),
+        F.lpad(F.pmod(hl("b"), F.lit(10000000)).cast("string"), 7, "0"),
+        (F.pmod(hl("c"), F.lit(9)) + 1).cast("string"),
+    )
+    mem = F.pmod(hl("d"), F.lit(100000)).cast("string")
+    txn = F.concat(
+        F.lit("4266067801"),
+        F.lpad(F.pmod(hl("e"), F.lit(100000000)).cast("string"), 8, "0"),
+    )
+    is_int = F.when(F.pmod(eid, F.lit(2)) == 0, "true").otherwise("false")
+    dig = F.md5(F.concat(eid.cast("string"), F.lit("g")))
+    sub_micro = F.pmod(eid, F.lit(3)) == 0
+    wts = F.when(sub_micro, F.lit("0.0000001")).otherwise(
+        F.concat(
+            (F.pmod(hl("f"), F.lit(9)) + 1).cast("string"), F.lit("."),
+            F.lpad(F.pmod(hl("w"), F.lit(10000000)).cast("string"), 7, "0"),
+            (F.pmod(hl("x"), F.lit(9)) + 1).cast("string"),
+        )
+    )
+    ts = F.timestamp_millis(
+        F.lit(1704067200000) + eid * 1000 + F.pmod(eid, F.lit(1000))
+    )
+    time_str = F.concat(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z"))
+    qline = F.when(
+        sub_micro,
+        F.concat(F.lit("select c"), eid.cast("string"),
+                 F.lit("\n from t;")),
+    ).otherwise(
+        F.concat(F.lit("select c"), eid.cast("string"),
+                 F.lit(" from t where x = "), eid.cast("string"),
+                 F.lit(" ;"))
+    )
+    block = F.concat(
+        F.lit("# Time: "), time_str,
+        F.lit("\n# Txn_start_ts: "), txn,
+        F.lit("\n# Query_time: "), qts, F.lit(" Mem_max: "), mem,
+        F.lit("\n# Conn_ID: "), eid.cast("string"),
+        F.lit("\n# Is_internal: "), is_int,
+        F.lit("\n# Digest: "), dig,
+        F.lit("\n# Wait_TS: "), wts,
+        F.lit("\n"), qline,
+    )
+    parsed = slowlog_parse(ev.select("event_id", block.alias("message")))
+    return parsed.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("at"),
+        F.col("kv_str")["Query"].alias("query"),
+        F.col("kv_num")["Query_time"].alias("query_time"),
+        F.col("kv_num")["Mem_max"].alias("mem_max"),
+        F.col("kv_str")["Txn_start_ts"].alias("txn_start_ts"),
+        F.col("kv_str")["Conn_ID"].alias("conn_id"),
+        F.col("kv_str")["Is_internal"].alias("is_internal"),
+        F.col("kv_str")["Digest"].alias("digest"),
+        F.col("kv_num")["Wait_TS"].alias("wait_ts_num"),
+        F.col("kv_str")["Wait_TS"].alias("wait_ts_str"),
+        F.size("kv_num").cast("int").alias("n_num"),
+    )
+
+
+_Q_MODULE_SLOWLOG_SQL = """
+WITH h AS (
+  SELECT event_id,
+         (('0x' || substr(md5(event_id::VARCHAR || 'a'), 1, 8))::BIGINT
+          % 9 + 1)::VARCHAR
+         || '.'
+         || lpad((('0x' || substr(md5(event_id::VARCHAR || 'b'), 1, 8))
+                  ::BIGINT % 10000000)::VARCHAR, 7, '0')
+         || (('0x' || substr(md5(event_id::VARCHAR || 'c'), 1, 8))::BIGINT
+             % 9 + 1)::VARCHAR AS qts,
+         ('0x' || substr(md5(event_id::VARCHAR || 'd'), 1, 8))::BIGINT
+          % 100000 AS mem,
+         '4266067801'
+         || lpad((('0x' || substr(md5(event_id::VARCHAR || 'e'), 1, 8))
+                  ::BIGINT % 100000000)::VARCHAR, 8, '0') AS txn,
+         (('0x' || substr(md5(event_id::VARCHAR || 'f'), 1, 8))::BIGINT
+          % 9 + 1)::VARCHAR
+         || '.'
+         || lpad((('0x' || substr(md5(event_id::VARCHAR || 'w'), 1, 8))
+                  ::BIGINT % 10000000)::VARCHAR, 7, '0')
+         || (('0x' || substr(md5(event_id::VARCHAR || 'x'), 1, 8))::BIGINT
+             % 9 + 1)::VARCHAR AS wts,
+         event_id % 3 = 0 AS sub_micro,
+         make_timestamp(1704067200000000
+                        + (event_id * 1000 + event_id % 1000) * 1000) AS t
+  FROM events
+)
+SELECT event_id,
+       strftime(t, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS at,
+       CASE WHEN sub_micro
+            THEN 'select c' || event_id || ' from t;'
+            ELSE 'select c' || event_id || ' from t where x = '
+                 || event_id || ' ;' END AS query,
+       qts::DOUBLE AS query_time,
+       mem::DOUBLE AS mem_max,
+       txn AS txn_start_ts,
+       event_id::VARCHAR AS conn_id,
+       CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+         AS is_internal,
+       md5(event_id::VARCHAR || 'g') AS digest,
+       CASE WHEN sub_micro THEN NULL ELSE wts::DOUBLE END AS wait_ts_num,
+       CASE WHEN sub_micro THEN '0.0000001' ELSE NULL END AS wait_ts_str,
+       CASE WHEN sub_micro THEN 2 ELSE 3 END::INT AS n_num
+FROM h
+"""
+
+
 def q_sink_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bulk per-item triage (§2.7): status → outcome ladder
     (elasticsearch/client.go:390-420), dropped class diverted to the
@@ -1573,7 +1836,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # length_resample, chat_loss_mask, preference_pairs,
     # log_corpus_bridge, token_budget_sample, netflow_parse,
     # netflow_v9_parse, ipfix_parse, token_shard_export,
-    # batch_schedule, step_token_balance, decode_cef, plus the four
+    # batch_schedule, step_token_balance, decode_cef, module_tidb,
+    # module_slowlog, plus the four
     # rotated-out r2 queries above.
 ]
 
@@ -1617,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netflow_v9_parse": q_netflow_v9_parse,
         "ipfix_parse": q_ipfix_parse,
         "decode_cef": q_decode_cef,
+        "module_tidb": q_module_tidb,
+        "module_slowlog": q_module_slowlog,
     }
     q.update(corpus_queries())
     ordered = {k: q[k] for k in _DRIVER_WINDOW_PRIORITY}
@@ -1663,6 +1929,8 @@ def oracle_sql() -> dict[str, str]:
         "netflow_v9_parse": _netflow_v9_oracle_sql(),
         "ipfix_parse": _netflow_v9_oracle_sql(ipfix=True),
         "decode_cef": _Q_DECODE_CEF_SQL,
+        "module_tidb": _Q_MODULE_TIDB_SQL,
+        "module_slowlog": _Q_MODULE_SLOWLOG_SQL,
     }
     o.update(corpus_oracles())
     return o

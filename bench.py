@@ -119,6 +119,8 @@ HEADLINE = [
     "batch_schedule",
     "step_token_balance",
     "decode_cef",
+    "module_tidb",
+    "module_slowlog",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the
