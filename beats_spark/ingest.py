@@ -1,0 +1,1185 @@
+"""Elasticsearch ingest-pipeline compiler → one declarative Spark plan.
+
+The reference's standard modules (``filebeat/module/*/*/ingest/
+pipeline.yml|json`` — nginx, apache, mysql, system, kafka, redis,
+elasticsearch, haproxy, iis, traefik, …) do their real parsing not in
+Beats processors but in an Elasticsearch **ingest node pipeline** that
+Filebeat installs and references per event
+(``filebeat/fileset/pipelines.go``). A user switching from the
+reference therefore needs those pipeline definitions to run — this
+module compiles the declarative processor subset they use (21
+processor types across all 63 shipped pipelines: append, convert, csv,
+date, dissect, dot_expander, drop, foreach, geoip, grok, json, kv,
+lowercase, pipeline, remove, rename, script, set, split, urldecode,
+user_agent) into pure Spark column expressions over a flat event frame
+whose column names ARE the ES dotted field paths
+(``http.response.status_code``).
+
+Per-document failure semantics, vectorized: ES fails a *document* when
+a processor errors and runs its ``on_failure`` chain on just that
+document. Here a per-row boolean ``_ingest_failed`` guard threads
+through the chain — a failed row skips every later processor,
+``ignore_failure: true`` swallows the failure, a processor-level
+``on_failure`` chain runs guarded on exactly the failing rows (which
+then continue, recovered, like ES), and rows still failed at the end
+surface the message in ``error.message`` (or are dropped with
+``keep_failed=False``). All of this compiles to ``CASE WHEN`` wrappers
+— zero Python, zero extra scans, one projection per processor.
+
+``if`` conditions are **painless-lite**: the declarative Painless
+subset the module pipelines actually write (``ctx`` paths with ``?.``
+null-safety, ``==`` ``!=`` ``<`` ``>`` ``<=`` ``>=``, ``&&`` ``||``
+``!``, parentheses, string/number/boolean/null literals, ``.length``
+``.size()`` ``.isEmpty()`` ``.contains(x)`` ``.startsWith(x)``
+``.endsWith(x)``), compiled schema-aware to a boolean Column. Anything
+else refuses loudly at compile time. ``script`` processors refuse the
+same way — printing the Painless source so the porter sees exactly
+what to hand-translate — unless the caller supplies a substitution in
+``script_handlers`` (the policy established for goja JS in
+``processors/script_translate.py``).
+
+Scale shape: the compiled pipeline is a chain of narrow projections —
+no shuffle, no join (``geoip`` optionally broadcast-joins a
+caller-supplied lookup table), whole-stage codegen end to end except
+the documented Arrow paths inherited from the underlying processors.
+At 10^12 rows the plan is scan → project×k → sink.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re
+from dataclasses import dataclass, field as _dc_field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "IngestCompileError",
+    "compile_ingest_pipeline",
+    "load_ingest_pipeline",
+    "painless_condition",
+]
+
+FAILED = "_ingest_failed"
+ERRMSG = "_ingest_error"
+
+
+class IngestCompileError(ValueError):
+    """A pipeline uses something outside the supported declarative
+    subset. The message names the processor and, for ``script``, quotes
+    the source so the gap is visible, never silent."""
+
+
+def load_ingest_pipeline(text_or_path: str) -> dict:
+    """Parse a pipeline definition from YAML or JSON text (or a path
+    ending in .yml/.yaml/.json)."""
+    text = text_or_path
+    if text_or_path.endswith((".yml", ".yaml", ".json")):
+        with open(text_or_path) as f:
+            text = f.read()
+    stripped = text.lstrip()
+    if stripped.startswith("{"):
+        return _json.loads(text)
+    import yaml
+
+    return yaml.safe_load(text)
+
+
+def _c(name: str) -> Column:
+    """Column ref that treats dotted ES field paths as literal names."""
+    return F.col(f"`{name}`")
+
+
+def _has(df: DataFrame, name: str) -> bool:
+    return name in df.columns
+
+
+def _dtype(df: DataFrame, name: str) -> T.DataType | None:
+    for f in df.schema.fields:
+        if f.name == name:
+            return f.dataType
+    return None
+
+
+# ---------------------------------------------------------------------------
+# painless-lite `if` compiler
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<op>\|\||&&|==|!=|<=|>=|[()!<>\[\],])"
+    r"|(?P<str>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<dot>\?\.|\.)"
+    r"|(?P<ident>[A-Za-z_$][A-Za-z0-9_$]*))"
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            if src[pos:].strip() == "":
+                break
+            raise IngestCompileError(
+                f"painless-lite: cannot tokenize at {src[pos:pos+20]!r}"
+            )
+        pos = m.end()
+        for kind in ("op", "str", "num", "dot", "ident"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    out.append(("end", ""))
+    return out
+
+
+@dataclass
+class _Painless:
+    """Recursive-descent compiler for the module pipelines' condition
+    subset. Schema-aware: ``.length`` resolves to ``F.length`` on
+    strings and ``F.size`` on arrays/maps; a ``ctx`` path that matches
+    no column compiles to null (missing field), so ``== null`` /
+    ``!= null`` behave exactly like Painless null-safe access."""
+
+    src: str
+    df: DataFrame
+    toks: list[tuple[str, str]] = _dc_field(default_factory=list)
+    i: int = 0
+
+    def compile(self) -> Column:
+        self.toks = _tokenize(self.src)
+        col = self._or()
+        if self.toks[self.i][0] != "end":
+            raise IngestCompileError(
+                f"painless-lite: trailing input in {self.src!r} at "
+                f"{self.toks[self.i][1]!r}"
+            )
+        # three-valued → ES boolean: null condition means "don't run"
+        return F.coalesce(col, F.lit(False))
+
+    # -- grammar --
+    def _peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def _eat(self, val: str | None = None) -> tuple[str, str]:
+        t = self.toks[self.i]
+        if val is not None and t[1] != val:
+            raise IngestCompileError(
+                f"painless-lite: expected {val!r}, got {t[1]!r} in {self.src!r}"
+            )
+        self.i += 1
+        return t
+
+    def _or(self) -> Column:
+        left = self._and()
+        while self._peek()[1] == "||":
+            self._eat()
+            # painless || is short-circuit two-valued; coalesce each side
+            left = F.coalesce(left, F.lit(False)) | F.coalesce(
+                self._and(), F.lit(False)
+            )
+        return left
+
+    def _and(self) -> Column:
+        left = self._cmp()
+        while self._peek()[1] == "&&":
+            self._eat()
+            left = F.coalesce(left, F.lit(False)) & F.coalesce(
+                self._cmp(), F.lit(False)
+            )
+        return left
+
+    def _cmp(self) -> Column:
+        left, lnull = self._primary()
+        op = self._peek()[1]
+        if op not in ("==", "!=", "<", ">", "<=", ">="):
+            return left
+        self._eat()
+        right, rnull = self._primary()
+        if op == "==":
+            if rnull:
+                return left.isNull()
+            if lnull:
+                return right.isNull()
+            return left.eqNullSafe(right)
+        if op == "!=":
+            if rnull:
+                return left.isNotNull()
+            if lnull:
+                return right.isNotNull()
+            return ~left.eqNullSafe(right)
+        if lnull or rnull:
+            raise IngestCompileError(
+                f"painless-lite: ordered comparison with null in {self.src!r}"
+            )
+        return {"<": left < right, ">": left > right,
+                "<=": left <= right, ">=": left >= right}[op]
+
+    def _primary(self) -> tuple[Column, bool]:
+        """→ (column, is_null_literal)."""
+        kind, val = self._peek()
+        if val == "!":
+            self._eat()
+            inner, _ = self._primary()
+            return (~F.coalesce(inner, F.lit(False)), False)
+        if val == "(":
+            self._eat()
+            col = self._or()
+            self._eat(")")
+            return (col, False)
+        if kind == "str":
+            self._eat()
+            body = val[1:-1]
+            body = re.sub(r"\\(.)", r"\1", body)
+            return (F.lit(body), False)
+        if kind == "num":
+            self._eat()
+            return (F.lit(float(val) if "." in val else int(val)), False)
+        if kind == "ident":
+            if val == "null":
+                self._eat()
+                return (F.lit(None), True)
+            if val in ("true", "false"):
+                self._eat()
+                return (F.lit(val == "true"), False)
+            if val == "ctx":
+                return (self._path(), False)
+        raise IngestCompileError(
+            f"painless-lite: unexpected {val!r} in {self.src!r}"
+        )
+
+    def _path(self) -> Column:
+        self._eat("ctx")
+        segs: list[str] = []
+        methods: list[tuple[str, list]] = []
+        while True:
+            kind, val = self._peek()
+            if kind == "dot":
+                self._eat()
+                _, name = self._eat()
+                if self._peek()[1] == "(":
+                    methods.append((name, self._args()))
+                elif methods:
+                    raise IngestCompileError(
+                        f"painless-lite: property after method in {self.src!r}"
+                    )
+                elif name == "length" and self._resolve(segs)[0] is not None:
+                    methods.append(("length", []))
+                else:
+                    segs.append(name)
+            elif val == "[":
+                self._eat()
+                k, kv = self._eat()
+                if k != "str":
+                    raise IngestCompileError(
+                        f"painless-lite: only string subscripts, got {kv!r}"
+                    )
+                self._eat("]")
+                segs.append(kv[1:-1])
+            else:
+                break
+        col, dtype = self._resolve(segs)
+        if col is None:
+            # whole path missing from the schema → Painless null
+            base: Column = F.lit(None)
+            dtype = None
+        else:
+            base = col
+        for name, args in methods:
+            base, dtype = self._method(base, dtype, name, args)
+        return base
+
+    def _resolve(self, segs: list[str]) -> tuple[Column | None, T.DataType | None]:
+        """Longest dotted-prefix column match; remaining segments walk
+        struct/map members."""
+        for cut in range(len(segs), 0, -1):
+            name = ".".join(segs[:cut])
+            dt = _dtype(self.df, name)
+            if dt is None:
+                continue
+            col = _c(name)
+            for seg in segs[cut:]:
+                if isinstance(dt, T.StructType):
+                    sub = {f.name: f.dataType for f in dt.fields}.get(seg)
+                    if sub is None:
+                        return F.lit(None), None
+                    col, dt = col[seg], sub
+                elif isinstance(dt, T.MapType):
+                    col, dt = col[seg], dt.valueType
+                else:
+                    return F.lit(None), None
+            return col, dt
+        return None, None
+
+    def _args(self) -> list:
+        self._eat("(")
+        out = []
+        while self._peek()[1] != ")":
+            kind, val = self._eat()
+            if kind == "str":
+                out.append(re.sub(r"\\(.)", r"\1", val[1:-1]))
+            elif kind == "num":
+                out.append(float(val) if "." in val else int(val))
+            else:
+                raise IngestCompileError(
+                    f"painless-lite: bad method arg {val!r} in {self.src!r}"
+                )
+            if self._peek()[1] == ",":
+                self._eat()
+        self._eat(")")
+        return out
+
+    def _method(self, col: Column, dtype, name: str, args: list):
+        is_arr = isinstance(dtype, (T.ArrayType, T.MapType))
+        if name in ("length", "size"):
+            return (F.size(col) if is_arr else F.length(col), T.IntegerType())
+        if name == "isEmpty":
+            return ((F.size(col) == 0) if is_arr else (F.length(col) == 0),
+                    T.BooleanType())
+        if name == "contains":
+            return (
+                F.array_contains(col, args[0]) if is_arr
+                else col.contains(F.lit(args[0])),
+                T.BooleanType(),
+            )
+        if name == "containsKey" and isinstance(dtype, T.MapType):
+            return (F.map_contains_key(col, F.lit(args[0])), T.BooleanType())
+        if name == "startsWith":
+            return (col.startswith(str(args[0])), T.BooleanType())
+        if name == "endsWith":
+            return (col.endswith(str(args[0])), T.BooleanType())
+        if name == "toLowerCase":
+            return (F.lower(col), T.StringType())
+        if name == "trim":
+            return (F.trim(col), T.StringType())
+        raise IngestCompileError(
+            f"painless-lite: unsupported method .{name}() in {self.src!r}"
+        )
+
+
+def painless_condition(src: str, df: DataFrame) -> Column:
+    """Compile a module pipeline ``if:`` expression to a boolean Column."""
+    return _Painless(src, df).compile()
+
+
+# ---------------------------------------------------------------------------
+# mustache value templates ({{field}} / {{{field}}} / {{_ingest.timestamp}})
+# ---------------------------------------------------------------------------
+
+_MUSTACHE_RE = re.compile(r"\{\{\{?\s*([^}\s]+)\s*\}?\}\}")
+
+
+def _template(value: Any, df: DataFrame, failure_msg: str | None = None) -> Column:
+    """A ``set``/``append`` value → Column. Strings compile their
+    mustache refs to concat-of-columns; other scalars pass through."""
+    if not isinstance(value, str):
+        if isinstance(value, list):
+            return F.array(*[_template(v, df, failure_msg) for v in value])
+        return F.lit(value)
+    parts: list[Column] = []
+    pos = 0
+    for m in _MUSTACHE_RE.finditer(value):
+        if m.start() > pos:
+            parts.append(F.lit(value[pos : m.start()]))
+        ref = m.group(1)
+        if ref == "_ingest.timestamp":
+            parts.append(F.date_format(
+                F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+        elif ref == "_ingest.on_failure_message":
+            parts.append(F.coalesce(
+                _c(ERRMSG) if _has(df, ERRMSG) else F.lit(None),
+                F.lit(failure_msg or "ingest failure"),
+            ))
+        else:
+            parts.append(
+                _c(ref).cast("string") if _has(df, ref) else F.lit(None)
+            )
+        pos = m.end()
+    if pos == 0:
+        return F.lit(value)  # no refs: plain literal
+    if pos < len(value):
+        parts.append(F.lit(value[pos:]))
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)  # concat: null ref → null result (ES template)
+
+
+# ---------------------------------------------------------------------------
+# per-processor compilers
+# ---------------------------------------------------------------------------
+# Each returns (assigns, fails, fail_msg, row_filter):
+#   assigns: {col: expr} applied where active & ~fails
+#   fails:   boolean Column over INPUT columns (None = can't fail)
+#   row_filter: rows to KEEP where active (drop processor), else None
+
+
+def _missing(df: DataFrame, fld: str) -> Column:
+    """ES 'field not present or null'."""
+    return F.lit(True) if not _has(df, fld) else _c(fld).isNull()
+
+
+def _p_set(df, cfg, fmsg):
+    fld = cfg["field"]
+    if "copy_from" in cfg:
+        src = cfg["copy_from"]
+        val = _c(src) if _has(df, src) else F.lit(None)
+    else:
+        val = _template(cfg["value"], df, fmsg)
+    if not cfg.get("override", True) and _has(df, fld):
+        val = F.coalesce(_c(fld), val)
+    if cfg.get("ignore_empty_value", False):
+        old = _c(fld) if _has(df, fld) else F.lit(None)
+        val = F.when(val.isNull() | (val.cast("string") == ""), old).otherwise(val)
+    return {fld: val}, None, None
+
+
+def _p_remove(df, cfg, fmsg):
+    flds = cfg["field"] if isinstance(cfg["field"], list) else [cfg["field"]]
+    fails = None
+    if not cfg.get("ignore_missing", False):
+        missing = [f for f in flds if not _has(df, f)]
+        if missing:
+            fails = F.lit(True)
+        else:
+            fails = None  # present columns: ES removes null-valued fields fine
+    # a guarded drop can't remove the column for only some rows → null it
+    return {f: F.lit(None).cast(_dtype(df, f) or T.StringType())
+            for f in flds if _has(df, f)}, fails, f"field [{flds}] not present"
+
+
+def _p_rename(df, cfg, fmsg):
+    src, dst = cfg["field"], cfg["target_field"]
+    if cfg.get("ignore_missing", False) and not _has(df, src):
+        return {}, None, None
+    fails = _missing(df, src)
+    if cfg.get("ignore_missing", False):
+        # present-but-null rows: no-op, not failure
+        fails = None
+    assigns = {
+        dst: _c(src) if _has(df, src) else F.lit(None),
+        src: F.lit(None).cast(_dtype(df, src) or T.StringType()),
+    }
+    return assigns, fails, f"field [{src}] not present"
+
+
+def _p_append(df, cfg, fmsg):
+    fld = cfg["field"]
+    val = _template(cfg["value"], df, fmsg)
+    if isinstance(cfg["value"], list):
+        addition = val
+    else:
+        addition = F.array(val)
+    if _has(df, fld):
+        cur = _c(fld)
+        dt = _dtype(df, fld)
+        base = cur if isinstance(dt, T.ArrayType) else F.array(cur.cast("string"))
+        base = F.when(cur.isNull(), F.array().cast("array<string>")).otherwise(
+            base.cast("array<string>")
+        )
+    else:
+        base = F.array().cast("array<string>")
+    add = addition.cast("array<string>")
+    if cfg.get("allow_duplicates", True):
+        out = F.concat(base, add)
+    else:
+        out = F.array_union(base, add)
+    return {fld: out}, None, None
+
+
+def _p_lowercase(df, cfg, fmsg, fn=F.lower):
+    fld = cfg["field"]
+    tgt = cfg.get("target_field", fld)
+    if cfg.get("ignore_missing", False) and not _has(df, fld):
+        return {}, None, None
+    fails = _missing(df, fld)
+    if cfg.get("ignore_missing", False):
+        fails = None
+    src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+    dt = _dtype(df, fld)
+    if isinstance(dt, T.ArrayType):
+        out = F.transform(src, lambda x: fn(x))
+    else:
+        out = fn(src)
+    return {tgt: out}, fails, f"field [{fld}] not present"
+
+
+def _p_gsub(df, cfg, fmsg):
+    fld = cfg["field"]
+    tgt = cfg.get("target_field", fld)
+    if cfg.get("ignore_missing", False) and not _has(df, fld):
+        return {}, None, None
+    fails = None if cfg.get("ignore_missing", False) else _missing(df, fld)
+    src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+    out = F.regexp_replace(src, cfg["pattern"], cfg["replacement"])
+    return {tgt: out}, fails, f"field [{fld}] not present"
+
+
+def _strip_trailing_empties(arr: Column) -> Column:
+    trail = F.aggregate(
+        F.reverse(arr),
+        F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
+        lambda s, x: F.struct(
+            F.when(s["stop"] | (x != ""), s["n"]).otherwise(s["n"] + 1).alias("n"),
+            (s["stop"] | (x != "")).alias("stop"),
+        ),
+    )["n"]
+    return F.slice(arr, F.lit(1), F.greatest(F.size(arr) - trail, F.lit(0)))
+
+
+def _p_split(df, cfg, fmsg):
+    fld = cfg["field"]
+    tgt = cfg.get("target_field", fld)
+    if cfg.get("ignore_missing", False) and not _has(df, fld):
+        return {}, None, None
+    fails = None if cfg.get("ignore_missing", False) else _missing(df, fld)
+    src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+    arr = F.split(src, cfg["separator"], -1)
+    if not cfg.get("preserve_trailing", False):
+        arr = _strip_trailing_empties(arr)
+    return {tgt: arr}, fails, f"field [{fld}] not present"
+
+
+def _p_join(df, cfg, fmsg):
+    fld = cfg["field"]
+    tgt = cfg.get("target_field", fld)
+    src = _c(fld) if _has(df, fld) else F.lit(None).cast("array<string>")
+    return ({tgt: F.array_join(src, cfg["separator"])},
+            _missing(df, fld), f"field [{fld}] not present")
+
+
+_CONVERT = {
+    "integer": "int", "long": "long", "float": "float", "double": "double",
+    "string": "string", "boolean": "boolean", "auto": None, "ip": "ip",
+}
+_IP_RE = (
+    r"^(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|1?\d?\d)$"
+    r"|^[0-9A-Fa-f:]*:[0-9A-Fa-f:.]+$"
+)
+
+
+def _p_convert(df, cfg, fmsg):
+    fld = cfg["field"]
+    tgt = cfg.get("target_field", fld)
+    typ = cfg["type"]
+    if typ not in _CONVERT:
+        raise IngestCompileError(f"convert: unsupported type {typ!r}")
+    if cfg.get("ignore_missing", False) and not _has(df, fld):
+        return {}, None, None
+    src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+    missing = _missing(df, fld)
+    if typ == "ip":
+        ok = src.cast("string").rlike(_IP_RE)
+        out = F.when(ok, src.cast("string"))
+        bad = src.isNotNull() & ~ok
+    elif typ == "auto":
+        as_num = src.cast("string").try_cast("double")
+        as_bool = F.when(F.lower(src.cast("string")).isin("true", "false"),
+                         F.lower(src.cast("string")) == "true")
+        out = F.coalesce(
+            as_bool.cast("string"), as_num.cast("string"), src.cast("string")
+        )
+        bad = F.lit(False)
+    elif typ == "boolean":
+        low = F.lower(src.cast("string"))
+        out = F.when(low == "true", F.lit(True)).when(low == "false", F.lit(False))
+        bad = src.isNotNull() & ~low.isin("true", "false")
+    else:
+        out = src.try_cast(_CONVERT[typ])
+        bad = src.isNotNull() & out.isNull()
+    fails = bad if cfg.get("ignore_missing", False) else (missing | bad)
+    return {tgt: out}, fails, f"convert of [{fld}] to {typ} failed"
+
+
+def _p_date(df, cfg, fmsg):
+    fld = cfg["field"]
+    tgt = cfg.get("target_field", "@timestamp")
+    src = (_c(fld) if _has(df, fld) else F.lit(None)).cast("string")
+    tz = cfg.get("timezone")
+    tz_col = _template(tz, df) if tz is not None else None
+    attempts: list[Column] = []
+    for fmt in cfg["formats"]:
+        if fmt == "ISO8601":
+            attempts.append(F.try_to_timestamp(src))
+            attempts.append(
+                F.try_to_timestamp(src, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+            attempts.append(
+                F.try_to_timestamp(src, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")))
+        elif fmt == "UNIX":
+            attempts.append(F.timestamp_seconds(src.try_cast("double")))
+        elif fmt == "UNIX_MS":
+            attempts.append(F.timestamp_millis(src.try_cast("long")))
+        else:
+            parsed = F.try_to_timestamp(src, F.lit(fmt))
+            zoneless = not re.search(r"[XxZzOV]", re.sub(r"'[^']*'", "", fmt))
+            if tz_col is not None and zoneless:
+                parsed = F.to_utc_timestamp(parsed, tz_col)
+            attempts.append(parsed)
+    out = F.coalesce(*attempts) if len(attempts) > 1 else attempts[0]
+    fails = src.isNull() | out.isNull()
+    return {tgt: out}, fails, (
+        f"unable to parse date [{fld}] with formats {cfg['formats']}"
+    )
+
+
+def _p_urldecode(df, cfg, fmsg):
+    fld = cfg["field"]
+    tgt = cfg.get("target_field", fld)
+    if cfg.get("ignore_missing", False) and not _has(df, fld):
+        return {}, None, None
+    fails = None if cfg.get("ignore_missing", False) else _missing(df, fld)
+    src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+    # '+' means space in form encoding (ES URLDecoder.decode semantics)
+    out = F.try_url_decode(F.regexp_replace(src, r"\+", " "))
+    return {tgt: out}, fails, f"field [{fld}] not present"
+
+
+def _p_json(df, cfg, fmsg):
+    fld = cfg["field"]
+    tgt = cfg.get("target_field", fld)
+    if cfg.get("add_to_root", False):
+        raise IngestCompileError(
+            "json: add_to_root creates dynamic root fields — declare a "
+            "decode_json_fields processor with a schema instead"
+        )
+    src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+    parsed = F.from_json(src, T.MapType(T.StringType(), T.StringType()))
+    fails = src.isNotNull() & parsed.isNull()
+    return {tgt: parsed}, fails, f"field [{fld}] is not valid JSON"
+
+
+def _p_kv(df, cfg, fmsg):
+    fld = cfg["field"]
+    tgt = cfg.get("target_field", fld)
+    if cfg.get("ignore_missing", False) and not _has(df, fld):
+        return {}, None, None
+    fails = None if cfg.get("ignore_missing", False) else _missing(df, fld)
+    src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+    if cfg.get("strip_brackets", False):
+        src = F.regexp_replace(src, r"[()<>\[\]\"']", "")
+    parts = F.split(src, cfg["field_split"], -1)
+    vs = cfg["value_split"]
+    entries = F.transform(
+        parts,
+        lambda p: F.struct(
+            F.regexp_extract(p, f"^(.*?){vs}", 1).alias("k"),
+            F.regexp_replace(p, f"^.*?{vs}", "").alias("v"),
+        ),
+    )
+    entries = F.filter(entries, lambda e: e["k"] != "")
+    if cfg.get("trim_key"):
+        tk = re.escape(cfg["trim_key"])
+        entries = F.transform(entries, lambda e: F.struct(
+            F.regexp_replace(e["k"], f"^[{tk}]+|[{tk}]+$", "").alias("k"),
+            e["v"].alias("v")))
+    if cfg.get("trim_value"):
+        tv = re.escape(cfg["trim_value"])
+        entries = F.transform(entries, lambda e: F.struct(
+            e["k"].alias("k"),
+            F.regexp_replace(e["v"], f"^[{tv}]+|[{tv}]+$", "").alias("v")))
+    if cfg.get("include_keys"):
+        keys = [str(k) for k in cfg["include_keys"]]
+        entries = F.filter(entries, lambda e: e["k"].isin(*keys))
+    if cfg.get("exclude_keys"):
+        keys = [str(k) for k in cfg["exclude_keys"]]
+        entries = F.filter(entries, lambda e: ~e["k"].isin(*keys))
+    if cfg.get("prefix"):
+        entries = F.transform(entries, lambda e: F.struct(
+            F.concat(F.lit(cfg["prefix"]), e["k"]).alias("k"),
+            e["v"].alias("v")))
+    # last-wins duplicate keys (map_from_entries raises on dups)
+    rev = F.reverse(entries)
+    dedup = F.filter(
+        rev,
+        lambda x, i: F.array_position(
+            F.transform(F.slice(rev, F.lit(1), i), lambda y: y["k"]), x["k"]
+        ) == 0,
+    )
+    return ({tgt: F.map_from_entries(F.reverse(dedup))},
+            fails, f"field [{fld}] not present")
+
+
+def _p_csv(df, cfg, fmsg):
+    from beats_spark.processors.parsers import DecodeCsvFields
+
+    fld = cfg["field"]
+    targets = cfg["target_fields"]
+    sep = cfg.get("separator", ",")
+    tmp = "_ingest_csv"
+    proc = DecodeCsvFields(
+        fields={fld: tmp}, separator=sep,
+        quoted=cfg.get("quote", '"') != "", overwrite_keys=True,
+    )
+    arr_assign = proc.assigns(df.withColumn(tmp, F.lit(None).cast("string")))
+    arr = arr_assign[tmp]
+    if cfg.get("trim", False):
+        arr = F.transform(arr, F.trim)
+    assigns = {t: F.element_at(arr, i + 1) for i, t in enumerate(targets)
+               if t != ""}
+    fails = None if cfg.get("ignore_missing", False) else _missing(df, fld)
+    return assigns, fails, f"field [{fld}] not present"
+
+
+_UA_FAMILIES = [
+    # (name regex on the UA string, version regex) — a deliberately
+    # compact family table standing in for ES's bundled uap-core
+    # regexes.yaml (same column contract; swap in a fuller table by
+    # passing your own rules).
+    ("Edge", r"Edg(?:e|A|iOS)?/(\d+[\w.]*)"),
+    ("Opera", r"OPR/(\d+[\w.]*)"),
+    ("Chrome Mobile", r"Mobile.*Chrome/(\d+[\w.]*)|Chrome/(\d+[\w.]*).*Mobile"),
+    ("Chrome", r"Chrome/(\d+[\w.]*)"),
+    ("Firefox", r"Firefox/(\d+[\w.]*)"),
+    ("Safari", r"Version/(\d+[\w.]*).*Safari"),
+    ("IE", r"MSIE (\d+[\w.]*)|Trident/.*rv:(\d+[\w.]*)"),
+    ("curl", r"curl/(\d+[\w.]*)"),
+    ("Googlebot", r"Googlebot/(\d+[\w.]*)"),
+    ("Other", None),
+]
+_UA_OS = [
+    ("Windows", r"Windows NT (\d+[\d.]*)"),
+    ("iOS", r"iPhone OS (\d+[_\d]*)|CPU OS (\d+[_\d]*)"),
+    ("Mac OS X", r"Mac OS X (\d+[_\d.]*)"),
+    ("Android", r"Android (\d+[\d.]*)"),
+    ("Linux", r"Linux"),
+    ("Other", None),
+]
+
+
+def _p_user_agent(df, cfg, fmsg):
+    fld = cfg.get("field", "user_agent.original")
+    tgt = cfg.get("target_field", "user_agent")
+    src = (_c(fld) if _has(df, fld) else F.lit(None)).cast("string")
+    name = F.lit("Other")
+    version: Column = F.lit(None).cast("string")
+    for fam, rx in reversed(_UA_FAMILIES):
+        if rx is None:
+            continue
+        hit = src.rlike(rx)
+        v = F.regexp_extract(src, rx, 1)
+        v2 = F.regexp_extract(src, rx, 2) if "|" in rx else F.lit("")
+        ver = F.when(v != "", v).when(v2 != "", v2)
+        name = F.when(hit, F.lit(fam)).otherwise(name)
+        version = F.when(hit, F.regexp_replace(ver, "_", ".")).otherwise(version)
+    os_name = F.lit("Other")
+    os_version: Column = F.lit(None).cast("string")
+    for osn, rx in reversed(_UA_OS):
+        if rx is None:
+            continue
+        hit = src.rlike(rx)
+        v = F.regexp_extract(src, rx, 1)
+        v2 = F.regexp_extract(src, rx, 2) if "|" in rx else F.lit("")
+        ver = F.when(v != "", v).when(v2 != "", v2)
+        os_name = F.when(hit, F.lit(osn)).otherwise(os_name)
+        os_version = F.when(hit, F.regexp_replace(ver, "_", ".")).otherwise(
+            os_version)
+    device = F.when(
+        src.rlike(r"iPhone|Android.*Mobile|Windows Phone"), "Smartphone"
+    ).when(src.rlike(r"iPad|Android(?!.*Mobile)"), "Tablet").when(
+        src.rlike(r"bot|Bot|crawler|spider"), "Spider"
+    ).otherwise(F.lit("Other"))
+    assigns = {
+        f"{tgt}.name": F.when(src.isNotNull(), name),
+        f"{tgt}.version": F.when(src.isNotNull(), version),
+        f"{tgt}.os.name": F.when(src.isNotNull(), os_name),
+        f"{tgt}.os.version": F.when(src.isNotNull(), os_version),
+        f"{tgt}.device.name": F.when(src.isNotNull(), device),
+    }
+    fails = None if cfg.get("ignore_missing", False) else _missing(df, fld)
+    return assigns, fails, f"field [{fld}] not present"
+
+
+def _p_fingerprint(df, cfg, fmsg):
+    flds = cfg["fields"]
+    tgt = cfg.get("target_field", "fingerprint")
+    method = cfg.get("method", "SHA-1").lower().replace("-", "")
+    src = F.concat_ws("|", *[
+        (_c(f) if _has(df, f) else F.lit(None)).cast("string") for f in flds
+    ])
+    if method == "md5":
+        out = F.md5(src)
+    elif method in ("sha1", "sha256", "sha512"):
+        out = F.sha2(src, int(method[3:]) if method != "sha1" else 0) \
+            if method != "sha1" else F.sha1(src)
+    else:
+        raise IngestCompileError(f"fingerprint: unsupported method {method!r}")
+    return {tgt: out}, None, None
+
+
+# ---------------------------------------------------------------------------
+# the pipeline compiler
+# ---------------------------------------------------------------------------
+
+_SIMPLE = {
+    "set": _p_set,
+    "remove": _p_remove,
+    "rename": _p_rename,
+    "append": _p_append,
+    "lowercase": _p_lowercase,
+    "uppercase": lambda df, cfg, m: _p_lowercase(df, cfg, m, fn=F.upper),
+    "trim": lambda df, cfg, m: _p_lowercase(df, cfg, m, fn=F.trim),
+    "gsub": _p_gsub,
+    "split": _p_split,
+    "join": _p_join,
+    "convert": _p_convert,
+    "date": _p_date,
+    "urldecode": _p_urldecode,
+    "json": _p_json,
+    "kv": _p_kv,
+    "csv": _p_csv,
+    "user_agent": _p_user_agent,
+    "fingerprint": _p_fingerprint,
+}
+
+
+@dataclass
+class IngestPipeline:
+    """A compiled pipeline: call it on a DataFrame.
+
+    ``keep_failed=True`` (default) keeps failed rows with the failure
+    message in ``error.message`` — the analogue of ES surfacing the
+    ingest error on the indexing response; ``False`` drops them (the
+    failure-store-off behavior)."""
+
+    cfg: dict
+    pipelines: dict[str, dict] | None = None
+    script_handlers: dict[str, Callable[[DataFrame, Column], DataFrame]] | None = None
+    geoip_table: DataFrame | None = None
+    keep_failed: bool = True
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        had_failed = _has(df, FAILED)
+        if not had_failed:
+            df = df.withColumns({
+                FAILED: F.lit(False), ERRMSG: F.lit(None).cast("string")})
+        # active = ~FAILED, re-resolved against the frame at every
+        # processor: once a row fails unhandled, every later processor
+        # skips it (ES stops executing the chain for a failed document)
+        df = self._chain(df, self.cfg.get("processors") or [], ~_c(FAILED))
+        top_fail = self.cfg.get("on_failure")
+        if top_fail:
+            df = self._chain(df, top_fail, _c(FAILED))
+            df = df.withColumns({FAILED: F.lit(False),
+                                 ERRMSG: F.lit(None).cast("string")})
+        if had_failed:
+            return df
+        if not self.keep_failed:
+            return df.filter(~_c(FAILED)).drop(FAILED, ERRMSG)
+        if _has(df, "error.message"):
+            dt = _dtype(df, "error.message")
+            cur = _c("error.message")
+            err = (F.array(_c(ERRMSG)) if isinstance(dt, T.ArrayType)
+                   else _c(ERRMSG).cast(dt))
+            merged = F.when(_c(FAILED) & cur.isNull(), err).otherwise(cur)
+            df = df.withColumn("error.message", merged)
+        else:
+            df = df.withColumn(
+                "error.message", F.when(_c(FAILED), _c(ERRMSG)))
+        return df.drop(FAILED, ERRMSG)
+
+    # -- chain --
+    def _chain(self, df: DataFrame, procs: list[dict], active: Column) -> DataFrame:
+        for idx, entry in enumerate(procs):
+            (name, cfg), = entry.items()
+            df = self._one(df, name, dict(cfg) if isinstance(cfg, dict) else cfg,
+                           active, idx)
+        return df
+
+    def _one(self, df: DataFrame, name: str, cfg: dict, active: Column,
+             idx: int) -> DataFrame:
+        tag = (cfg or {}).get("tag", f"{name}[{idx}]")
+        # structural processors first
+        if name == "script":
+            handler = (self.script_handlers or {}).get(tag) or (
+                self.script_handlers or {}).get(name)
+            if handler is None:
+                src = (cfg or {}).get("source", "")
+                raise IngestCompileError(
+                    f"script processor (tag={tag!r}) needs a Painless "
+                    "interpreter — supply script_handlers={" + repr(tag) +
+                    ": fn} with a (df, active)->df substitute. Source:\n"
+                    + str(src)
+                )
+            cond = cfg.get("if")
+            act = active & painless_condition(cond, df) if cond else active
+            return handler(df, act)
+        if name == "pipeline":
+            sub = (self.pipelines or {}).get(cfg["name"])
+            if sub is None:
+                raise IngestCompileError(
+                    f"pipeline processor references unknown pipeline "
+                    f"{cfg['name']!r} — pass pipelines={{name: cfg}}"
+                )
+            cond = cfg.get("if")
+            act = active & painless_condition(cond, df) if cond else active
+            return self._chain(df, sub.get("processors") or [], act)
+        if name == "dot_expander":
+            return df  # flat dotted columns ARE the expanded form here
+        if name == "geoip":
+            return self._geoip(df, cfg, active)
+        if name == "drop":
+            cond = cfg.get("if")
+            act = active & painless_condition(cond, df) if cond else active
+            return df.filter(~F.coalesce(act, F.lit(False)))
+        if name == "fail":
+            cfg = dict(cfg)
+            cond = cfg.pop("if", None)
+            ignore_failure = cfg.pop("ignore_failure", False)
+            on_failure = cfg.pop("on_failure", None)
+            act = active & painless_condition(cond, df) if cond else active
+            return self._apply(
+                df, {}, F.lit(True),
+                str(cfg.get("message", "Fail processor executed")),
+                act, ignore_failure, on_failure, idx)
+        if name == "foreach":
+            return self._foreach(df, cfg, active, idx)
+        if name in ("grok", "dissect"):
+            return self._matcher(df, name, cfg, active, idx)
+        fn = _SIMPLE.get(name)
+        if fn is None:
+            raise IngestCompileError(f"unsupported ingest processor {name!r}")
+
+        cond = cfg.pop("if", None)
+        ignore_failure = cfg.pop("ignore_failure", False)
+        on_failure = cfg.pop("on_failure", None)
+        cfg.pop("tag", None)
+        cfg.pop("description", None)
+        act = active & painless_condition(cond, df) if cond else active
+        fmsg = None
+        assigns, fails, msg = fn(df, cfg, fmsg)
+        return self._apply(df, assigns, fails, msg, act,
+                           ignore_failure, on_failure, idx)
+
+    def _apply(self, df: DataFrame, assigns: dict[str, Column],
+               fails: Column | None, msg: str | None, act: Column,
+               ignore_failure: bool, on_failure: list | None,
+               idx: int) -> DataFrame:
+        act = F.coalesce(act, F.lit(False))
+        if fails is None or ignore_failure:
+            fail_now: Column = F.lit(False)
+        else:
+            fail_now = act & F.coalesce(fails, F.lit(False))
+        # unique per compiled plan, NOT per chain position: an on_failure
+        # sub-chain re-enters _apply at idx 0 and a positional name would
+        # shadow (then drop) the outer chain's still-referenced flag column
+        n = self.__dict__.get("_tmp_n", 0)
+        self.__dict__["_tmp_n"] = n + 1
+        tmp = f"_ingest_of_{n}"
+        df = df.withColumn(tmp, fail_now)
+        ok = act & ~_c(tmp)
+        wrapped = {}
+        for name, expr in assigns.items():
+            old = _c(name) if _has(df, name) else F.lit(None)
+            wrapped[name] = self._branch(df, ok, expr, old)
+        if wrapped:
+            df = df.withColumns(wrapped)
+        if on_failure:
+            df = df.withColumn(
+                ERRMSG, F.when(_c(tmp), F.lit(msg)).otherwise(_c(ERRMSG)))
+            df = self._chain(df, on_failure, _c(tmp))
+            # handled: the document continues (ES on_failure semantics)
+            df = df.withColumn(
+                ERRMSG, F.when(_c(tmp), F.lit(None)).otherwise(_c(ERRMSG)))
+        elif fails is not None and not ignore_failure:
+            df = df.withColumns({
+                FAILED: _c(FAILED) | _c(tmp),
+                ERRMSG: F.coalesce(_c(ERRMSG), F.when(_c(tmp), F.lit(msg))),
+            })
+        return df.drop(tmp)
+
+    @staticmethod
+    def _branch(df: DataFrame, ok: Column, expr: Column, old: Column) -> Column:
+        """CASE WHEN ok THEN expr ELSE old, tolerant of processors that
+        change a field's type (split: string→array, json: string→struct).
+        The common same-type case is zero-cost; on a branch-type mismatch
+        the old value is kept via try_cast when castable, else nulled on
+        the inactive rows (a columnar frame cannot hold both types).
+        Probes are Catalyst analysis only — compile-time, never a job."""
+        cand = F.when(ok, expr).otherwise(old)
+        try:
+            df.select(cand)
+            return cand
+        except Exception:
+            pass
+        ndt = df.select(F.when(ok, expr)).schema[0].dataType
+        try:
+            cand = F.when(ok, expr).otherwise(old.try_cast(ndt))
+            df.select(cand)
+            return cand
+        except Exception:
+            return F.when(ok, expr).otherwise(F.lit(None).cast(ndt))
+
+    # -- grok / dissect --
+    def _matcher(self, df: DataFrame, name: str, cfg: dict, active: Column,
+                 idx: int) -> DataFrame:
+        cfg = dict(cfg)
+        cond = cfg.pop("if", None)
+        ignore_failure = cfg.pop("ignore_failure", False)
+        on_failure = cfg.pop("on_failure", None)
+        ignore_missing = cfg.pop("ignore_missing", False)
+        cfg.pop("tag", None)
+        cfg.pop("description", None)
+        act = active & painless_condition(cond, df) if cond else active
+        fld = cfg["field"]
+        src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+
+        if name == "grok":
+            from beats_spark.processors.grok import GrokPattern
+
+            pats = [GrokPattern(p, cfg.get("pattern_definitions"))
+                    for p in cfg["patterns"]]
+            assigns: dict[str, Column] = {}
+            matched = F.lit(False)
+            for pat in pats:
+                if not pat.semantics and pat.regex == "":
+                    matched = matched | src.isNotNull()
+                    continue
+                rep = "\x02" + "\x01".join(
+                    f"${g}" for g in range(1, pat._ngroups + 1))
+                marked = F.regexp_replace(src, pat.anchored(True), rep)
+                parts = F.split(marked, "\x01", -1)
+                ok = src.isNotNull() & (marked != src) & ~matched
+
+                def grp(g: int, parts=parts) -> Column:
+                    v = F.element_at(parts, g)
+                    v = F.substring(v, 2, 2**30) if g == 1 else v
+                    return F.when(v != "", v)
+
+                by_key: dict[str, list] = {}
+                for s in pat.semantics:
+                    by_key.setdefault(s.name, []).append(s)
+                for key, sems in by_key.items():
+                    col = (F.coalesce(*[grp(s.group) for s in sems])
+                           if len(sems) > 1 else grp(sems[0].group))
+                    dtype = sems[0].dtype
+                    if dtype != "string":
+                        col = col.try_cast(dtype)
+                    prev = assigns.get(key)
+                    cur = F.when(ok, col)
+                    assigns[key] = (F.coalesce(prev, cur)
+                                    if prev is not None else cur)
+                matched = matched | ok
+            fails = ~matched
+            if ignore_missing:
+                fails = src.isNotNull() & ~matched
+            msg = "Provided Grok expressions do not match field value"
+            # grok only sets fields on the matching rows; guard each
+            assigns = {k: F.when(matched, v) for k, v in assigns.items()}
+            return self._apply(df, assigns, fails, msg, act,
+                               ignore_failure, on_failure, idx)
+
+        # dissect
+        from beats_spark.dissect import DissectPattern
+
+        pat = DissectPattern(
+            cfg["pattern"], append_separator=cfg.get("append_separator", ""))
+        tmp_cols = pat.extract_columns(src)
+        matched = tmp_cols.pop("_dissect_ok")
+        fails = ~matched
+        if ignore_missing:
+            fails = src.isNotNull() & ~matched
+        assigns = {k: F.when(matched, v) for k, v in tmp_cols.items()}
+        return self._apply(
+            df, assigns, fails,
+            "Unable to find match for dissect pattern", act,
+            ignore_failure, on_failure, idx)
+
+    # -- foreach --
+    def _foreach(self, df: DataFrame, cfg: dict, active: Column,
+                 idx: int) -> DataFrame:
+        fld = cfg["field"]
+        (sub_name, sub_cfg), = cfg["processor"].items()
+        ignore_missing = cfg.get("ignore_missing", False)
+        if ignore_missing and not _has(df, fld):
+            return df
+        src = _c(fld) if _has(df, fld) else F.lit(None).cast("array<string>")
+        elem_fns = {"lowercase": F.lower, "uppercase": F.upper, "trim": F.trim}
+        if sub_name in elem_fns and sub_cfg.get("field") == "_ingest._value":
+            fn = elem_fns[sub_name]
+            out = F.transform(src, lambda x: fn(x))
+            return self._apply(df, {fld: out},
+                               None if ignore_missing else _missing(df, fld),
+                               f"field [{fld}] not present", active,
+                               False, None, idx)
+        if sub_name == "gsub" and sub_cfg.get("field") == "_ingest._value":
+            out = F.transform(src, lambda x: F.regexp_replace(
+                x, sub_cfg["pattern"], sub_cfg["replacement"]))
+            return self._apply(df, {fld: out},
+                               None if ignore_missing else _missing(df, fld),
+                               f"field [{fld}] not present", active,
+                               False, None, idx)
+        if (sub_name == "append"
+                and sub_cfg.get("value") == "{{_ingest._value}}"):
+            # append each element to another array field == array concat
+            tgt = sub_cfg["field"]
+            base = (_c(tgt) if _has(df, tgt)
+                    else F.lit(None)).cast("array<string>")
+            out = F.concat(F.coalesce(base, F.array().cast("array<string>")),
+                           F.coalesce(src.cast("array<string>"),
+                                      F.array().cast("array<string>")))
+            return self._apply(df, {tgt: out},
+                               None if ignore_missing else _missing(df, fld),
+                               f"field [{fld}] not present", active,
+                               False, None, idx)
+        raise IngestCompileError(
+            f"foreach: unsupported element processor {sub_name!r} "
+            f"(supported: lowercase/uppercase/trim/gsub on _ingest._value, "
+            f"append of {{{{_ingest._value}}}})"
+        )
+
+    # -- geoip --
+    def _geoip(self, df: DataFrame, cfg: dict, active: Column) -> DataFrame:
+        """Broadcast-join a caller-supplied exact-IP lookup table (cols:
+        ``ip`` + geo fields). Without one this is a documented no-op —
+        the sandbox has no MaxMind database, mirroring the reference's
+        'requires the geoip plugin' footnote."""
+        if self.geoip_table is None:
+            return df
+        fld = cfg["field"]
+        tgt = cfg.get("target_field", "geoip")
+        src = (_c(fld) if _has(df, fld) else F.lit(None)).cast("string")
+        geo = self.geoip_table
+        renamed = geo.select(
+            F.col("ip").alias("_geo_ip"),
+            *[F.col(c).alias(f"{tgt}.{c}") for c in geo.columns if c != "ip"],
+        )
+        joined = df.withColumn("_geo_key", F.when(
+            F.coalesce(active, F.lit(False)), src)).join(
+            F.broadcast(renamed), F.col("_geo_key") == F.col("_geo_ip"), "left"
+        ).drop("_geo_key", "_geo_ip")
+        return joined
+
+
+def compile_ingest_pipeline(
+    cfg: dict | str,
+    *,
+    pipelines: dict[str, dict] | None = None,
+    script_handlers: dict[str, Callable] | None = None,
+    geoip_table: DataFrame | None = None,
+    keep_failed: bool = True,
+) -> IngestPipeline:
+    """Compile an ES ingest pipeline definition (dict, YAML/JSON text,
+    or a path) into a DataFrame → DataFrame transform."""
+    if isinstance(cfg, str):
+        cfg = load_ingest_pipeline(cfg)
+    return IngestPipeline(
+        cfg, pipelines=pipelines, script_handlers=script_handlers,
+        geoip_table=geoip_table, keep_failed=keep_failed,
+    )
+
+
+# registry face: slots an ingest pipeline into a LogPipeline chain
+from beats_spark.processors.base import DFProc, register  # noqa: E402
+
+
+@register("ingest_pipeline")
+class IngestProc(DFProc):
+    def __init__(self, **kwargs):
+        definition = kwargs.pop("definition")
+        self._compiled = compile_ingest_pipeline(definition, **kwargs)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self._compiled(df)

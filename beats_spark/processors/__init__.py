@@ -24,6 +24,7 @@ from beats_spark.processors import enrich as _enrich  # noqa: F401
 from beats_spark.processors import syslog as _syslog  # noqa: F401
 from beats_spark.processors import grok as _grok  # noqa: F401
 from beats_spark.processors import cef as _cef  # noqa: F401
+from beats_spark import ingest as _ingest  # noqa: F401  (registers ingest_pipeline)
 
 __all__ = [
     "Proc",

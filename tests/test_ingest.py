@@ -1,0 +1,169 @@
+"""ES ingest-pipeline compiler (`beats_spark/ingest.py`).
+
+Reference behavior: elasticsearch ingest node processors as installed by
+filebeat modules (`filebeat/fileset/pipelines.go`; pipeline definitions
+under `filebeat/module/*/*/ingest/pipeline.yml`). Semantics checked here:
+per-document failure threading, on_failure recovery, ignore_failure /
+ignore_missing, painless-lite `if` conditions, and the grok/dissect/
+convert/set/rename/urldecode/kv/csv processor kernels.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.ingest import (
+    IngestCompileError,
+    compile_ingest_pipeline,
+    painless_condition,
+)
+
+
+def _run(spark, cfg, rows, schema, **kw):
+    df = spark.createDataFrame(rows, schema)
+    out = compile_ingest_pipeline(cfg, **kw)(df)
+    return {r["message"]: r.asDict() for r in out.collect()}, out
+
+
+def test_grok_on_failure_recovers_document(spark):
+    cfg = {
+        "processors": [
+            {"grok": {
+                "field": "message",
+                "patterns": ["%{WORD:verb} %{NUMBER:code:int}"],
+                "on_failure": [
+                    {"set": {"field": "event.outcome", "value": "fail"}}],
+            }},
+            {"set": {"field": "seen", "value": "yes"}},
+        ],
+    }
+    got, out = _run(spark, cfg, [("GET 200",), ("nope!",)],
+                    "message string")
+    ok, bad = got["GET 200"], got["nope!"]
+    assert ok["verb"] == "GET" and ok["code"] == 200
+    assert ok["event.outcome"] is None
+    # on_failure ran on the failing row only, and the doc then CONTINUED
+    assert bad["event.outcome"] == "fail"
+    assert bad["seen"] == "yes" and ok["seen"] == "yes"
+    assert bad["error.message"] is None  # handled => recovered
+    assert "_ingest_failed" not in out.columns
+
+
+def test_nested_on_failure_position_zero_no_column_clash(spark):
+    # regression: an on_failure sub-chain re-enters the apply step at
+    # chain position 0; the scratch flag column must not be shadowed
+    cfg = {
+        "processors": [
+            {"convert": {
+                "field": "n", "type": "long",
+                "on_failure": [
+                    {"set": {"field": "bad", "value": "y"}},
+                    {"set": {"field": "n", "value": "-1"}},
+                ],
+            }},
+            {"set": {"field": "done", "value": "y"}},
+        ],
+    }
+    df = spark.createDataFrame([("a", "7"), ("b", "oops")],
+                               "message string, n string")
+    out = {r["message"]: r.asDict()
+           for r in compile_ingest_pipeline(cfg)(df).collect()}
+    assert out["a"]["n"] == 7 and out["a"]["bad"] is None
+    assert out["b"]["bad"] == "y" and out["b"]["done"] == "y"
+
+
+def test_unhandled_failure_surfaces_error_message_and_skips_rest(spark):
+    cfg = {
+        "processors": [
+            {"fail": {"message": "boom", "if": "ctx.message == 'x'"}},
+            {"set": {"field": "after", "value": "ran"}},
+        ],
+    }
+    got, _ = _run(spark, cfg, [("x",), ("y",)], "message string")
+    assert got["x"]["error.message"] == "boom"
+    assert got["x"]["after"] is None     # failed doc skips later processors
+    assert got["y"]["after"] == "ran"
+
+
+def test_keep_failed_false_drops_failed_docs(spark):
+    cfg = {"processors": [
+        {"fail": {"message": "boom", "if": "ctx.message == 'x'"}}]}
+    df = spark.createDataFrame([("x",), ("y",)], "message string")
+    out = compile_ingest_pipeline(cfg, keep_failed=False)(df)
+    assert [r["message"] for r in out.collect()] == ["y"]
+    assert "error.message" not in out.columns
+
+
+def test_painless_lite_conditions(spark):
+    df = spark.createDataFrame(
+        [("GET", 200, "a b"), ("POST", None, "")],
+        "m string, code int, s string")
+    cases = {
+        "ctx.m == 'GET'": [True, False],
+        "ctx?.code != null && ctx.code >= 200": [True, False],
+        "ctx.s.isEmpty()": [False, True],
+        "ctx.s.contains('b') || ctx.m.startsWith('PO')": [True, True],
+        "!(ctx.m.endsWith('T'))": [False, False],
+        "ctx.m.length() > 3": [False, True],
+    }
+    for src, want in cases.items():
+        got = [bool(r[0]) for r in df.select(
+            F.coalesce(painless_condition(src, df), F.lit(False))).collect()]
+        assert got == want, src
+    with pytest.raises(IngestCompileError):
+        painless_condition("ctx.m =~ /re/", df)  # regex op: refuse loudly
+
+
+def test_module_shaped_pipeline_kv_csv_date_split(spark):
+    cfg = {
+        "processors": [
+            {"kv": {"field": "message", "field_split": " ",
+                    "value_split": "=", "target_field": "kv"}},
+            {"csv": {"field": "row",
+                     "target_fields": ["user.name", "source.ip"]}},
+            {"date": {"field": "ts", "target_field": "@timestamp",
+                      "formats": ["yyyy-MM-dd HH:mm:ss"]}},
+            {"split": {"field": "tags_raw", "separator": ","}},
+            {"append": {"field": "tags_raw", "value": ["extra"]}},
+            {"remove": {"field": "row"}},
+        ],
+    }
+    df = spark.createDataFrame(
+        [("a=1 b=2", 'bob,"10.0.0.1"', "2026-01-02 03:04:05", "t1,t2")],
+        "message string, row string, ts string, tags_raw string")
+    r = compile_ingest_pipeline(cfg)(df).collect()[0].asDict()
+    assert r["kv"] == {"a": "1", "b": "2"}
+    assert r["user.name"] == "bob" and r["source.ip"] == "10.0.0.1"
+    assert str(r["@timestamp"]).startswith("2026-01-02 03:04:05")
+    assert r["tags_raw"] == ["t1", "t2", "extra"]
+    assert r["row"] is None  # remove = null-out (documented: guarded drop)
+
+
+def test_script_refuses_without_handler_and_runs_with_one(spark):
+    cfg = {"processors": [
+        {"script": {"source": "ctx.x = 1", "tag": "t1"}}]}
+    df = spark.createDataFrame([("m",)], "message string")
+    with pytest.raises(IngestCompileError, match="Painless"):
+        compile_ingest_pipeline(cfg)(df)
+    out = compile_ingest_pipeline(
+        cfg, script_handlers={
+            "t1": lambda df, act: df.withColumn(
+                "x", F.when(act, F.lit(1)))})(df)
+    assert out.collect()[0]["x"] == 1
+
+
+def test_single_projection_plan_stays_narrow(spark):
+    # the whole compiled chain must be projections over one scan:
+    # no shuffle, no UDF, nothing outside whole-stage codegen
+    cfg = {"processors": [
+        {"grok": {"field": "message", "patterns": ["%{WORD:w}"],
+                  "ignore_failure": True}},
+        {"set": {"field": "t", "value": "v"}},
+        {"lowercase": {"field": "w", "ignore_failure": True}},
+        {"rename": {"field": "w", "target_field": "word",
+                    "ignore_missing": True}},
+    ]}
+    df = spark.range(4).select(F.lit("Hello x").alias("message"))
+    plan = compile_ingest_pipeline(cfg)(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
