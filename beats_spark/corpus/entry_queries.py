@@ -904,10 +904,19 @@ FROM s
 
 def q_repeat_ngram_mask(spark, sf_dir):
     """Within-doc repeated-3-gram loss mask over the tokenized corpus:
-    repeated-gram positions flip to 0, keep-first semantics."""
-    return toks.repeat_ngram_mask(
+    repeated-gram positions flip to 0, keep-first semantics. Registry
+    row ships the arrays as md5 content signatures (driver-canon
+    rule); the raw-array form is the API / pytest level."""
+    out = toks.repeat_ngram_mask(
         toks.tokenize_ids(_docs(spark, sf_dir)), n=3
     )
+
+    def sig(c):
+        return F.md5(
+            F.concat_ws(",", F.col(c).cast("array<string>"))
+        ).alias(c + "_sig")
+
+    return out.select("doc_id", sig("tokens"), sig("loss_mask"), "n_masked")
 
 
 _REPEAT_NGRAM_MASK_SQL = """
@@ -934,7 +943,9 @@ m AS (
          ) AS loss_mask
   FROM tk t LEFT JOIN starts st ON st.doc_id = t.doc_id
 )
-SELECT doc_id, tokens, loss_mask,
+SELECT doc_id,
+       md5(array_to_string(tokens, ',')) AS tokens_sig,
+       md5(array_to_string(loss_mask, ',')) AS loss_mask_sig,
        len(tokens) - list_sum_or0 AS n_masked
 FROM (
   SELECT doc_id, tokens, loss_mask,
@@ -982,8 +993,15 @@ _HE_DIM = 8
 
 def q_hashed_embedding(spark, sf_dir):
     """Feature-hashing doc embedding at dim=8 — integer-exact signed
-    bucket counts, the text→vector bridge for the similarity ops."""
-    return textstats.hashed_embedding(_docs(spark, sf_dir), dim=_HE_DIM)
+    bucket counts, the text→vector bridge for the similarity ops.
+    Registry row ships the vector as an md5 content signature
+    (driver-canon rule); raw array stays the API level."""
+    out = textstats.hashed_embedding(_docs(spark, sf_dir), dim=_HE_DIM)
+    return out.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.col("vec").cast("array<string>")))
+        .alias("vec_sig"),
+    )
 
 
 def _hashed_embedding_sql() -> str:
@@ -1004,7 +1022,8 @@ h AS (
   FROM w
 ),
 v AS (SELECT doc_id, [{sums}] AS vec FROM h GROUP BY doc_id)
-SELECT d.doc_id, coalesce(v.vec, [{zeros}]) AS vec
+SELECT d.doc_id,
+       md5(array_to_string(coalesce(v.vec, [{zeros}]), ',')) AS vec_sig
 FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id
 """
 
@@ -2943,9 +2962,18 @@ WHERE ({H32_SQL.format(expr="'mix:' || doc_id::VARCHAR")} % 1000000) <
 def q_fim_transform(spark, sf_dir):
     """Fill-in-the-middle (PSM) over the tokenized documents: half the
     docs (deterministic id-hash) re-emit as [PRE] prefix [SUF] suffix
-    [MID] middle with sentinels just past the vocab."""
+    [MID] middle with sentinels just past the vocab. The raw token
+    array is the API (`toks.fim_transform`); the registry row carries
+    a content signature of it so the driver's scalar canonicalizer can
+    value-hash the result (the decontaminate_spans_tokens pattern)."""
     t = toks.tokenize_ids(_docs(spark, sf_dir))
-    return toks.fim_transform(t, rate=0.5, mode="psm")
+    out = toks.fim_transform(t, rate=0.5, mode="psm")
+    return out.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>")))
+        .alias("tokens_sig"),
+        "n_tok", "fim_applied",
+    )
 
 
 _FIM_BASE_SQL = f"""
@@ -2971,26 +2999,36 @@ _FIM_SQL = _FIM_BASE_SQL + f""", built AS (
          applied AS fim_applied
   FROM base
 )
-SELECT doc_id, tokens, len(tokens)::INT AS n_tok, fim_applied FROM built
+SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_sig,
+       len(tokens)::INT AS n_tok, fim_applied
+FROM built
 """
 
 
 def q_fim_loss_mask(spark, sf_dir):
     """FIM with the trainer's loss mask: 0 before the [MID] sentinel,
     1 from [MID] onward (the infill prediction region); all-ones for
-    untransformed docs."""
+    untransformed docs. Registry row carries the mask's content
+    signature (raw array stays the pytest-level API)."""
     t = toks.tokenize_ids(_docs(spark, sf_dir))
     out = toks.fim_transform(t, rate=0.5, mode="psm", with_loss_mask=True)
-    return out.select("doc_id", "n_tok", "loss_mask", "fim_applied")
+    return out.select(
+        "doc_id", "n_tok",
+        F.md5(F.concat_ws(",", F.col("loss_mask").cast("array<string>")))
+        .alias("loss_mask_sig"),
+        "fim_applied",
+    )
 
 
 _FIM_LOSS_SQL = _FIM_BASE_SQL + """
 SELECT doc_id,
        (CASE WHEN applied THEN n + 3 ELSE n END)::INT AS n_tok,
-       CASE WHEN applied THEN
-         list_transform(generate_series(1, n - b + a + 2), x -> 0::INT)
-         || list_transform(generate_series(1, b - a + 1), x -> 1::INT)
-       ELSE list_transform(generate_series(1, n), x -> 1::INT) END AS loss_mask,
+       md5(array_to_string(
+         CASE WHEN applied THEN
+           list_transform(generate_series(1, n - b + a + 2), x -> 0::INT)
+           || list_transform(generate_series(1, b - a + 1), x -> 1::INT)
+         ELSE list_transform(generate_series(1, n), x -> 1::INT) END,
+         ',')) AS loss_mask_sig,
        applied AS fim_applied
 FROM base
 """
@@ -3223,7 +3261,14 @@ def q_chat_loss_mask(spark, sf_dir):
         ),
     )
     conv = t.select(F.col("doc_id").alias("conv_id"), turns.alias("turns"))
-    return toks.chat_loss_mask(conv)
+    out = toks.chat_loss_mask(conv)
+
+    def sig(c):
+        return F.md5(
+            F.concat_ws(",", F.col(c).cast("array<string>"))
+        ).alias(c + "_sig")
+
+    return out.select("conv_id", sig("tokens"), sig("loss_mask"), "n_tok")
 
 
 _CHAT_LOSS_MASK_SQL = f"""
@@ -3240,14 +3285,14 @@ conv AS (
   FROM tk
 )
 SELECT conv_id,
-       flatten(list_transform(turns,
+       md5(array_to_string(flatten(list_transform(turns,
          t -> list_prepend(CASE WHEN t.role = 'user' THEN 2
                                 WHEN t.role = 'assistant' THEN 3
-                                ELSE -1 END, t.tokens))) AS tokens,
-       flatten(list_transform(turns,
+                                ELSE -1 END, t.tokens))), ',')) AS tokens_sig,
+       md5(array_to_string(flatten(list_transform(turns,
          t -> list_prepend(0, list_transform(t.tokens,
                 x -> CASE WHEN t.role = 'assistant' THEN 1
-                          ELSE 0 END)))) AS loss_mask,
+                          ELSE 0 END)))), ',')) AS loss_mask_sig,
        len(flatten(list_transform(turns, t -> list_prepend(0, t.tokens))))
          AS n_tok
 FROM conv
@@ -3416,9 +3461,20 @@ FROM c
 def q_span_corrupt(spark, sf_dir):
     """T5 span corruption over the tokenized documents: grid-placed
     fixed-length noise spans, sentinel-delimited (inputs, targets)
-    denoising pair — all cut points md5 functions of (doc_id, i)."""
+    denoising pair — all cut points md5 functions of (doc_id, i).
+    Registry row carries content signatures of the two arrays (raw
+    arrays stay the pytest-level API)."""
     t = toks.tokenize_ids(_docs(spark, sf_dir))
-    return toks.span_corrupt(t, noise_density=0.15, span_len=3)
+    out = toks.span_corrupt(t, noise_density=0.15, span_len=3)
+
+    def sig(c):
+        return F.md5(
+            F.concat_ws(",", F.col(c).cast("array<string>"))
+        ).alias(c + "_sig")
+
+    return out.select(
+        "doc_id", sig("inputs"), sig("targets"), "n_spans", "corrupted"
+    )
 
 
 _SPANC_SQL = f"""
@@ -3455,12 +3511,14 @@ base AS (
   FROM spans GROUP BY doc_id
 )
 SELECT b.doc_id,
-       CASE WHEN b.applied
-            THEN a.inp_body || list_slice(b.toks, a.last_end + 1, b.n)
-            ELSE b.toks END AS inputs,
-       CASE WHEN b.applied
-            THEN a.tgt_body || [(50257 + b.k)::INT]
-            ELSE []::INT[] END AS targets,
+       md5(array_to_string(
+         CASE WHEN b.applied
+              THEN a.inp_body || list_slice(b.toks, a.last_end + 1, b.n)
+              ELSE b.toks END, ',')) AS inputs_sig,
+       md5(array_to_string(
+         CASE WHEN b.applied
+              THEN a.tgt_body || [(50257 + b.k)::INT]
+              ELSE []::INT[] END, ',')) AS targets_sig,
        (CASE WHEN b.applied THEN b.k ELSE 0 END)::BIGINT AS n_spans,
        b.applied AS corrupted
 FROM g b LEFT JOIN agg a USING (doc_id)
