@@ -1515,6 +1515,363 @@ FROM h
 """
 
 
+def q_module_nginx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nginx access module via the ES ingest-pipeline COMPILER: events
+    render into real combined-log lines, then the REFERENCE's own
+    pipeline definition (filebeat/module/nginx/access/ingest/
+    pipeline.yml — grok, splits, date, the translated public-IP
+    script, user_agent, ECS categorization) runs as one compiled Spark
+    plan (`beats_spark/ingest.py` + `module_scripts.py`). Variants
+    exercise the remote-ip-list walker (private-list fallback, first
+    public pick), the "-" user alternation, and the status→outcome
+    ladder. The oracle knows every field by construction. Golden-
+    fixture parity for the same pipeline: tests/test_module_pipelines.py."""
+    from beats_spark.module_scripts import load_module_pipeline
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    ts = F.timestamp_seconds(F.lit(1704067200) + eid)
+    k = (F.pmod(eid, F.lit(200)) + 1).cast("string")
+    uname = F.concat(F.lit("u"), F.substring(
+        F.md5(F.concat(eid.cast("string"), F.lit("n"))), 1, 6))
+    user = F.when(F.pmod(eid, F.lit(3)) == 0, F.lit("-")).otherwise(uname)
+    ipfield = (
+        F.when(F.pmod(eid, F.lit(5)) == 0,
+               F.concat(F.lit("10.0.0.2, 10.0.0.1, 203.0.113."), k))
+        .when(F.pmod(eid, F.lit(7)) == 0, F.concat(F.lit("192.168.1."), k))
+        .otherwise(F.concat(F.lit("198.51.100."), k))
+    )
+    method = F.when(F.pmod(eid, F.lit(2)) == 0, "GET").otherwise("POST")
+    url = F.concat(F.lit("/p/"), _h8("u"))
+    status = (
+        F.when(F.pmod(eid, F.lit(11)) == 0, 404)
+        .when(F.pmod(eid, F.lit(13)) == 0, 500)
+        .when(F.pmod(eid, F.lit(3)) == 0, 301)
+        .otherwise(200)
+    )
+    nbytes = F.conv(F.substring(_h8("b"), 1, 4), 16, 10).cast("long")
+    agent = F.when(
+        F.pmod(eid, F.lit(2)) == 0, F.lit("curl/8.1.2")
+    ).otherwise(F.lit("Mozilla/5.0 (X11; Linux x86_64) Firefox/115.0"))
+    line = F.concat(
+        ipfield, F.lit(" - "), user, F.lit(" ["),
+        F.date_format(ts, "dd/MMM/yyyy:HH:mm:ss Z"), F.lit('] "'),
+        method, F.lit(" "), url, F.lit(' HTTP/1.1" '),
+        status.cast("string"), F.lit(" "), nbytes.cast("string"),
+        F.lit(' "-" "'), agent, F.lit('"'),
+    )
+    df = ev.select(
+        "event_id", line.alias("message"),
+        F.lit(None).cast("string").alias("event.timezone"),
+        F.lit("2030-01-01T00:00:00.000Z").alias("@timestamp"),
+    )
+    out = load_module_pipeline("nginx", "access")(df)
+
+    def c(name):
+        return F.col(f"`{name}`")
+
+    return out.select(
+        "event_id",
+        F.date_format(c("@timestamp"),
+                      "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("at"),
+        c("source.address").alias("source_address"),
+        c("source.ip").alias("source_ip"),
+        F.array_join(c("nginx.access.remote_ip_list"), ",")
+        .alias("remote_ip_csv"),
+        c("http.request.method").alias("method"),
+        c("url.original").alias("url"),
+        c("http.version").alias("http_version"),
+        c("http.response.status_code").alias("status"),
+        c("http.response.body.bytes").alias("bytes"),
+        c("user.name").alias("user_name"),
+        c("event.outcome").alias("outcome"),
+        c("event.kind").alias("kind"),
+        F.array_join(c("event.category"), ",").alias("category_csv"),
+        F.array_join(c("event.type"), ",").alias("type_csv"),
+        F.element_at(c("related.ip"), 1).alias("related_ip"),
+        c("user_agent.original").alias("agent"),
+    )
+
+
+_Q_MODULE_NGINX_SQL = """
+WITH f AS (
+  SELECT event_id,
+         make_timestamp((1704067200 + event_id) * 1000000) AS t,
+         (event_id % 200 + 1)::VARCHAR AS k,
+         'u' || substr(md5(event_id::VARCHAR || 'n'), 1, 6) AS uname,
+         event_id % 5 = 0 AS multi,
+         event_id % 7 = 0 AS priv,
+         ('0x' || substr(md5(event_id::VARCHAR || 'b'), 1, 4))::BIGINT
+           AS nbytes,
+         CASE WHEN event_id % 11 = 0 THEN 404
+              WHEN event_id % 13 = 0 THEN 500
+              WHEN event_id % 3 = 0 THEN 301
+              ELSE 200 END AS status
+  FROM events
+), g AS (
+  SELECT *,
+         CASE WHEN multi THEN '203.0.113.' || k
+              WHEN priv THEN '192.168.1.' || k
+              ELSE '198.51.100.' || k END AS src
+  FROM f
+)
+SELECT event_id,
+       strftime(t, '%Y-%m-%dT%H:%M:%S') || 'Z' AS at,
+       src AS source_address,
+       src AS source_ip,
+       CASE WHEN multi THEN '10.0.0.2,10.0.0.1,203.0.113.' || k
+            WHEN priv THEN '192.168.1.' || k
+            ELSE '198.51.100.' || k END AS remote_ip_csv,
+       CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS method,
+       '/p/' || substr(md5(event_id::VARCHAR || 'u'), 1, 8) AS url,
+       '1.1' AS http_version,
+       status::BIGINT AS status,
+       nbytes AS bytes,
+       CASE WHEN event_id % 3 = 0 THEN NULL ELSE uname END AS user_name,
+       CASE WHEN status < 400 THEN 'success' ELSE 'failure' END AS outcome,
+       'event' AS kind,
+       'web' AS category_csv,
+       'access' AS type_csv,
+       src AS related_ip,
+       CASE WHEN event_id % 2 = 0 THEN 'curl/8.1.2'
+            ELSE 'Mozilla/5.0 (X11; Linux x86_64) Firefox/115.0' END
+         AS agent
+FROM g
+"""
+
+
+def q_module_system_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system/syslog module via the compiled reference pipeline
+    (filebeat/module/system/syslog/ingest/pipeline.yml): RFC-3164
+    lines — with pid-less and multiline (GREEDYMULTILINE) variants —
+    grok'd into host/process/message, yearless timestamp parsed (the
+    1970 default year is deterministic, so the oracle compares
+    month-day-time), related.hosts appended. Golden parity for the
+    same pipeline: tests/test_module_pipelines.py (darwin/suse)."""
+    from beats_spark.module_scripts import load_module_pipeline
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    secs = F.pmod(eid * 977, F.lit(31536000))
+    ts = F.timestamp_seconds(secs)
+    host = F.concat(F.lit("host"), F.pmod(eid, F.lit(50)).cast("string"))
+    proc = F.concat(F.lit("proc"), F.pmod(eid, F.lit(9)).cast("string"))
+    pid = (F.pmod(eid, F.lit(65535)) + 1).cast("string")
+    no_pid = F.pmod(eid, F.lit(13)) == 0
+    multi = F.pmod(eid, F.lit(5)) == 0
+    body = F.concat(F.lit("evt "), _h8("m"))
+    body = F.when(
+        multi, F.concat(body, F.lit("\n    cont "), _h8("c"))
+    ).otherwise(body)
+    line = F.concat(
+        F.date_format(ts, "MMM d HH:mm:ss"), F.lit(" "), host, F.lit(" "),
+        proc,
+        F.when(no_pid, F.lit("")).otherwise(
+            F.concat(F.lit("["), pid, F.lit("]"))),
+        F.lit(": "), body,
+    )
+    df = ev.select(
+        "event_id", line.alias("message"),
+        F.lit(None).cast("string").alias("event.timezone"),
+        F.lit("2030-01-01T00:00:00.000Z").alias("@timestamp"),
+    )
+    out = load_module_pipeline("system", "syslog")(df)
+
+    def c(name):
+        return F.col(f"`{name}`")
+
+    return out.select(
+        "event_id",
+        F.date_format(c("@timestamp"), "MM-dd'T'HH:mm:ss").alias("at"),
+        c("host.hostname").alias("host"),
+        c("process.name").alias("proc"),
+        c("process.pid").alias("pid"),
+        c("message").alias("msg"),
+        F.element_at(c("related.hosts"), 1).alias("related_host"),
+        c("event.kind").alias("kind"),
+    )
+
+
+_Q_MODULE_SYSLOG_SQL = """
+WITH f AS (
+  SELECT event_id,
+         make_timestamp(((event_id * 977) % 31536000) * 1000000) AS t,
+         'host' || (event_id % 50) AS host,
+         'proc' || (event_id % 9) AS proc,
+         event_id % 65535 + 1 AS pid,
+         event_id % 13 = 0 AS no_pid,
+         event_id % 5 = 0 AS multi,
+         'evt ' || substr(md5(event_id::VARCHAR || 'm'), 1, 8) AS body1,
+         '    cont ' || substr(md5(event_id::VARCHAR || 'c'), 1, 8) AS body2
+  FROM events
+)
+SELECT event_id,
+       strftime(t, '%m-%dT%H:%M:%S') AS at,
+       host,
+       proc,
+       CASE WHEN no_pid THEN NULL ELSE pid END::BIGINT AS pid,
+       CASE WHEN multi THEN body1 || chr(10) || body2 ELSE body1 END AS msg,
+       host AS related_host,
+       'event' AS kind
+FROM f
+"""
+
+
+def q_module_system_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system/auth module via the compiled reference pipeline
+    (filebeat/module/system/auth/ingest/pipeline.yml) with the
+    translated ssh-categorization script: five line shapes — Accepted
+    publickey, Failed password for invalid user, sudo command,
+    useradd, and the pam 'by user' tail-grok — drive the grok ladder,
+    the _temp.byuser/foruser renames, the iam/creation appends, and
+    the related.user/ip fan-in. Oracle knows every field by
+    construction; golden parity: tests/test_module_pipelines.py."""
+    from beats_spark.module_scripts import load_module_pipeline
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    secs = F.pmod(eid * 733, F.lit(31536000))
+    ts = F.timestamp_seconds(secs)
+    # real syslog pads single-digit days with a space ("Feb  8") — the
+    # auth pipeline's format list is ["MMM  d", "MMM dd", ISO8601]
+    ts_str = F.concat(
+        F.date_format(ts, "MMM"), F.lit(" "),
+        F.lpad(F.date_format(ts, "d"), 2, " "), F.lit(" "),
+        F.date_format(ts, "HH:mm:ss"))
+    host = F.concat(F.lit("node"), F.pmod(eid, F.lit(40)).cast("string"))
+    pid = (F.pmod(eid, F.lit(65535)) + 1).cast("string")
+    user = F.concat(F.lit("usr"), F.substring(
+        F.md5(F.concat(eid.cast("string"), F.lit("n"))), 1, 5))
+    k = (F.pmod(eid, F.lit(200)) + 1).cast("string")
+    ip = F.concat(F.lit("203.0.113."), k)
+    port = (F.pmod(eid, F.lit(60000)) + 1024).cast("string")
+    n = F.pmod(eid, F.lit(10)).cast("string")
+    sig = F.upper(_h8("s"))
+    pre = F.concat(ts_str, F.lit(" "), host, F.lit(" "))
+    v_acc = F.concat(
+        pre, F.lit("sshd["), pid, F.lit("]: Accepted publickey for "),
+        user, F.lit(" from "), ip, F.lit(" port "), port,
+        F.lit(" ssh2: RSA "), sig)
+    v_fail = F.concat(
+        pre, F.lit("sshd["), pid,
+        F.lit("]: Failed password for invalid user "), user,
+        F.lit(" from "), ip, F.lit(" port "), port, F.lit(" ssh2"))
+    v_sudo = F.concat(
+        pre, F.lit("sudo: "), user, F.lit(" : TTY=pts/"), n,
+        F.lit(" ; PWD=/home/"), user, F.lit(" ; USER=root ; COMMAND=/bin/cmd"),
+        n)
+    v_new = F.concat(
+        pre, F.lit("useradd["), pid, F.lit("]: new user: name="), user,
+        F.lit(", UID=1"), k, F.lit(", GID=2"), k, F.lit(", home=/home/"),
+        user, F.lit(", shell=/bin/bash"))
+    v_gen = F.concat(
+        pre, F.lit("su["), pid,
+        F.lit("]: session opened for user root by "), user, F.lit("(uid=0)"))
+    line = (
+        F.when(F.pmod(eid, F.lit(7)) == 0, v_acc)
+        .when(F.pmod(eid, F.lit(5)) == 0, v_fail)
+        .when(F.pmod(eid, F.lit(3)) == 0, v_sudo)
+        .when(F.pmod(eid, F.lit(11)) == 0, v_new)
+        .otherwise(v_gen)
+    )
+    df = ev.select(
+        "event_id", line.alias("message"),
+        F.lit(None).cast("string").alias("event.timezone"),
+        F.lit("2030-01-01T00:00:00.000Z").alias("@timestamp"),
+    )
+    out = load_module_pipeline("system", "auth")(df)
+
+    def c(name):
+        return F.col(f"`{name}`")
+
+    return out.select(
+        "event_id",
+        F.date_format(c("@timestamp"), "MM-dd'T'HH:mm:ss").alias("at"),
+        c("host.hostname").alias("host"),
+        c("process.name").alias("proc"),
+        c("process.pid").alias("pid"),
+        c("user.name").alias("user_name"),
+        c("user.effective.name").alias("effective_user"),
+        c("user.id").alias("user_id"),
+        c("group.id").alias("group_id"),
+        c("source.ip").alias("source_ip"),
+        c("source.port").alias("port"),
+        c("system.auth.ssh.event").alias("ssh_event"),
+        c("system.auth.ssh.method").alias("ssh_method"),
+        c("system.auth.ssh.signature").alias("signature"),
+        c("system.auth.sudo.tty").alias("sudo_tty"),
+        c("system.auth.sudo.pwd").alias("sudo_pwd"),
+        c("system.auth.sudo.user").alias("sudo_user"),
+        c("system.auth.sudo.command").alias("sudo_cmd"),
+        c("event.action").alias("action"),
+        c("event.outcome").alias("outcome"),
+        F.array_join(c("event.type"), ",").alias("type_csv"),
+        F.array_join(c("event.category"), ",").alias("category_csv"),
+        F.element_at(c("related.user"), 1).alias("related_user"),
+        F.element_at(c("related.ip"), 1).alias("related_ip"),
+        c("message").alias("msg"),
+    )
+
+
+_Q_MODULE_AUTH_SQL = """
+WITH f AS (
+  SELECT event_id,
+         make_timestamp(((event_id * 733) % 31536000) * 1000000) AS t,
+         'node' || (event_id % 40) AS host,
+         event_id % 65535 + 1 AS pid,
+         'usr' || substr(md5(event_id::VARCHAR || 'n'), 1, 5) AS uname,
+         (event_id % 200 + 1)::VARCHAR AS k,
+         '203.0.113.' || (event_id % 200 + 1) AS ip,
+         event_id % 60000 + 1024 AS port,
+         (event_id % 10)::VARCHAR AS n,
+         upper(substr(md5(event_id::VARCHAR || 's'), 1, 8)) AS sig,
+         CASE WHEN event_id % 7 = 0 THEN 'acc'
+              WHEN event_id % 5 = 0 THEN 'fail'
+              WHEN event_id % 3 = 0 THEN 'sudo'
+              WHEN event_id % 11 = 0 THEN 'new'
+              ELSE 'gen' END AS v
+  FROM events
+)
+SELECT event_id,
+       strftime(t, '%m-%dT%H:%M:%S') AS at,
+       host,
+       CASE v WHEN 'acc' THEN 'sshd' WHEN 'fail' THEN 'sshd'
+              WHEN 'sudo' THEN 'sudo' WHEN 'new' THEN 'useradd'
+              ELSE 'su' END AS proc,
+       CASE WHEN v = 'sudo' THEN NULL ELSE pid END::BIGINT AS pid,
+       uname AS user_name,
+       CASE WHEN v IN ('sudo', 'gen') THEN 'root' END AS effective_user,
+       CASE v WHEN 'new' THEN '1' || k WHEN 'gen' THEN '0' END AS user_id,
+       CASE WHEN v = 'new' THEN '2' || k END AS group_id,
+       CASE WHEN v IN ('acc', 'fail') THEN ip END AS source_ip,
+       CASE WHEN v IN ('acc', 'fail') THEN port END::BIGINT AS port,
+       CASE v WHEN 'acc' THEN 'Accepted' WHEN 'fail' THEN 'Failed' END
+         AS ssh_event,
+       CASE v WHEN 'acc' THEN 'publickey' WHEN 'fail' THEN 'password' END
+         AS ssh_method,
+       CASE WHEN v = 'acc' THEN 'RSA ' || sig END AS signature,
+       CASE WHEN v = 'sudo' THEN 'pts/' || n END AS sudo_tty,
+       CASE WHEN v = 'sudo' THEN '/home/' || uname END AS sudo_pwd,
+       CASE WHEN v = 'sudo' THEN 'root' END AS sudo_user,
+       CASE WHEN v = 'sudo' THEN '/bin/cmd' || n END AS sudo_cmd,
+       CASE WHEN v IN ('acc', 'fail') THEN 'ssh_login' END AS action,
+       CASE v WHEN 'acc' THEN 'success' WHEN 'fail' THEN 'failure'
+              WHEN 'new' THEN 'success' END AS outcome,
+       CASE v WHEN 'acc' THEN 'authentication_success,info'
+              WHEN 'fail' THEN 'authentication_failure,info'
+              WHEN 'new' THEN 'user,creation' END AS type_csv,
+       CASE v WHEN 'acc' THEN 'authentication,session'
+              WHEN 'fail' THEN 'authentication'
+              WHEN 'new' THEN 'iam' END AS category_csv,
+       uname AS related_user,
+       CASE WHEN v IN ('acc', 'fail') THEN ip END AS related_ip,
+       CASE WHEN v = 'gen'
+            THEN 'session opened for user root by ' || uname || '(uid=0)'
+            END AS msg
+FROM f
+"""
+
+
 def q_sink_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bulk per-item triage (§2.7): status → outcome ladder
     (elasticsearch/client.go:390-420), dropped class diverted to the
@@ -1767,78 +2124,63 @@ def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``scripts/oracle_check.py``; this is ordering, not new code.)
 _DRIVER_WINDOW_PRIORITY = [
     "pipeline_flagship",  # flagship stays first: re-proven every round
-    # -- the 45 with no CORRECTNESS_r03 row (registry positions 51-95) --
-    "embedding_topk_blocked",
-    "embedding_neardup",
-    "embedding_neardup_blocked",
-    "ann_ivf",
-    "ann_ivf_nprobe",
-    "ann_ivf_pq",
-    "ann_ivf_pq_nprobe",
-    "ann_ivf_pq_rerank",  # new in r4: FAISS refine stage
-    "semantic_dedup",
-    "media_embed",
-    "dedup_tokens",
-    "pii_redact",
-    "hash_sample",
-    "shuffle_shards",
-    "mix_sources",
-    "line_dedup",
-    "line_dedup_within",
-    "substring_dedup",
-    "substring_dedup_tokens",
-    "minhash_neardup_tokens",
-    "decontaminate",
-    "decontaminate_report",
-    "decontaminate_spans",
-    "decontaminate_spans_tokens",
-    "pack_sequences",
-    "chunk_tokens",
-    "top_ngram",
-    "pack_sequences_sig",
-    "split_assign",
-    "vocab_histogram",
-    "token_bigrams",
-    "token_stats",
-    "bpe_merges",
-    "bpe_apply",
-    "token_pipeline",
-    "winnow_neardup_tokens",
-    "pack_bins",
-    "pack_bins_sequences",
-    "sample_per_source",
-    "vocab_coverage",
-    "corpus_pipeline",
-    "corpus_pipeline_funnel",
-    # -- new in r4, never gate-checked --
-    "temperature_mix",
-    "temperature_rates",
+    # -- the 3 r4-red rows (array outputs crashed the driver canon;
+    #    now md5-signature shaped, commit addf993) --
     "fim_transform",
-    "semantic_decontaminate",
-    "pack_training_meta",
     "fim_loss_mask",
     "span_corrupt",
-    # media_features / frame_sample / ann_lsh / ann_ivf_sqrtn rotated
-    # out to make window room: all r2-driver-green (CORRECTNESS_r02)
-    # and pytest-covered (the ANN pair additionally recall-gated).
-    # ROUND-5 ROTATION LIST — swap these into the first 50 next round
-    # (driver-unproven late-r4 additions, all two-scale oracle-matched
-    # this round): curriculum_order, length_buckets,
-    # pack_seq_boundaries, epoch_schedule, corpus_report,
-    # quality_classifier, truncation_stats, nb_weights,
-    # quality_classifier_trained, source_kl, dedup_incremental,
-    # quality_by_source, bm25_topk, packing_efficiency,
-    # quality_sample, split_leakage_safe, ppl_buckets, detokenize,
-    # repeat_ngram_mask, script_stats, bpe_compression,
-    # compression_ratio (rows-only: no zlib in DuckDB),
-    # hashed_embedding, dup_profile, source_overlap, soft_dedup,
-    # neardup_profile, split_leakage_report, padding_stats,
-    # length_resample, chat_loss_mask, preference_pairs,
-    # log_corpus_bridge, token_budget_sample, netflow_parse,
-    # netflow_v9_parse, ipfix_parse, token_shard_export,
-    # batch_schedule, step_token_balance, decode_cef, module_tidb,
-    # module_slowlog, plus the four
-    # rotated-out r2 queries above.
+    # -- the 43 never-driver-checked queries (round-4 rotation list;
+    #    all judge-verified vs the DuckDB oracle in the r4 session) --
+    "curriculum_order",
+    "length_buckets",
+    "pack_seq_boundaries",
+    "epoch_schedule",
+    "corpus_report",
+    "quality_classifier",
+    "truncation_stats",
+    "nb_weights",
+    "quality_classifier_trained",
+    "source_kl",
+    "dedup_incremental",
+    "quality_by_source",
+    "bm25_topk",
+    "packing_efficiency",
+    "quality_sample",
+    "split_leakage_safe",
+    "ppl_buckets",
+    "detokenize",
+    "repeat_ngram_mask",
+    "script_stats",
+    "bpe_compression",
+    "compression_ratio",  # rows-only: no zlib in DuckDB
+    "hashed_embedding",
+    "dup_profile",
+    "source_overlap",
+    "soft_dedup",
+    "neardup_profile",
+    "split_leakage_report",
+    "padding_stats",
+    "length_resample",
+    "chat_loss_mask",
+    "preference_pairs",
+    "log_corpus_bridge",
+    "token_budget_sample",
+    "netflow_parse",
+    "netflow_v9_parse",
+    "ipfix_parse",
+    "token_shard_export",
+    "batch_schedule",
+    "step_token_balance",
+    "decode_cef",
+    "module_tidb",
+    "module_slowlog",
+    # -- new in r5: ES-ingest-compiled reference module pipelines --
+    "module_nginx",
+    "module_system_syslog",
+    "module_system_auth",
+    # Everything below position 50 has a driver-green row from r2/r3/r4
+    # (CORRECTNESS_r0{2,3,4}.json); after this round every registry
+    # query has been driver-proven in some round.
 ]
 
 
@@ -1883,6 +2225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_cef": q_decode_cef,
         "module_tidb": q_module_tidb,
         "module_slowlog": q_module_slowlog,
+        "module_nginx": q_module_nginx,
+        "module_system_syslog": q_module_system_syslog,
+        "module_system_auth": q_module_system_auth,
     }
     q.update(corpus_queries())
     ordered = {k: q[k] for k in _DRIVER_WINDOW_PRIORITY}
@@ -1931,6 +2276,9 @@ def oracle_sql() -> dict[str, str]:
         "decode_cef": _Q_DECODE_CEF_SQL,
         "module_tidb": _Q_MODULE_TIDB_SQL,
         "module_slowlog": _Q_MODULE_SLOWLOG_SQL,
+        "module_nginx": _Q_MODULE_NGINX_SQL,
+        "module_system_syslog": _Q_MODULE_SYSLOG_SQL,
+        "module_system_auth": _Q_MODULE_AUTH_SQL,
     }
     o.update(corpus_oracles())
     return o

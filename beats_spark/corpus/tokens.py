@@ -568,7 +568,9 @@ def _apply_merges_udf(merges: list[tuple[int, int, int]]):
 def learn_bpe_merges(df: DataFrame, n_merges: int = 8,
                      tokens_col: str = "tokens",
                      new_id_start: int | None = None,
-                     min_count: int = 2) -> DataFrame:
+                     min_count: int = 2,
+                     sample_frac: float | None = None,
+                     sample_threshold: int = 1_000_000) -> DataFrame:
     """Distributed BPE-merge learning over a token corpus: per round,
     ONE pair-count aggregate (explode of shifted-slice pairs → hash
     agg, map-side combined) finds the most frequent adjacent pair
@@ -589,8 +591,30 @@ def learn_bpe_merges(df: DataFrame, n_merges: int = 8,
     vectorized passes). Real trainers learn merges on a
     :func:`hash_sample` slice and apply everywhere.
 
+    Learn-on-sample is the DEFAULT above ``sample_threshold`` rows
+    (each merge round is a full pair-count shuffle over the learning
+    corpus, so a naive full-corpus call at 10^12 rows would run k
+    corpus-wide shuffles): pass ``sample_frac`` to pin the slice
+    explicitly, ``sample_frac=1.0`` to force full-corpus learning, or
+    leave both defaulted and corpora above the threshold learn on a
+    deterministic ~``sample_threshold``-row :func:`hash_sample` slice
+    (id-hash when ``doc_id`` exists, token-hash otherwise — same rows
+    on any cluster size). Apply with :func:`apply_bpe_merges` is always
+    full-corpus.
+
     Returns (rank, t1, t2, new_id, n_pairs) — the merge table, tiny."""
     spark = df.sparkSession
+    if sample_frac is None:
+        n = df.count()
+        if n > sample_threshold:
+            sample_frac = sample_threshold / n
+    if sample_frac is not None and sample_frac < 1.0:
+        if "doc_id" in df.columns:
+            df = hash_sample(df, sample_frac)
+        else:
+            df = df.filter(
+                F.pmod(F.xxhash64(F.col(tokens_col)), F.lit(1_000_000))
+                < int(sample_frac * 1_000_000))
     base = df.select(F.col(tokens_col).cast("array<long>").alias("t"))
     if new_id_start is None:
         new_id_start = int(

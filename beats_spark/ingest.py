@@ -73,13 +73,36 @@ class IngestCompileError(ValueError):
     the source so the gap is visible, never silent."""
 
 
+# Filebeat renders its pipeline files through a Go template before
+# installing them (fileset/pipelines.go): `{<if .flag >}` / `{< end >}`
+# guards and `{< IngestPipeline "name" >}` sub-pipeline references.
+# We strip the control directives (keeping the guarded content — the
+# modules' default-on rendering) and keep IngestPipeline refs as their
+# quoted name so the `pipeline` processor can resolve them.
+_GO_DIRECTIVE_RE = re.compile(r'\{<\s*(?:if\b[^>]*|end|else)\s*>\}')
+_GO_INGEST_REF_RE = re.compile(r'\{<\s*IngestPipeline\s+"([^"]+)"\s*>\}')
+
+
+def _strip_go_template(text: str) -> str:
+    return _GO_DIRECTIVE_RE.sub("", text)
+
+
+def pipeline_ref_name(name: str) -> str:
+    """`{< IngestPipeline "pipeline-plaintext" >}` → `pipeline-plaintext`
+    (plain names pass through)."""
+    m = _GO_INGEST_REF_RE.search(name)
+    return m.group(1) if m else name
+
+
 def load_ingest_pipeline(text_or_path: str) -> dict:
     """Parse a pipeline definition from YAML or JSON text (or a path
-    ending in .yml/.yaml/.json)."""
+    ending in .yml/.yaml/.json). Go-template control directives from
+    the module build (`{<if ...>}` / `{< end >}`) are stripped first."""
     text = text_or_path
     if text_or_path.endswith((".yml", ".yaml", ".json")):
         with open(text_or_path) as f:
             text = f.read()
+    text = _strip_go_template(text)
     stripped = text.lstrip()
     if stripped.startswith("{"):
         return _json.loads(text)
@@ -231,6 +254,34 @@ class _Painless:
             col = self._or()
             self._eat(")")
             return (col, False)
+        if val == "[":
+            # list literal + .contains(expr) → expr.isin(...)
+            # (`['useradd','userdel'].contains(ctx.process.name)`)
+            self._eat()
+            items: list = []
+            while self._peek()[1] != "]":
+                kind, v = self._eat()
+                if kind == "str":
+                    items.append(re.sub(r"\\(.)", r"\1", v[1:-1]))
+                elif kind == "num":
+                    items.append(float(v) if "." in v else int(v))
+                else:
+                    raise IngestCompileError(
+                        f"painless-lite: bad list element {v!r} in "
+                        f"{self.src!r}")
+                if self._peek()[1] == ",":
+                    self._eat()
+            self._eat("]")
+            self._eat(".")
+            _, meth = self._eat()
+            if meth != "contains":
+                raise IngestCompileError(
+                    f"painless-lite: only .contains() on list literals, "
+                    f"got .{meth}() in {self.src!r}")
+            self._eat("(")
+            arg, _ = self._primary()
+            self._eat(")")
+            return (arg.isin(*items), False)
         if kind == "str":
             self._eat()
             body = val[1:-1]
@@ -395,8 +446,11 @@ def _template(value: Any, df: DataFrame, failure_msg: str | None = None) -> Colu
                 F.lit(failure_msg or "ingest failure"),
             ))
         else:
+            # mustache renders a missing/null field ref as the EMPTY
+            # string ('x-{{missing}}' → 'x-'), never nulling the value
             parts.append(
-                _c(ref).cast("string") if _has(df, ref) else F.lit(None)
+                F.coalesce(_c(ref).cast("string"), F.lit(""))
+                if _has(df, ref) else F.lit("")
             )
         pos = m.end()
     if pos == 0:
@@ -405,7 +459,7 @@ def _template(value: Any, df: DataFrame, failure_msg: str | None = None) -> Colu
         parts.append(F.lit(value[pos:]))
     if len(parts) == 1:
         return parts[0]
-    return F.concat(*parts)  # concat: null ref → null result (ES template)
+    return F.concat(*parts)
 
 
 # ---------------------------------------------------------------------------
@@ -429,6 +483,20 @@ def _p_set(df, cfg, fmsg):
         val = _c(src) if _has(df, src) else F.lit(None)
     else:
         val = _template(cfg["value"], df, fmsg)
+        # ES coerces a scalar literal to the field's existing mapping
+        # type ('-1' onto a long field stores -1): when the target
+        # column is typed and the literal parses, keep the column type
+        # instead of re-typing the whole column to string
+        tgt_dt = _dtype(df, fld)
+        v = cfg.get("value")
+        if (isinstance(v, str) and "{{" not in v and tgt_dt is not None
+                and isinstance(tgt_dt, (T.NumericType, T.BooleanType))):
+            try:
+                float(v) if not isinstance(tgt_dt, T.BooleanType) else \
+                    {"true": 1, "false": 0}[v.lower()]
+                val = val.cast(tgt_dt)
+            except (ValueError, KeyError):
+                pass
     if not cfg.get("override", True) and _has(df, fld):
         val = F.coalesce(_c(fld), val)
     if cfg.get("ignore_empty_value", False):
@@ -453,17 +521,28 @@ def _p_remove(df, cfg, fmsg):
 
 def _p_rename(df, cfg, fmsg):
     src, dst = cfg["field"], cfg["target_field"]
-    if cfg.get("ignore_missing", False) and not _has(df, src):
+    ignore_missing = cfg.get("ignore_missing", False)
+    if ignore_missing and not _has(df, src):
         return {}, None, None
-    fails = _missing(df, src)
-    if cfg.get("ignore_missing", False):
-        # present-but-null rows: no-op, not failure
-        fails = None
+    src_col = _c(src) if _has(df, src) else F.lit(None)
+    src_nn = src_col.isNotNull()
+    old_dst = _c(dst) if _has(df, dst) else F.lit(None)
+    fails = None if ignore_missing else _missing(df, src)
+    msg: Column | str = f"field [{src}] not present"
+    if _has(df, dst):
+        # ES rename fails the document when the target already exists —
+        # only for docs that would actually rename (src present)
+        exists = src_nn & old_dst.isNotNull()
+        msg = F.when(exists, F.lit(f"field [{dst}] already exists")) \
+            .otherwise(F.lit(f"field [{src}] not present"))
+        fails = exists if fails is None else (fails | exists)
+    # src-null docs under ignore_missing are a per-row NO-OP: the
+    # target keeps its value (never nulled by a missing source)
     assigns = {
-        dst: _c(src) if _has(df, src) else F.lit(None),
+        dst: F.when(src_nn, src_col).otherwise(old_dst),
         src: F.lit(None).cast(_dtype(df, src) or T.StringType()),
     }
-    return assigns, fails, f"field [{src}] not present"
+    return assigns, fails, msg
 
 
 def _p_append(df, cfg, fmsg):
@@ -707,6 +786,10 @@ def _p_csv(df, cfg, fmsg):
 
     fld = cfg["field"]
     targets = cfg["target_fields"]
+    if not _has(df, fld):
+        if cfg.get("ignore_missing", False):
+            return {}, None, None
+        return {}, F.lit(True), f"field [{fld}] not present"
     sep = cfg.get("separator", ",")
     tmp = "_ingest_csv"
     proc = DecodeCsvFields(
@@ -907,11 +990,12 @@ class IngestPipeline:
             act = active & painless_condition(cond, df) if cond else active
             return handler(df, act)
         if name == "pipeline":
-            sub = (self.pipelines or {}).get(cfg["name"])
+            ref = pipeline_ref_name(str(cfg["name"]))
+            sub = (self.pipelines or {}).get(ref)
             if sub is None:
                 raise IngestCompileError(
                     f"pipeline processor references unknown pipeline "
-                    f"{cfg['name']!r} — pass pipelines={{name: cfg}}"
+                    f"{ref!r} — pass pipelines={{name: cfg}}"
                 )
             cond = cfg.get("if")
             act = active & painless_condition(cond, df) if cond else active
@@ -954,10 +1038,11 @@ class IngestPipeline:
                            ignore_failure, on_failure, idx)
 
     def _apply(self, df: DataFrame, assigns: dict[str, Column],
-               fails: Column | None, msg: str | None, act: Column,
+               fails: Column | None, msg: str | Column | None, act: Column,
                ignore_failure: bool, on_failure: list | None,
                idx: int) -> DataFrame:
         act = F.coalesce(act, F.lit(False))
+        msg_col = msg if isinstance(msg, Column) else F.lit(msg)
         if fails is None or ignore_failure:
             fail_now: Column = F.lit(False)
         else:
@@ -978,15 +1063,26 @@ class IngestPipeline:
             df = df.withColumns(wrapped)
         if on_failure:
             df = df.withColumn(
-                ERRMSG, F.when(_c(tmp), F.lit(msg)).otherwise(_c(ERRMSG)))
+                ERRMSG, F.when(_c(tmp), msg_col).otherwise(_c(ERRMSG)))
             df = self._chain(df, on_failure, _c(tmp))
-            # handled: the document continues (ES on_failure semantics)
+            # handled: the document continues (ES on_failure semantics) —
+            # but a processor INSIDE the sub-chain that itself failed
+            # unhandled sets FAILED; keep its diagnostic, only clear the
+            # recovered rows
             df = df.withColumn(
-                ERRMSG, F.when(_c(tmp), F.lit(None)).otherwise(_c(ERRMSG)))
+                ERRMSG,
+                F.when(_c(tmp) & ~_c(FAILED), F.lit(None))
+                .otherwise(_c(ERRMSG)))
         elif fails is not None and not ignore_failure:
+            # newly-failing rows take THIS processor's message (a row
+            # failing inside an on_failure sub-chain has the outer msg
+            # staged in ERRMSG — the inner diagnostic must win, like the
+            # ES exception propagating out of the on_failure handler);
+            # already-FAILED rows keep their first message
             df = df.withColumns({
                 FAILED: _c(FAILED) | _c(tmp),
-                ERRMSG: F.coalesce(_c(ERRMSG), F.when(_c(tmp), F.lit(msg))),
+                ERRMSG: F.when(_c(tmp) & ~_c(FAILED), msg_col)
+                .otherwise(_c(ERRMSG)),
             })
         return df.drop(tmp)
 
@@ -997,14 +1093,20 @@ class IngestPipeline:
         The common same-type case is zero-cost; on a branch-type mismatch
         the old value is kept via try_cast when castable, else nulled on
         the inactive rows (a columnar frame cannot hold both types).
-        Probes are Catalyst analysis only — compile-time, never a job."""
-        cand = F.when(ok, expr).otherwise(old)
-        try:
-            df.select(cand)
-            return cand
-        except Exception:
-            pass
+        Probes are Catalyst analysis only — compile-time, never a job.
+
+        The zero-cost path requires EXACT type equality: under ANSI
+        type coercion a string/bigint branch pair analyzes fine but
+        inserts an unchecked runtime CAST on whichever side got coerced
+        — which explodes on the very rows the guard was protecting
+        (e.g. convert's failed rows keeping their unparseable string)."""
         ndt = df.select(F.when(ok, expr)).schema[0].dataType
+        try:
+            odt = df.select(old).schema[0].dataType
+        except Exception:
+            odt = None
+        if odt == ndt:
+            return F.when(ok, expr).otherwise(old)
         try:
             cand = F.when(ok, expr).otherwise(old.try_cast(ndt))
             df.select(cand)
@@ -1029,22 +1131,56 @@ class IngestPipeline:
         if name == "grok":
             from beats_spark.processors.grok import GrokPattern
 
-            pats = [GrokPattern(p, cfg.get("pattern_definitions"))
+            pats = [GrokPattern(p, cfg.get("pattern_definitions"),
+                                require_captures=False)
                     for p in cfg["patterns"]]
             assigns: dict[str, Column] = {}
             matched = F.lit(False)
+            grok_tmps: list[str] = []
             for pat in pats:
-                if not pat.semantics and pat.regex == "":
-                    matched = matched | src.isNotNull()
+                if not pat.semantics:
+                    # capture-less pattern: a pure match predicate ("" in
+                    # a pattern list means match-anything, e.g. nginx)
+                    if pat.regex == "":
+                        matched = matched | src.isNotNull()
+                    else:
+                        matched = matched | (
+                            src.isNotNull() & src.rlike(pat.anchored(False)))
                     continue
                 rep = "\x02" + "\x01".join(
                     f"${g}" for g in range(1, pat._ngroups + 1))
-                marked = F.regexp_replace(src, pat.anchored(True), rep)
-                parts = F.split(marked, "\x01", -1)
-                ok = src.isNotNull() & (marked != src) & ~matched
+                # ES ingest grok is SEARCH semantics (joni matcher.search):
+                # a pattern matching any substring of the field matches the
+                # document. anchored(False) is the whole-line search rewrite.
+                # The split capture array is MATERIALIZED as a column so
+                # the (expensive) search regex runs once per row per
+                # pattern — every field extraction, the match probe, and
+                # the failure flag all reference the same computed array
+                # instead of re-evaluating the regexp_replace.
+                n = self.__dict__.get("_tmp_n", 0)
+                self.__dict__["_tmp_n"] = n + 1
+                pname = f"_ingest_grok_{n}"
+                grok_tmps.append(pname)
+                # first-match-wins short circuit: rows already claimed by
+                # an earlier pattern skip this pattern's regex entirely
+                # (CASE WHEN branches evaluate lazily per row) — on a
+                # k-pattern grok most rows pay for ONE search, not k
+                df = df.withColumn(pname, F.when(~matched, F.split(
+                    F.regexp_replace(src, pat.anchored(False), rep),
+                    "\x01", -1)))
+                parts = _c(pname)
+                # a match always rewrites to a \x02-prefixed capture join;
+                # \x01/\x02 never occur in log text, so element 1's prefix
+                # IS the match signal (no second regex evaluation)
+                ok = src.isNotNull() & F.coalesce(
+                    F.element_at(parts, 1).startswith("\x02"), F.lit(False)
+                )
 
                 def grp(g: int, parts=parts) -> Column:
-                    v = F.element_at(parts, g)
+                    # try_element_at: unmatched rows keep a 1-element
+                    # array; ANSI element_at would throw if a consumer
+                    # ever evaluates a group ref unguarded
+                    v = F.try_element_at(parts, F.lit(g))
                     v = F.substring(v, 2, 2**30) if g == 1 else v
                     return F.when(v != "", v)
 
@@ -1068,49 +1204,74 @@ class IngestPipeline:
             msg = "Provided Grok expressions do not match field value"
             # grok only sets fields on the matching rows; guard each
             assigns = {k: F.when(matched, v) for k, v in assigns.items()}
-            return self._apply(df, assigns, fails, msg, act,
-                               ignore_failure, on_failure, idx)
+            df = self._apply(df, assigns, fails, msg, act,
+                             ignore_failure, on_failure, idx)
+            return df.drop(*grok_tmps)
 
         # dissect
         from beats_spark.dissect import DissectPattern
 
-        pat = DissectPattern(
-            cfg["pattern"], append_separator=cfg.get("append_separator", ""))
-        tmp_cols = pat.extract_columns(src)
-        matched = tmp_cols.pop("_dissect_ok")
+        pat = DissectPattern(cfg["pattern"])
+        if pat.regex is None:
+            raise IngestCompileError(
+                "dissect: pointer/indirect keys (%{*k}/%{&k}) are not "
+                f"supported in the ingest compiler: {cfg['pattern']!r}"
+            )
+        # materialize the one-regex capture array (same reasoning as the
+        # grok kernel above: every key + the match probe reference it)
+        n = self.__dict__.get("_tmp_n", 0)
+        self.__dict__["_tmp_n"] = n + 1
+        pname = f"_ingest_dissect_{n}"
+        df = df.withColumn(
+            pname, pat.parts_column(pat.marked_column(src)))
+        parts = _c(pname)
+        matched = src.isNotNull() & F.coalesce(
+            F.element_at(parts, 1).startswith(pat.MARK), F.lit(False))
+        tmp_cols = pat.extract_columns(parts)
+        # ES dissect types via %{key} only (no :type); apply declared casts
+        for key in list(tmp_cols):
+            dtype = pat.key_dtype(key)
+            if dtype:
+                tmp_cols[key] = tmp_cols[key].try_cast(dtype)
         fails = ~matched
         if ignore_missing:
             fails = src.isNotNull() & ~matched
         assigns = {k: F.when(matched, v) for k, v in tmp_cols.items()}
-        return self._apply(
+        df = self._apply(
             df, assigns, fails,
             "Unable to find match for dissect pattern", act,
             ignore_failure, on_failure, idx)
+        return df.drop(pname)
 
     # -- foreach --
     def _foreach(self, df: DataFrame, cfg: dict, active: Column,
                  idx: int) -> DataFrame:
+        cfg = dict(cfg)
+        cond = cfg.pop("if", None)
+        ignore_failure = cfg.pop("ignore_failure", False)
+        on_failure = cfg.pop("on_failure", None)
+        cfg.pop("tag", None)
+        cfg.pop("description", None)
+        active = active & painless_condition(cond, df) if cond else active
         fld = cfg["field"]
         (sub_name, sub_cfg), = cfg["processor"].items()
-        ignore_missing = cfg.get("ignore_missing", False)
+        ignore_missing = cfg.pop("ignore_missing", False)
         if ignore_missing and not _has(df, fld):
             return df
+        fails = None if ignore_missing else _missing(df, fld)
+        msg = f"field [{fld}] not present"
         src = _c(fld) if _has(df, fld) else F.lit(None).cast("array<string>")
         elem_fns = {"lowercase": F.lower, "uppercase": F.upper, "trim": F.trim}
         if sub_name in elem_fns and sub_cfg.get("field") == "_ingest._value":
             fn = elem_fns[sub_name]
             out = F.transform(src, lambda x: fn(x))
-            return self._apply(df, {fld: out},
-                               None if ignore_missing else _missing(df, fld),
-                               f"field [{fld}] not present", active,
-                               False, None, idx)
+            return self._apply(df, {fld: out}, fails, msg, active,
+                               ignore_failure, on_failure, idx)
         if sub_name == "gsub" and sub_cfg.get("field") == "_ingest._value":
             out = F.transform(src, lambda x: F.regexp_replace(
                 x, sub_cfg["pattern"], sub_cfg["replacement"]))
-            return self._apply(df, {fld: out},
-                               None if ignore_missing else _missing(df, fld),
-                               f"field [{fld}] not present", active,
-                               False, None, idx)
+            return self._apply(df, {fld: out}, fails, msg, active,
+                               ignore_failure, on_failure, idx)
         if (sub_name == "append"
                 and sub_cfg.get("value") == "{{_ingest._value}}"):
             # append each element to another array field == array concat
@@ -1120,10 +1281,8 @@ class IngestPipeline:
             out = F.concat(F.coalesce(base, F.array().cast("array<string>")),
                            F.coalesce(src.cast("array<string>"),
                                       F.array().cast("array<string>")))
-            return self._apply(df, {tgt: out},
-                               None if ignore_missing else _missing(df, fld),
-                               f"field [{fld}] not present", active,
-                               False, None, idx)
+            return self._apply(df, {tgt: out}, fails, msg, active,
+                               ignore_failure, on_failure, idx)
         raise IngestCompileError(
             f"foreach: unsupported element processor {sub_name!r} "
             f"(supported: lowercase/uppercase/trim/gsub on _ingest._value, "
@@ -1162,8 +1321,31 @@ def compile_ingest_pipeline(
     keep_failed: bool = True,
 ) -> IngestPipeline:
     """Compile an ES ingest pipeline definition (dict, YAML/JSON text,
-    or a path) into a DataFrame → DataFrame transform."""
+    or a path) into a DataFrame → DataFrame transform.
+
+    When ``cfg`` is a path, sibling ``*.yml``/``*.json`` files in the
+    same directory are auto-loaded as referenceable sub-pipelines
+    (keyed by file stem) — the layout Filebeat's module build uses for
+    `{< IngestPipeline "pipeline-plaintext" >}` references."""
     if isinstance(cfg, str):
+        if cfg.endswith((".yml", ".yaml", ".json")):
+            import glob as _glob
+            import os as _os
+
+            d = _os.path.dirname(cfg)
+            sibs = {}
+            for p in sorted(_glob.glob(_os.path.join(d, "*.yml"))
+                            + _glob.glob(_os.path.join(d, "*.yaml"))
+                            + _glob.glob(_os.path.join(d, "*.json"))):
+                if _os.path.abspath(p) == _os.path.abspath(cfg):
+                    continue
+                stem = _os.path.splitext(_os.path.basename(p))[0]
+                try:
+                    sibs[stem] = load_ingest_pipeline(p)
+                except Exception:
+                    pass  # an unparseable sibling only matters if referenced
+            if sibs:
+                pipelines = {**sibs, **(pipelines or {})}
         cfg = load_ingest_pipeline(cfg)
     return IngestPipeline(
         cfg, pipelines=pipelines, script_handlers=script_handlers,

@@ -194,11 +194,25 @@ def decode_cef(
     marked = F.regexp_replace(
         body, _HEADER_RX, _MARK + _SEP.join(f"${g}" for g in range(1, 9))
     )
-    parts = F.split(marked, _SEP, -1)
-    ok = body.isNotNull() & (marked != body)
+    # materialize the one-regex result as a real column: every header
+    # field and the ok probe reference it, and a multi-referenced
+    # non-trivial column is NOT collapsed back into consumers by
+    # Catalyst — so the header regex runs exactly ONCE per row instead
+    # of once per referencing expression
+    df = df.withColumn("_cef_parts", F.split(marked, _SEP, -1))
+    parts = F.col("_cef_parts")
+    # a match always rewrites to a MARK-prefixed capture join; \x01/\x02
+    # never occur in log text, so the first element's MARK prefix IS the
+    # match signal (no second regex evaluation)
+    df = df.withColumn("_cef_ok", F.coalesce(
+        F.element_at(parts, 1).startswith(_MARK), F.lit(False)))
+    ok = F.col("_cef_ok")
 
     def grp(g: int) -> Column:
-        v = F.element_at(parts, g)
+        # try_element_at: an unmatched row's parts array has ONE element
+        # (the line unchanged), and the materialized extension tokenizer
+        # below evaluates grp(8) unguarded — ANSI element_at would throw
+        v = F.try_element_at(parts, F.lit(g))
         return F.substring(v, 2, 2**30) if g == 1 else v
 
     version = grp(1).cast("int")
@@ -209,7 +223,11 @@ def decode_cef(
     severity = grp(7)
     ext_blob = grp(8)
 
-    toks = F.regexp_extract_all(ext_blob, F.lit(_EXT_TOKEN_RX), 0)
+    # same materialization for the extension tokenizer — the entries /
+    # dedup / map stages and every ECS column hang off this one result
+    df = df.withColumn(
+        "_cef_toks", F.regexp_extract_all(ext_blob, F.lit(_EXT_TOKEN_RX), 0))
+    toks = F.col("_cef_toks")
     key = lambda t: F.substring_index(t, "=", 1)  # noqa: E731  keys have no '='
     entries = F.transform(
         toks,
@@ -231,6 +249,10 @@ def decode_cef(
                 e["value"].alias("value"),
             ),
         )
+    # materialize the parsed entry structs so the quadratic dedup scan
+    # below iterates a computed array, not a recomputed expression tree
+    df = df.withColumn("_cef_entries", entries)
+    entries = F.col("_cef_entries")
     # last-wins dedup (Go map overwrite): keep entry i only if no later
     # entry shares its key. O(n²) over ≤ ~50 in-row pairs, JVM-side.
     deduped = F.filter(
@@ -273,7 +295,7 @@ def decode_cef(
                 )
             ),
         )
-    return df
+    return df.drop("_cef_parts", "_cef_toks", "_cef_entries", "_cef_ok")
 
 
 def encode_cef(

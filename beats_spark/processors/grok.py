@@ -98,6 +98,25 @@ GROK_PATTERNS: dict[str, str] = {
     ),
     "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
     "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME}(?: %{INT})?",
+    "DAY": (
+        r"\b(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|"
+        r"Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)\b"
+    ),
+    "TZ": r"[A-Z]{3,4}",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    # RFC-3164 TAG charset: printable ASCII minus the separators
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOG5424PRI": r"<[0-9]+>",
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    "BASE16FLOAT": (
+        r"\b(?:0[xX])?(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?"
+        r"|\.[0-9A-Fa-f]+)\b"
+    ),
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVALOGMESSAGE": r"(?:.*)",
+    "MONGO3_SEVERITY": r"\w",
+    "MONGO3_COMPONENT": r"%{WORD}",
     "LOGLEVEL": (
         r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|"
         r"NOTICE|[Ii]nfo(?:rmation)?|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|"
@@ -168,6 +187,10 @@ def _noncapture(rx: str) -> str:
                     f"backreferences ((?P=name)): {rx!r}"
                 )
             m = re.match(r"\(\?P?<(?![=!])[^>]*>", rx[i:])
+            if m is None:
+                # Oniguruma's alternate named-group spelling (?'name'
+                # (kafka module) — same demotion
+                m = re.match(r"\(\?'[^']*'", rx[i:])
             if m:
                 out.append("(?:")
                 i += m.end()
@@ -188,7 +211,8 @@ class GrokPattern:
     """A compiled grok expression: one combined regex + the ordered
     list of (field name, capture group, type)."""
 
-    def __init__(self, expr: str, pattern_definitions: dict[str, str] | None = None):
+    def __init__(self, expr: str, pattern_definitions: dict[str, str] | None = None,
+                 require_captures: bool = True):
         self.expr = expr
         self.defs = dict(GROK_PATTERNS)
         if pattern_definitions:
@@ -196,7 +220,10 @@ class GrokPattern:
         self.semantics: list[_Semantic] = []
         self._ngroups = 0
         self.regex = self._compile(expr, depth=0)
-        if not self.semantics:
+        if not self.semantics and require_captures:
+            # the ES ingest grok accepts capture-less patterns as pure
+            # match predicates (require_captures=False); the Beats grok
+            # processor contract requires at least one field
             raise ValueError(f"grok expression has no named captures: {expr!r}")
         # dev-time guard: the combined pattern must be a valid regex
         # (python's dialect is a superset of the Java∩RE2 subset used here)

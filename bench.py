@@ -121,6 +121,13 @@ HEADLINE = [
     "decode_cef",
     "module_tidb",
     "module_slowlog",
+    # r5: ES-ingest-compiled reference module pipelines (narrow
+    # grok-ladder projections). module_system_auth is excluded like
+    # bpe_merges: its 7-pattern grok ladder over unmatched rows is
+    # regex-bound (~10s at sf0.01 even with the first-match-wins short
+    # circuit) and is correctness-gated by the driver instead.
+    "module_nginx",
+    "module_system_syslog",
 ]
 
 #: the round-2 headline set — reported as its own subtotal so the
@@ -357,9 +364,14 @@ def main() -> None:
             # the headline throughput: the SAME pipeline via spark-submit
             # at full cores, taskset-pinned, steady-state (min of reps
             # 2+) — a fresh pinned JVM dodges the shared-JVM host stalls
-            # that randomize the in-process reps above
+            # that randomize the in-process reps above. ≥5 reps (r4
+            # verdict ask #4: the rep spread is the host's, more samples
+            # make the min a stable estimator) and a same-window machine
+            # ceiling calibration printed NEXT TO the number so the
+            # artifact is self-interpreting.
             full_cores = int(cpus)
-            full = run_once(full_cores, rows, zip_path, reps=reps)
+            cal_full = calibrate(full_cores, n=3_000_000_000, reps=2)
+            full = run_once(full_cores, rows, zip_path, reps=max(reps, 5))
             f_steady = full.get("rep_seconds") or [full["seconds"]]
             f_best = min(f_steady[1:] or f_steady)
             out["pipeline_events_per_sec_inprocess"] = out["pipeline_events_per_sec"]
@@ -370,6 +382,10 @@ def main() -> None:
             )
             out["pipeline_rows"] = rows
             out["pipeline_rep_seconds"] = f_steady
+            # same-window hardware ceiling (pure-register codegen loop,
+            # rows/s at full cores) — read the pipeline number against
+            # this: if the ceiling moved between rounds, the window did
+            out["pipeline_window_ceiling_rows_per_sec"] = round(cal_full)
             out["scaling"] = {
                 "rows": rows,
                 "low_cores": low,

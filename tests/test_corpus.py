@@ -1324,6 +1324,30 @@ def test_bpe_learn_hand_case(spark):
     assert (m[1]["t1"], m[1]["t2"], m[1]["new_id"], m[1]["n_pairs"]) == (100, 3, 101, 2)
 
 
+def test_bpe_learn_on_sample_default(spark):
+    """Above sample_threshold the trainer learns on a deterministic
+    hash_sample slice BY DEFAULT (a naive caller cannot run k
+    full-corpus shuffles by accident); the default path equals an
+    explicit hash_sample of the same fraction, and sample_frac=1.0
+    forces full-corpus learning."""
+    from beats_spark.corpus.tokens import hash_sample, learn_bpe_merges
+
+    docs = [[1, 2, 3, 1, 2] if i % 2 else [2, 3, 4] for i in range(200)]
+    df = _tokdocs(spark, docs)
+    # threshold 50 < 200 rows → default path samples to ~50/200 = 0.25
+    auto = learn_bpe_merges(df, n_merges=2, new_id_start=100,
+                            sample_threshold=50).collect()
+    explicit = learn_bpe_merges(
+        hash_sample(df, 50 / 200), n_merges=2, new_id_start=100,
+        sample_frac=1.0).collect()
+    assert [tuple(r) for r in auto] == [tuple(r) for r in explicit]
+    # full-corpus learning still available and sees every pair
+    full = learn_bpe_merges(df, n_merges=1, new_id_start=100,
+                            sample_frac=1.0).collect()
+    assert full[0]["n_pairs"] == sum(
+        sum(1 for a, b in zip(d, d[1:]) if (a, b) == (1, 2)) for d in docs)
+
+
 def test_bpe_apply_repeated_run_no_overlap(spark):
     """a≠b guarantees matches are never adjacent: 'a b a b' merges
     twice; 'a a b' merges once (the pair starts at index 1)."""

@@ -152,6 +152,93 @@ def test_script_refuses_without_handler_and_runs_with_one(spark):
     assert out.collect()[0]["x"] == 1
 
 
+def test_grok_is_search_not_anchored(spark):
+    # ES ingest grok is joni matcher.search: a pattern matching a
+    # SUBSTRING of the field matches the document (no implicit ^...$)
+    cfg = {"processors": [
+        {"grok": {"field": "message",
+                  "patterns": ["%{WORD:verb} %{NUMBER:code:int}"]}}]}
+    got, _ = _run(spark, cfg,
+                  [("prefix GET 200 trailing junk",), ("no-match-here",)],
+                  "message string")
+    ok, bad = got["prefix GET 200 trailing junk"], got["no-match-here"]
+    # leftmost occurrence of WORD-then-NUMBER is "GET 200" ("prefix" is
+    # not followed by a number); trailing junk doesn't prevent the match
+    assert ok["verb"] == "GET" and ok["code"] == 200
+    assert ok["error.message"] is None
+    assert bad["error.message"] is not None
+
+
+def test_on_failure_subchain_failure_keeps_inner_diagnostic(spark):
+    # a processor inside on_failure that itself fails unhandled must
+    # leave the doc failed WITH its message, not error.message=null
+    cfg = {"processors": [
+        {"convert": {
+            "field": "n", "type": "long",
+            "on_failure": [{"fail": {"message": "inner boom"}}],
+        }},
+    ]}
+    df = spark.createDataFrame([("a", "7"), ("b", "oops")],
+                               "message string, n string")
+    out = {r["message"]: r.asDict()
+           for r in compile_ingest_pipeline(cfg)(df).collect()}
+    assert out["a"]["n"] == 7 and out["a"]["error.message"] is None
+    assert out["b"]["error.message"] == "inner boom"
+
+
+def test_foreach_honors_if_condition(spark):
+    cfg = {"processors": [
+        {"foreach": {
+            "field": "tags",
+            "processor": {"uppercase": {"field": "_ingest._value"}},
+            "if": "ctx.m == 'a'",
+        }},
+    ]}
+    df = spark.createDataFrame(
+        [("a", ["x", "y"]), ("b", ["x", "y"])],
+        "m string, tags array<string>")
+    out = {r["m"]: r.asDict()
+           for r in compile_ingest_pipeline(cfg)(df).collect()}
+    assert out["a"]["tags"] == ["X", "Y"]
+    assert out["b"]["tags"] == ["x", "y"]  # if=false: untouched
+
+
+def test_foreach_ignore_failure_and_on_failure(spark):
+    # missing field + ignore_failure → doc continues untouched
+    cfg = {"processors": [
+        {"foreach": {
+            "field": "nope",
+            "processor": {"trim": {"field": "_ingest._value"}},
+            "ignore_failure": True,
+        }},
+        {"set": {"field": "after", "value": "ran"}},
+    ]}
+    got, _ = _run(spark, cfg, [("m",)], "message string")
+    assert got["m"]["after"] == "ran"
+    assert got["m"]["error.message"] is None
+
+
+def test_mustache_missing_field_renders_empty_string(spark):
+    # ES mustache: '{{missing}}' → '' (never nulls the whole template)
+    cfg = {"processors": [
+        {"set": {"field": "out", "value": "x-{{missing}}-{{m}}"}}]}
+    got, _ = _run(spark, cfg, [("hi", "k")], "m string, message string")
+    assert got["k"]["out"] == "x--hi"
+
+
+def test_rename_fails_when_target_exists(spark):
+    cfg = {"processors": [
+        {"rename": {"field": "a", "target_field": "b"}}]}
+    df = spark.createDataFrame(
+        [("r1", "v1", None), ("r2", "v2", "occupied")],
+        "message string, a string, b string")
+    out = {r["message"]: r.asDict()
+           for r in compile_ingest_pipeline(cfg)(df).collect()}
+    assert out["r1"]["b"] == "v1" and out["r1"]["a"] is None
+    assert out["r2"]["b"] == "occupied" and out["r2"]["a"] == "v2"
+    assert "already exists" in out["r2"]["error.message"]
+
+
 def test_single_projection_plan_stays_narrow(spark):
     # the whole compiled chain must be projections over one scan:
     # no shuffle, no UDF, nothing outside whole-stage codegen
