@@ -1872,6 +1872,148 @@ FROM f
 """
 
 
+def q_module_postgresql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """postgresql/log module via the compiled reference pipeline
+    (filebeat/module/postgresql/log/ingest/pipeline.yml + the
+    pipeline-csv sub-pipeline): events render as PostgreSQL CSV log
+    lines — quoted fields with embedded commas, the 23-column csv
+    target map, session-start date parse, the duration script's
+    FLOAT32 product semantics (Math.round(float * int) in Painless),
+    and the sql_state_code ==~ regex that routes event.type. Oracle
+    knows every field by construction; golden parity for the same
+    pipeline (all 20 shipped fixtures): tests/test_module_pipelines.py."""
+    from beats_spark.module_scripts import load_module_pipeline
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    ts = F.timestamp_seconds(F.lit(1704067200) + eid)
+    ms = F.lpad(F.pmod(eid, F.lit(1000)).cast("string"), 3, "0")
+    ts_str = F.concat(F.date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+                      F.lit("."), ms, F.lit(" UTC"))
+    ts2_str = F.concat(
+        F.date_format(F.timestamp_seconds(F.lit(1704067100) + eid),
+                      "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC"))
+    user = F.concat(F.lit("u"), F.substring(
+        F.md5(F.concat(eid.cast("string"), F.lit("n"))), 1, 6))
+    db = F.concat(F.lit("db"), F.pmod(eid, F.lit(8)).cast("string"))
+    pid = (F.pmod(eid, F.lit(30000)) + 100).cast("string")
+    k = (F.pmod(eid, F.lit(200)) + 1).cast("string")
+    port = (F.pmod(eid, F.lit(60000)) + 1024).cast("string")
+    conn = F.concat(F.lit("198.51.100."), k, F.lit(":"), port)
+    sess = F.concat(F.lit("5ff2"), F.substring(_h8("s"), 1, 4),
+                    F.lit("."), F.substring(_h8("t"), 1, 2))
+    line_num = (F.pmod(eid, F.lit(90)) + 1).cast("string")
+    txn = F.pmod(eid, F.lit(5000)).cast("string")
+    vxid = F.concat(F.lit("3/"), F.pmod(eid, F.lit(400)).cast("string"))
+    is_dur = F.pmod(eid, F.lit(3)) == 0
+    is_err = (F.pmod(eid, F.lit(13)) == 0) & ~is_dur
+    qt_milli = F.pmod(eid, F.lit(9000)) + 1
+    qt = F.concat((qt_milli / 1000).cast("int").cast("string"), F.lit("."),
+                  F.lpad(F.pmod(qt_milli, F.lit(1000)).cast("string"),
+                         3, "0"))
+    msg = (
+        F.when(is_dur, F.concat(
+            F.lit("duration: "), qt,
+            F.lit(" ms  execute S_7: SELECT a, b")))
+        .when(is_err, F.lit("syntax error at or near (x)"))
+        .otherwise(F.lit("checkpoint starting: time")))
+    state = F.when(is_err, F.lit("42601")).otherwise(F.lit("00000"))
+    line = F.concat(
+        ts_str, F.lit(',"'), user, F.lit('","'), db, F.lit('",'), pid,
+        F.lit(',"'), conn, F.lit('",'), sess, F.lit(","), line_num,
+        F.lit(',"SELECT",'), ts2_str, F.lit(","), vxid, F.lit(","), txn,
+        F.lit(",LOG,"), state, F.lit(',"'), msg,
+        F.lit('",,,,,,,,,"app1","client backend"'),
+    )
+    df = ev.select(
+        "event_id", line.alias("message"),
+        F.lit("UTC").alias("event.timezone"),
+        F.lit("2030-01-01T00:00:00.000Z").alias("@timestamp"),
+    )
+    out = load_module_pipeline("postgresql", "log")(df)
+
+    def c(name):
+        return F.col(f"`{name}`")
+
+    return out.select(
+        "event_id",
+        F.date_format(c("@timestamp"),
+                      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("at"),
+        c("process.pid").alias("pid"),
+        c("user.name").alias("user_name"),
+        c("postgresql.log.database").alias("db"),
+        c("log.level").alias("level"),
+        c("postgresql.log.sql_state_code").alias("state"),
+        c("postgresql.log.session_id").alias("session_id"),
+        F.date_format(c("postgresql.log.session_start_time"),
+                      "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("sstart"),
+        c("postgresql.log.transaction_id").alias("txn"),
+        c("postgresql.log.virtual_transaction_id").alias("vxid"),
+        c("postgresql.log.client_addr").alias("client_addr"),
+        c("postgresql.log.client_port").alias("client_port"),
+        c("postgresql.log.command_tag").alias("cmd_tag"),
+        c("event.duration").alias("dur"),
+        c("postgresql.log.query_step").alias("qstep"),
+        c("message").alias("msg"),
+        c("event.kind").alias("kind"),
+        F.array_join(c("event.category"), ",").alias("category_csv"),
+        F.array_join(c("event.type"), ",").alias("type_csv"),
+        F.element_at(c("related.user"), 1).alias("related_user"),
+        c("postgresql.log.application_name").alias("app"),
+        c("postgresql.log.backend_type").alias("backend"),
+    )
+
+
+_Q_MODULE_POSTGRESQL_SQL = """
+WITH f AS (
+  SELECT event_id,
+         event_id % 3 = 0 AS is_dur,
+         event_id % 13 = 0 AND event_id % 3 <> 0 AS is_err,
+         event_id % 9000 + 1 AS qtm,
+         make_timestamp((1704067200 + event_id) * 1000000
+                        + (event_id % 1000) * 1000) AS t,
+         make_timestamp((1704067100 + event_id) * 1000000) AS t2,
+         'u' || substr(md5(event_id::VARCHAR || 'n'), 1, 6) AS uname
+  FROM events
+), g AS (
+  SELECT *,
+         (qtm // 1000)::VARCHAR || '.' ||
+           lpad((qtm % 1000)::VARCHAR, 3, '0') AS qt
+  FROM f
+)
+SELECT event_id,
+       strftime(t, '%Y-%m-%dT%H:%M:%S') || '.' ||
+         lpad((event_id % 1000)::VARCHAR, 3, '0') || 'Z' AS at,
+       (event_id % 30000 + 100)::VARCHAR AS pid,
+       uname AS user_name,
+       'db' || (event_id % 8)::VARCHAR AS db,
+       'LOG' AS level,
+       CASE WHEN is_err THEN '42601' ELSE '00000' END AS state,
+       '5ff2' || substr(md5(event_id::VARCHAR || 's'), 1, 4) || '.' ||
+         substr(md5(event_id::VARCHAR || 't'), 1, 2) AS session_id,
+       strftime(t2, '%Y-%m-%dT%H:%M:%S') || 'Z' AS sstart,
+       (event_id % 5000)::BIGINT AS txn,
+       '3/' || (event_id % 400)::VARCHAR AS vxid,
+       '198.51.100.' || (event_id % 200 + 1)::VARCHAR AS client_addr,
+       (event_id % 60000 + 1024)::INT AS client_port,
+       'SELECT' AS cmd_tag,
+       CASE WHEN is_dur THEN
+         round(CAST(CAST(qt AS REAL) * CAST(1000000 AS REAL) AS DOUBLE))
+           ::BIGINT END AS dur,
+       CASE WHEN is_dur THEN 'execute' END AS qstep,
+       CASE WHEN is_dur THEN 'SELECT a, b'
+            WHEN is_err THEN 'syntax error at or near (x)'
+            ELSE 'checkpoint starting: time' END AS msg,
+       'event' AS kind,
+       'database' AS category_csv,
+       CASE WHEN is_err THEN 'error' ELSE 'info' END AS type_csv,
+       uname AS related_user,
+       'app1' AS app,
+       'client backend' AS backend
+FROM g
+"""
+
+
 def q_sink_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bulk per-item triage (§2.7): status → outcome ladder
     (elasticsearch/client.go:390-420), dropped class diverted to the
@@ -2228,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "module_nginx": q_module_nginx,
         "module_system_syslog": q_module_system_syslog,
         "module_system_auth": q_module_system_auth,
+        "module_postgresql": q_module_postgresql,
     }
     q.update(corpus_queries())
     ordered = {k: q[k] for k in _DRIVER_WINDOW_PRIORITY}
@@ -2279,6 +2422,7 @@ def oracle_sql() -> dict[str, str]:
         "module_nginx": _Q_MODULE_NGINX_SQL,
         "module_system_syslog": _Q_MODULE_SYSLOG_SQL,
         "module_system_auth": _Q_MODULE_AUTH_SQL,
+        "module_postgresql": _Q_MODULE_POSTGRESQL_SQL,
     }
     o.update(corpus_oracles())
     return o

@@ -132,8 +132,9 @@ def _dtype(df: DataFrame, name: str) -> T.DataType | None:
 # ---------------------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<op>\|\||&&|==|!=|<=|>=|[()!<>\[\],])"
+    r"\s*(?:(?P<op>\|\||&&|==~|=~|==|!=|<=|>=|[()!<>\[\],])"
     r"|(?P<str>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<regex>/(?:[^/\\\n]|\\.)+/)"
     r"|(?P<num>-?\d+(?:\.\d+)?)"
     r"|(?P<dot>\?\.|\.)"
     r"|(?P<ident>[A-Za-z_$][A-Za-z0-9_$]*))"
@@ -151,7 +152,7 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 f"painless-lite: cannot tokenize at {src[pos:pos+20]!r}"
             )
         pos = m.end()
-        for kind in ("op", "str", "num", "dot", "ident"):
+        for kind in ("op", "str", "regex", "num", "dot", "ident"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -219,6 +220,32 @@ class _Painless:
     def _cmp(self) -> Column:
         left, lnull = self._primary()
         op = self._peek()[1]
+        if op == "instanceof":
+            # `x instanceof List` — in the flat/json-text model a list
+            # value is either an ArrayType column or its JSON text:
+            # CAST to string starts with '[' for both ('{' for maps)
+            self._eat()
+            _, tname = self._eat()
+            marker = {"List": "[", "ArrayList": "[", "Map": "{",
+                      "HashMap": "{"}.get(tname)
+            if marker is None:
+                raise IngestCompileError(
+                    f"painless-lite: instanceof {tname!r} unsupported in "
+                    f"{self.src!r}")
+            return left.cast("string").startswith(marker)
+        if op in ("==~", "=~"):
+            # Painless regex operators: `==~` whole-string match,
+            # `=~` find-anywhere (both on a /regex/ literal)
+            self._eat()
+            kind, val = self._eat()
+            if kind != "regex":
+                raise IngestCompileError(
+                    f"painless-lite: {op} needs a /regex/ literal, got "
+                    f"{val!r} in {self.src!r}")
+            pat = val[1:-1]
+            if op == "==~":  # Matcher.matches(): implicit full anchor
+                pat = "^(?:" + pat + ")$"
+            return left.rlike(pat)
         if op not in ("==", "!=", "<", ">", "<=", ">="):
             return left
         self._eat()
@@ -239,8 +266,15 @@ class _Painless:
             raise IngestCompileError(
                 f"painless-lite: ordered comparison with null in {self.src!r}"
             )
-        return {"<": left < right, ">": left > right,
-                "<=": left <= right, ">=": left >= right}[op]
+        # Painless def comparison is NUMERIC when both operands are
+        # numbers; json-map values arrive as digit strings — compare as
+        # doubles when both sides parse, lexicographically otherwise
+        ln, rn = left.try_cast("double"), right.try_cast("double")
+        num = ln.isNotNull() & rn.isNotNull()
+        ops = {"<": lambda a, b: a < b, ">": lambda a, b: a > b,
+               "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b}[op]
+        return F.when(num, ops(ln, rn)).otherwise(
+            ops(left.cast("string"), right.cast("string")))
 
     def _primary(self) -> tuple[Column, bool]:
         """→ (column, is_null_literal)."""
@@ -333,8 +367,43 @@ class _Painless:
                 segs.append(kv[1:-1])
             else:
                 break
+        if not segs and methods and methods[0][0] == "containsKey":
+            # ctx.containsKey('x') — root-level presence: any `x` or
+            # `x.*` column non-null (flat-column model equates absent
+            # with null, per the compiler contract)
+            key = str(methods[0][1][0])
+            cols = [c for c in self.df.columns
+                    if c == key or c.startswith(key + ".")]
+            if not cols:
+                base = F.lit(False)
+            else:
+                base = F.lit(False)
+                for c in cols:
+                    base = base | _c(c).isNotNull()
+            for name, args in methods[1:]:
+                base, _ = self._method(base, T.BooleanType(), name, args)
+            return base
         col, dtype = self._resolve(segs)
+        if col is not None and not methods:
+            # a field written by one branch as a flat column and by
+            # another as a json-map entry: per-row only one is set —
+            # read the coalesce (see _get)
+            merged = _get(self.df, ".".join(segs))
+            if merged is not None:
+                return merged
         if col is None:
+            # not a column itself — but if it's an object PREFIX of
+            # flat columns (`ctx.haproxy.http` over haproxy.http.*),
+            # the object "exists" for a row whenever any child is
+            # non-null: surface a boolean presence pseudo-value so
+            # `!= null` / `== null` behave like Painless object access
+            prefix = ".".join(segs) + "."
+            kids = [c for c in self.df.columns if c.startswith(prefix)]
+            if kids and not methods:
+                present = F.lit(False)
+                for c in kids:
+                    present = present | _c(c).isNotNull()
+                return F.when(present, F.lit(True))
             # whole path missing from the schema → Painless null
             base: Column = F.lit(None)
             dtype = None
@@ -353,14 +422,31 @@ class _Painless:
             if dt is None:
                 continue
             col = _c(name)
-            for seg in segs[cut:]:
+            rest = segs[cut:]
+            while rest:
+                seg = rest[0]
                 if isinstance(dt, T.StructType):
                     sub = {f.name: f.dataType for f in dt.fields}.get(seg)
                     if sub is None:
                         return F.lit(None), None
                     col, dt = col[seg], sub
+                    rest = rest[1:]
                 elif isinstance(dt, T.MapType):
-                    col, dt = col[seg], dt.valueType
+                    if isinstance(dt.valueType, T.StringType):
+                        # json-target map: the remaining path may be a
+                        # literal dotted key or lead into JSON text
+                        col = _entry_value(col, ".".join(rest))
+                        dt = T.StringType()
+                        rest = []
+                    else:
+                        col, dt = col[seg], dt.valueType
+                        rest = rest[1:]
+                elif isinstance(dt, T.StringType):
+                    # JSON text (renamed json object): path through it
+                    path = "$" + "".join(f"['{s}']" for s in rest)
+                    col = F.get_json_object(col, path)
+                    dt = T.StringType()
+                    rest = []
                 else:
                     return F.lit(None), None
             return col, dt
@@ -448,10 +534,9 @@ def _template(value: Any, df: DataFrame, failure_msg: str | None = None) -> Colu
         else:
             # mustache renders a missing/null field ref as the EMPTY
             # string ('x-{{missing}}' → 'x-'), never nulling the value
-            parts.append(
-                F.coalesce(_c(ref).cast("string"), F.lit(""))
-                if _has(df, ref) else F.lit("")
-            )
+            col = _get(df, ref)
+            parts.append(F.coalesce(col.cast("string"), F.lit(""))
+                         if col is not None else F.lit(""))
         pos = m.end()
     if pos == 0:
         return F.lit(value)  # no refs: plain literal
@@ -471,16 +556,114 @@ def _template(value: Any, df: DataFrame, failure_msg: str | None = None) -> Colu
 #   row_filter: rows to KEEP where active (drop processor), else None
 
 
+def _map_entry(df: DataFrame, fld: str) -> tuple[str, str] | None:
+    """Resolve ``fld`` as an entry INSIDE a map-typed column (the
+    `json` processor materializes its target as map<string,string>):
+    ``elasticsearch.server.cluster.name`` → ('elasticsearch.server',
+    'cluster.name'). Longest existing column prefix wins; a non-map
+    prefix column shadows (the path is then simply absent)."""
+    segs = fld.split(".")
+    for cut in range(len(segs) - 1, 0, -1):
+        name = ".".join(segs[:cut])
+        dt = _dtype(df, name)
+        if isinstance(dt, T.MapType):
+            return name, ".".join(segs[cut:])
+        if dt is not None:
+            return None
+    return None
+
+
+def _map_entry_any(df: DataFrame, fld: str) -> tuple[str, str] | None:
+    """Like _map_entry but doesn't stop at a non-map prefix column —
+    used to find the map-side twin of a field that ALSO exists as a
+    flat column (plaintext-branch grok vs json-branch map: each row
+    has at most one populated; reads coalesce the two)."""
+    segs = fld.split(".")
+    for cut in range(len(segs) - 1, 0, -1):
+        name = ".".join(segs[:cut])
+        if isinstance(_dtype(df, name), T.MapType):
+            return name, ".".join(segs[cut:])
+    return None
+
+
+def _entry_value(map_col: Column, key: str) -> Column:
+    """Read a dotted path out of a map<string,string> json target.
+    The path may be one literal dotted key ('node.id'), or lead into a
+    nested object stored as JSON text ('change.disable.user.name' →
+    map['change'] then $.disable.user.name): try every literal-prefix
+    split, longest first."""
+    segs = key.split(".")
+    cands = []
+    for i in range(len(segs), 0, -1):
+        head = ".".join(segs[:i])
+        v = map_col[head]
+        if i < len(segs):
+            path = "$" + "".join(f"['{s}']" for s in segs[i:])
+            v = F.get_json_object(v, path)
+        cands.append(v)
+    return F.coalesce(*cands) if len(cands) > 1 else cands[0]
+
+
+def _json_text_path(df: DataFrame, fld: str) -> Column | None:
+    """Longest string-column prefix + get_json_object for the rest: a
+    renamed json OBJECT lives as JSON text in a string column
+    (`user` = '{"name":"elastic"}' → user.name)."""
+    segs = fld.split(".")
+    for cut in range(len(segs) - 1, 0, -1):
+        name = ".".join(segs[:cut])
+        dt = _dtype(df, name)
+        if isinstance(dt, T.StringType):
+            path = "$" + "".join(f"['{s}']" for s in segs[cut:])
+            return F.get_json_object(_c(name), path)
+        if dt is not None:
+            return None
+    return None
+
+
+def _get(df: DataFrame, fld: str) -> Column | None:
+    """Read a field path, map-member aware; None when unaddressable.
+    A field present both as a flat column and as a map entry (two
+    pipeline branches writing the same name) reads as the coalesce."""
+    m = _map_entry_any(df, fld)
+    if _has(df, fld):
+        col = _c(fld)
+        if m is not None:
+            dt = _dtype(df, fld)
+            entry = _entry_value(_c(m[0]), m[1])
+            if isinstance(dt, T.StringType):
+                return F.coalesce(col, entry)
+            if isinstance(dt, (T.NumericType, T.BooleanType,
+                               T.TimestampType, T.DateType)):
+                return F.coalesce(col, entry.try_cast(dt))
+            return col  # array/struct flat column: map twin can't merge
+        return col
+    if m is not None:
+        return _entry_value(_c(m[0]), m[1])
+    return _json_text_path(df, fld)
+
+
+def _drop_key(map_col: Column, key: str, prefix: bool = False) -> Column:
+    """Remove `key` from a map column; with prefix=True also every
+    `key.*` entry (removing an OBJECT whose members are dotted keys)."""
+    if prefix:
+        return F.map_filter(
+            map_col,
+            lambda k, _v: (k != F.lit(key)) & ~k.startswith(key + "."))
+    return F.map_filter(map_col, lambda k, _v: k != F.lit(key))
+
+
 def _missing(df: DataFrame, fld: str) -> Column:
     """ES 'field not present or null'."""
-    return F.lit(True) if not _has(df, fld) else _c(fld).isNull()
+    col = _get(df, fld)
+    return F.lit(True) if col is None else col.isNull()
 
 
 def _p_set(df, cfg, fmsg):
     fld = cfg["field"]
     if "copy_from" in cfg:
         src = cfg["copy_from"]
-        val = _c(src) if _has(df, src) else F.lit(None)
+        val = _get(df, src)
+        val = F.lit(None) if val is None else val
     else:
         val = _template(cfg["value"], df, fmsg)
         # ES coerces a scalar literal to the field's existing mapping
@@ -507,24 +690,46 @@ def _p_set(df, cfg, fmsg):
 
 def _p_remove(df, cfg, fmsg):
     flds = cfg["field"] if isinstance(cfg["field"], list) else [cfg["field"]]
+    # an object name removes the whole subtree: `remove: tempcsv` in the
+    # flat-column model means every `tempcsv.*` column
+    expanded: list[str] = []
+    entries: list[tuple[str, str]] = []
+    for f in flds:
+        if _has(df, f):
+            expanded.append(f)
+            continue
+        kids = [c for c in df.columns if c.startswith(f + ".")]
+        if kids:
+            expanded.extend(kids)
+            continue
+        e = _map_entry(df, f)
+        if e is not None:
+            entries.append(e)
+        else:
+            expanded.append(f)
+            continue
     fails = None
     if not cfg.get("ignore_missing", False):
-        missing = [f for f in flds if not _has(df, f)]
+        missing = [f for f in expanded if not _has(df, f)]
         if missing:
             fails = F.lit(True)
         else:
             fails = None  # present columns: ES removes null-valued fields fine
     # a guarded drop can't remove the column for only some rows → null it
-    return {f: F.lit(None).cast(_dtype(df, f) or T.StringType())
-            for f in flds if _has(df, f)}, fails, f"field [{flds}] not present"
+    assigns = {f: F.lit(None).cast(_dtype(df, f) or T.StringType())
+               for f in expanded if _has(df, f)}
+    for mcol, key in entries:
+        assigns[mcol] = _drop_key(assigns.get(mcol, _c(mcol)), key)
+    return assigns, fails, f"field [{flds}] not present"
 
 
 def _p_rename(df, cfg, fmsg):
     src, dst = cfg["field"], cfg["target_field"]
     ignore_missing = cfg.get("ignore_missing", False)
-    if ignore_missing and not _has(df, src):
+    entry = None if _has(df, src) else _map_entry(df, src)
+    if ignore_missing and not _has(df, src) and entry is None:
         return {}, None, None
-    src_col = _c(src) if _has(df, src) else F.lit(None)
+    src_col = _get(df, src) if (_has(df, src) or entry) else F.lit(None)
     src_nn = src_col.isNotNull()
     old_dst = _c(dst) if _has(df, dst) else F.lit(None)
     fails = None if ignore_missing else _missing(df, src)
@@ -537,11 +742,28 @@ def _p_rename(df, cfg, fmsg):
             .otherwise(F.lit(f"field [{src}] not present"))
         fails = exists if fails is None else (fails | exists)
     # src-null docs under ignore_missing are a per-row NO-OP: the
-    # target keeps its value (never nulled by a missing source)
-    assigns = {
-        dst: F.when(src_nn, src_col).otherwise(old_dst),
-        src: F.lit(None).cast(_dtype(df, src) or T.StringType()),
-    }
+    # target keeps its value (never nulled by a missing source).
+    # Branch types must agree EXACTLY: a string/timestamp pair would
+    # get an implicit ANSI cast on the string side that explodes at
+    # runtime on the very rows the guard protects — probe and try_cast
+    # the old side to the incoming type instead
+    if _has(df, dst):
+        ndt = df.select(F.when(src_nn, src_col)).schema[0].dataType
+        odt = _dtype(df, dst)
+        if odt is not None and odt != ndt:
+            try:
+                cand = old_dst.try_cast(ndt)
+                df.select(cand)
+                old_dst = cand
+            except Exception:
+                old_dst = F.lit(None).cast(ndt)
+    assigns = {dst: F.when(src_nn, src_col).otherwise(old_dst)}
+    if entry is not None:
+        # renaming OUT of a map column: drop the key from the map
+        mcol, key = entry
+        assigns[mcol] = _drop_key(_c(mcol), key)
+    else:
+        assigns[src] = F.lit(None).cast(_dtype(df, src) or T.StringType())
     return assigns, fails, msg
 
 
@@ -646,9 +868,10 @@ def _p_convert(df, cfg, fmsg):
     typ = cfg["type"]
     if typ not in _CONVERT:
         raise IngestCompileError(f"convert: unsupported type {typ!r}")
-    if cfg.get("ignore_missing", False) and not _has(df, fld):
+    if cfg.get("ignore_missing", False) and _get(df, fld) is None:
         return {}, None, None
-    src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+    src = _get(df, fld)
+    src = F.lit(None).cast("string") if src is None else src
     missing = _missing(df, fld)
     if typ == "ip":
         ok = src.cast("string").rlike(_IP_RE)
@@ -676,7 +899,8 @@ def _p_convert(df, cfg, fmsg):
 def _p_date(df, cfg, fmsg):
     fld = cfg["field"]
     tgt = cfg.get("target_field", "@timestamp")
-    src = (_c(fld) if _has(df, fld) else F.lit(None)).cast("string")
+    src = (_get(df, fld) if _get(df, fld) is not None
+           else F.lit(None)).cast("string")
     tz = cfg.get("timezone")
     tz_col = _template(tz, df) if tz is not None else None
     attempts: list[Column] = []
@@ -687,12 +911,28 @@ def _p_date(df, cfg, fmsg):
                 F.try_to_timestamp(src, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
             attempts.append(
                 F.try_to_timestamp(src, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")))
+            # ES's ISO8601 also takes a COMMA decimal separator
+            # (jsr-310 lenient parse; gc logs emit '18:14:44,032Z')
+            attempts.append(F.try_to_timestamp(
+                src, F.lit("yyyy-MM-dd'T'HH:mm:ss','SSSXXX")))
+            attempts.append(F.try_to_timestamp(
+                src, F.lit("yyyy-MM-dd'T'HH:mm:ss','SSS")))
         elif fmt == "UNIX":
             attempts.append(F.timestamp_seconds(src.try_cast("double")))
         elif fmt == "UNIX_MS":
             attempts.append(F.timestamp_millis(src.try_cast("long")))
         else:
-            parsed = F.try_to_timestamp(src, F.lit(fmt))
+            val = src
+            m = re.match(r"^(E+)([,\s]*)", fmt)
+            if m:
+                # Spark's parser rejects day-of-week for parsing
+                # (DATETIME_PATTERN_RECOGNITION); the day name is
+                # redundant for resolving the instant — drop the token
+                # and the matching name prefix from the value (apache
+                # error '[Fri Sep 09 10:42:29.902022 2011]')
+                fmt = fmt[m.end():]
+                val = F.regexp_replace(src, r"^[A-Za-z]+[,\s]+", "")
+            parsed = F.try_to_timestamp(val, F.lit(fmt))
             zoneless = not re.search(r"[XxZzOV]", re.sub(r"'[^']*'", "", fmt))
             if tz_col is not None and zoneless:
                 parsed = F.to_utc_timestamp(parsed, tz_col)
@@ -725,6 +965,10 @@ def _p_json(df, cfg, fmsg):
             "decode_json_fields processor with a schema instead"
         )
     src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+    # map<string,string>: Spark renders non-scalar values (nested
+    # objects, arrays) as their JSON TEXT — so one parse preserves the
+    # whole document. Nested ctx paths read through the JSON text via
+    # get_json_object (see _entry_value); list consumers json-decode.
     parsed = F.from_json(src, T.MapType(T.StringType(), T.StringType()))
     fails = src.isNotNull() & parsed.isNull()
     return {tgt: parsed}, fails, f"field [{fld}] is not valid JSON"
@@ -799,9 +1043,14 @@ def _p_csv(df, cfg, fmsg):
     arr_assign = proc.assigns(df.withColumn(tmp, F.lit(None).cast("string")))
     arr = arr_assign[tmp]
     if cfg.get("trim", False):
-        arr = F.transform(arr, F.trim)
-    assigns = {t: F.element_at(arr, i + 1) for i, t in enumerate(targets)
-               if t != ""}
+        # one-arg lambda on purpose: transform() calls a two-arg callable
+        # with (element, index), and F.trim's second param is a trim-SET —
+        # F.transform(arr, F.trim) would strip the stringified index chars
+        arr = F.transform(arr, lambda x: F.trim(x))
+    # try_element_at: a row with fewer values than target_fields leaves
+    # the remaining targets unset (ES CsvParser stops at the last value)
+    assigns = {t: F.try_element_at(arr, F.lit(i + 1))
+               for i, t in enumerate(targets) if t != ""}
     fails = None if cfg.get("ignore_missing", False) else _missing(df, fld)
     return assigns, fails, f"field [{fld}] not present"
 
@@ -838,13 +1087,21 @@ def _p_user_agent(df, cfg, fmsg):
     src = (_c(fld) if _has(df, fld) else F.lit(None)).cast("string")
     name = F.lit("Other")
     version: Column = F.lit(None).cast("string")
+    def _ver(rx: str) -> Column:
+        # a version-less family pattern ("Linux") has no capture group;
+        # regexp_extract(.., 1) would throw REGEX_GROUP_INDEX at runtime
+        ngroups = re.compile(rx).groups
+        if ngroups == 0:
+            return F.lit(None).cast("string")
+        v = F.regexp_extract(src, rx, 1)
+        v2 = F.regexp_extract(src, rx, 2) if ngroups > 1 else F.lit("")
+        return F.when(v != "", v).when(v2 != "", v2)
+
     for fam, rx in reversed(_UA_FAMILIES):
         if rx is None:
             continue
         hit = src.rlike(rx)
-        v = F.regexp_extract(src, rx, 1)
-        v2 = F.regexp_extract(src, rx, 2) if "|" in rx else F.lit("")
-        ver = F.when(v != "", v).when(v2 != "", v2)
+        ver = _ver(rx)
         name = F.when(hit, F.lit(fam)).otherwise(name)
         version = F.when(hit, F.regexp_replace(ver, "_", ".")).otherwise(version)
     os_name = F.lit("Other")
@@ -853,9 +1110,7 @@ def _p_user_agent(df, cfg, fmsg):
         if rx is None:
             continue
         hit = src.rlike(rx)
-        v = F.regexp_extract(src, rx, 1)
-        v2 = F.regexp_extract(src, rx, 2) if "|" in rx else F.lit("")
-        ver = F.when(v != "", v).when(v2 != "", v2)
+        ver = _ver(rx)
         os_name = F.when(hit, F.lit(osn)).otherwise(os_name)
         os_version = F.when(hit, F.regexp_replace(ver, "_", ".")).otherwise(
             os_version)
@@ -934,6 +1189,9 @@ class IngestPipeline:
     keep_failed: bool = True
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        # (path+head → member suffixes) declared by dot_expander: a
+        # later `rename` of that OBJECT expands into member renames
+        self._dot_objects: dict[str, set] = {}
         had_failed = _has(df, FAILED)
         if not had_failed:
             df = df.withColumns({
@@ -1001,7 +1259,29 @@ class IngestPipeline:
             act = active & painless_condition(cond, df) if cond else active
             return self._chain(df, sub.get("processors") or [], act)
         if name == "dot_expander":
-            return df  # flat dotted columns ARE the expanded form here
+            # flat dotted columns ARE the expanded form here — but
+            # record the object this declares so a later rename of the
+            # whole object knows its members
+            fldx = str((cfg or {}).get("field", ""))
+            path = (cfg or {}).get("path")
+            if path and "." in fldx:
+                head, rest = fldx.split(".", 1)
+                self._dot_objects.setdefault(
+                    f"{path}.{head}", set()).add(rest)
+            return df
+        if name == "rename" and (cfg or {}).get("field") in getattr(
+                self, "_dot_objects", {}):
+            # rename of a dot_expander'd OBJECT → one leaf rename per
+            # declared member (elasticsearch.audit.node →
+            # elasticsearch.node moves node.id / node.name)
+            src0, dst0 = cfg["field"], cfg["target_field"]
+            for mem in sorted(self._dot_objects[src0]):
+                df = self._one(df, "rename", {
+                    "field": f"{src0}.{mem}",
+                    "target_field": f"{dst0}.{mem}",
+                    "ignore_missing": True,
+                }, active, idx)
+            return df
         if name == "geoip":
             return self._geoip(df, cfg, active)
         if name == "drop":
@@ -1126,7 +1406,8 @@ class IngestPipeline:
         cfg.pop("description", None)
         act = active & painless_condition(cond, df) if cond else active
         fld = cfg["field"]
-        src = _c(fld) if _has(df, fld) else F.lit(None).cast("string")
+        src = _get(df, fld)
+        src = F.lit(None).cast("string") if src is None else src.cast("string")
 
         if name == "grok":
             from beats_spark.processors.grok import GrokPattern
@@ -1202,8 +1483,30 @@ class IngestPipeline:
             if ignore_missing:
                 fails = src.isNotNull() & ~matched
             msg = "Provided Grok expressions do not match field value"
-            # grok only sets fields on the matching rows; guard each
-            assigns = {k: F.when(matched, v) for k, v in assigns.items()}
+            # grok only sets fields on the matching rows, and — like the
+            # joni kernel — never writes a field whose named group did
+            # not participate in the match (an alternation branch that
+            # lost): pre-existing values survive a null capture
+            out_assigns = {}
+            for k, v in assigns.items():
+                cur = F.when(matched, v)
+                if _has(df, k):
+                    odt = _dtype(df, k)
+                    if isinstance(odt, T.ArrayType):
+                        # another branch (e.g. a split processor) holds
+                        # this column as an array; a string capture
+                        # can't coerce — wrap the rare participating
+                        # capture as a 1-element array, keep the rest
+                        cur = F.when(matched & v.isNotNull(),
+                                     F.array(v.cast(odt.elementType)))
+                    try:
+                        merged = F.coalesce(cur, _c(k))
+                        df.select(merged)  # analysis-only type probe
+                        cur = merged
+                    except Exception:
+                        pass  # un-coercible type pair: overwrite wins
+                out_assigns[k] = cur
+            assigns = out_assigns
             df = self._apply(df, assigns, fails, msg, act,
                              ignore_failure, on_failure, idx)
             return df.drop(*grok_tmps)

@@ -137,13 +137,322 @@ def _traefik_duration(df: DataFrame, act: Column) -> DataFrame:
     })
 
 
+# ---------------------------------------------------------------------------
+# generic factories — the shipped scripts repeat four shapes
+# ---------------------------------------------------------------------------
+
+def _scale_duration(src: str, scale: float, post_mult: int = 1):
+    """`ctx.event.duration = Math.round(ctx.<src> * scale) [* post]`
+    (haproxy/iis/kibana/postgresql/mysql-slowlog/es-slowlog all share
+    this one-liner; the caller's `if` guard arrives via `act`).
+
+    The product is computed in FLOAT32 before rounding: the grok
+    `:float` typed capture stores a Java Float, and Painless numeric
+    promotion keeps `float * int` in float — so ES emits e.g.
+    round(2474.307f * 1e6f) = 2474306816, not the double-math
+    2474307000. Reproduced by multiplying in float and widening to
+    double only for the round."""
+
+    def handler(df: DataFrame, act: Column) -> DataFrame:
+        dur = _c(src) if _has(df, src) else F.lit(None)
+        prod = (dur.cast("float") * F.lit(float(scale)).cast("float"))
+        out = (F.round(prod.cast("double")).cast("long")
+               * F.lit(post_mult)).cast("long")
+        return _guarded(df, act, {"event.duration": out})
+
+    return handler
+
+
+def _map_values(field: str, mapping: dict[str, str]):
+    """if/else-if chain remapping a field's value (redis log levels
+    and roles, nats levels/msg types/directions); unmatched values
+    pass through untouched, like the scripts' missing else branch."""
+
+    def handler(df: DataFrame, act: Column) -> DataFrame:
+        if not _has(df, field):
+            return df
+        col = _c(field)
+        out = col
+        for k, v in mapping.items():
+            out = F.when(col == k, F.lit(v)).otherwise(out)
+        return _guarded(df, act, {field: out})
+
+    return handler
+
+
+def _error_level_type(levels: list[str], field: str = "log.level"):
+    """`event.type = levels.contains(log.level) ? "error" : "info"`
+    (kafka, logstash ×4, elasticsearch server/slowlog, icinga)."""
+
+    def handler(df: DataFrame, act: Column) -> DataFrame:
+        lvl = _c(field) if _has(df, field) else F.lit(None)
+        hit = act & lvl.isNotNull()
+        out = F.when(lvl.isin(*levels), F.lit("error")).otherwise("info")
+        return _guarded(df, hit, {"event.type": out})
+
+    return handler
+
+
+def _bool_map_fields(prefix: str, fields: list[str],
+                     mapping: dict[str, bool]):
+    """mysql/slowlog: remap Yes/No string captures to booleans in
+    place (`params.mapping.get(v)` → null for unmapped non-null,
+    untouched for null — matched by the try_cast fallthrough)."""
+
+    def handler(df: DataFrame, act: Column) -> DataFrame:
+        assigns = {}
+        for f in fields:
+            name = f"{prefix}.{f}"
+            if not _has(df, name):
+                continue
+            col = _c(name)
+            out = F.lit(None).cast("boolean")
+            for k, v in mapping.items():
+                out = F.when(col == k, F.lit(v)).otherwise(out)
+            assigns[name] = F.when(F.coalesce(act, F.lit(False)), out) \
+                .otherwise(col.try_cast("boolean"))
+        return df.withColumns(assigns) if assigns else df
+
+    return handler
+
+
+# ---------------------------------------------------------------------------
+# one-off scripts
+# ---------------------------------------------------------------------------
+
+def _es_audit_outcome(df: DataFrame, act: Column) -> DataFrame:
+    """elasticsearch/audit pipeline.yml script[8]: the shipped script
+    sets outcome from event_type, then unconditionally overwrites from
+    event.action — so the observable result is success iff
+    event.action is a success event (bug-for-bug)."""
+    action = (_c("event.action") if _has(df, "event.action")
+              else F.lit(None).cast("string"))
+    ok = action.isin("authentication_success", "access_granted",
+                     "run_as_granted", "connection_granted")
+    out = F.when(F.coalesce(ok, F.lit(False)), F.lit("success")) \
+        .otherwise("failure")
+    return _guarded(df, act, {"event.outcome": out})
+
+
+def _es_audit_sub_action(df: DataFrame, act: Column) -> DataFrame:
+    """elasticsearch/audit pipeline-plaintext.yml: action += '[sub]'."""
+    sub = (_c("elasticsearch.audit.sub_action")
+           if _has(df, "elasticsearch.audit.sub_action") else F.lit(None))
+    action = (_c("elasticsearch.audit.action")
+              if _has(df, "elasticsearch.audit.action") else F.lit(None))
+    hit = act & sub.isNotNull()
+    return _guarded(df, hit, {
+        "elasticsearch.audit.action":
+            F.concat(action, F.lit("["), sub, F.lit("]"))})
+
+
+def _es_gc_durations(df: DataFrame, act: Column) -> DataFrame:
+    """elasticsearch/server script[5]: gc observation/collection
+    durations normalized to ms from their unit (s/ms/m)."""
+    assigns = {}
+    for kind in ("observation_duration", "collection_duration"):
+        base = f"elasticsearch.server.gc.{kind}"
+        if not _has(df, f"{base}.time") or not _has(df, f"{base}.unit"):
+            continue
+        t = _c(f"{base}.time").cast("double")
+        u = _c(f"{base}.unit")
+        ms = (F.when(u == "s", t * 1000)
+              .when(u == "ms", t)
+              .when(u == "m", t * 60000))
+        assigns[f"{base}.ms"] = ms
+    return _guarded(df, act, assigns) if assigns else df
+
+
+def _logstash_action_to_strings(df: DataFrame, act: Column) -> DataFrame:
+    """logstash pipeline-json script[8]: log_event.action list →
+    strings (`v.toString()`), no-op for scalar values. The `if`
+    (`instanceof List`) arrives via act, so non-list rows keep their
+    old value through the guard."""
+    fld = "logstash.log.log_event.action"
+    if not _has(df, fld):
+        return df
+    col = _c(fld)
+    return _guarded(df, act, {fld: col.cast("string")})
+
+
+def _osquery_nest_result(df: DataFrame, act: Column) -> DataFrame:
+    """osquery/result script[3]: move the parsed `json` document under
+    `osquery.result` (dict-copy in the script; a column rename in the
+    columnar model — the json processor target is one map column).
+    Script has no `if` and runs on every active doc; failed docs carry
+    a null map, so the global rename is value-identical for them."""
+    out = df
+    if "json" in df.columns:
+        out = out.withColumnRenamed("json", "osquery.result")
+    for c in df.columns:
+        if c.startswith("json."):
+            out = out.withColumnRenamed(c, "osquery.result." + c[5:])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# nginx/ingress_controller — five list-walker scripts (idx 11..15)
+# ---------------------------------------------------------------------------
+
+def _ic(field: str):
+    return "nginx.ingress_controller." + field
+
+
+def _ingress_last_int(src: str, dst: str):
+    """last element of a string list, parsed as int (scripts 11/13:
+    upstream response length / status code; parse failure → null,
+    the catch branch)."""
+
+    def handler(df: DataFrame, act: Column) -> DataFrame:
+        lst = _c(src) if _has(df, src) else F.lit(None).cast("array<string>")
+        last = F.try_element_at(lst, F.lit(-1))
+        return _guarded(df, act, {dst: last.try_cast("long")})
+
+    return handler
+
+
+def _ingress_sum_time(df: DataFrame, act: Column) -> DataFrame:
+    """script 12: response time = sum of the float list."""
+    src = _ic("upstream.response.time_list")
+    lst = _c(src) if _has(df, src) else F.lit(None).cast("array<string>")
+    total = F.aggregate(lst, F.lit(0.0),
+                        lambda acc, x: acc + F.coalesce(
+                            x.try_cast("double"), F.lit(0.0)))
+    return _guarded(df, act, {_ic("upstream.response.time"): total})
+
+
+def _ingress_upstream_addr(df: DataFrame, act: Column) -> DataFrame:
+    """script 14: last upstream address, split into ip[:port]."""
+    src = _ic("upstream_address_list")
+    lst = _c(src) if _has(df, src) else F.lit(None).cast("array<string>")
+    last = F.try_element_at(lst, F.lit(-1))
+    parts = F.split(last, ":")
+    has_port = F.size(parts) > 1
+    return _guarded(df, act, {
+        _ic("upstream.ip"): F.when(has_port, F.element_at(parts, 1))
+        .otherwise(last),
+        _ic("upstream.port"): F.when(
+            has_port, F.try_element_at(parts, F.lit(2)).try_cast("long")),
+    })
+
+
+def _ingress_pick_source(df: DataFrame, act: Column) -> DataFrame:
+    """script 15: first public IP from remote_ip_list (same
+    isPrivate() walker as nginx/access)."""
+    src = _ic("remote_ip_list")
+    lst = _c(src) if _has(df, src) else F.lit(None).cast("array<string>")
+    public = F.filter(lst, lambda ip: ~_ip_is_private(ip))
+    pick = F.coalesce(F.try_element_at(public, F.lit(1)),
+                      F.try_element_at(lst, F.lit(1)))
+    return _guarded(df, act, {"source.address": pick})
+
+
 # (module, fileset) → {tag: handler}. Tags are the compiler's
-# `script[<chain index>]` defaults for the module's pipeline as shipped.
+# `script[<chain index>]` defaults for the module's pipeline as
+# shipped; single-script pipelines use the bare 'script' fallback key.
 MODULE_SCRIPT_HANDLERS: dict[tuple[str, str], dict] = {
     ("nginx", "access"): {"script": _nginx_pick_source_address},
     ("system", "auth"): {"script": _auth_categorize},
     ("apache", "access"): {"script": _apache_tls_split},
+    # module/apache/error/ingest/pipeline.yml (script[7])
+    ("apache", "error"): {"script": _error_level_type(
+        ["emerg", "alert", "crit", "error", "warn"])},
     ("traefik", "access"): {"script": _traefik_duration},
+    # module/postgresql/log/ingest/pipeline.yml (script[5])
+    ("postgresql", "log"): {"script": _scale_duration("temp.duration", 1e6)},
+    # module/mysql/slowlog/ingest/pipeline.json (script[3], script[4])
+    ("mysql", "slowlog"): {
+        "script[3]": _bool_map_fields(
+            "mysql.slowlog",
+            ["query_cache_hit", "tmp_table", "tmp_table_on_disk",
+             "filesort", "filesort_on_disk", "priority_queue",
+             "full_scan", "full_join"],
+            {"Yes": True, "No": False}),
+        "script[4]": _scale_duration("temp.duration", 1e6, post_mult=1000),
+    },
+    # module/kafka/log/ingest/pipeline.yml (script[10])
+    ("kafka", "log"): {"script": _error_level_type(["ERROR", "FATAL"])},
+    # module/redis/log/ingest/pipeline.yml (script[2], script[3])
+    ("redis", "log"): {
+        "script[2]": _map_values("log.level", {
+            ".": "debug", "-": "verbose", "*": "notice", "#": "warning"}),
+        "script[3]": _map_values("redis.log.role", {
+            "M": "master", "S": "slave", "C": "child", "X": "sentinel"}),
+    },
+    # module/haproxy/log/ingest/pipeline.yml (script[13])
+    ("haproxy", "log"): {"script": _scale_duration("temp.duration", 1e6)},
+    # module/iis/access/ingest/pipeline.yml (script[6])
+    ("iis", "access"): {"script": _scale_duration("temp.duration", 1e6)},
+    # module/kibana/log/ingest/pipeline.yml (script[11], script[25])
+    ("kibana", "log"): {
+        "script[11]": _scale_duration("temp.duration", 1e6),
+        "script[25]": _error_level_type(["red"], field="kibana.log.state"),
+    },
+    # module/elasticsearch/server/ingest/pipeline.yml (script[5], [8])
+    ("elasticsearch", "server"): {
+        "script[5]": _es_gc_durations,
+        "script[8]": _error_level_type(["FATAL", "ERROR"]),
+    },
+    # module/elasticsearch/slowlog/ingest/pipeline.yml (script[6], [10])
+    ("elasticsearch", "slowlog"): {
+        "script[6]": _scale_duration("elasticsearch.slowlog.duration", 1e6),
+        "script[10]": _error_level_type(["FATAL", "ERROR"]),
+    },
+    # module/elasticsearch/audit/ingest/pipeline.yml (script[8]) +
+    # pipeline-plaintext.yml (script[3])
+    ("elasticsearch", "audit"): {
+        "script[8]": _es_audit_outcome,
+        "script[3]": _es_audit_sub_action,
+    },
+    # module/logstash/log/ingest/pipeline-json.yml ([8], [10]) +
+    # pipeline-plaintext.yml ([5])
+    ("logstash", "log"): {
+        "script[8]": _logstash_action_to_strings,
+        "script[10]": _error_level_type(["ERROR", "FATAL"]),
+        "script[5]": _error_level_type(["ERROR", "FATAL"]),
+    },
+    # module/logstash/slowlog/ingest/pipeline-json.yml ([12]) +
+    # pipeline-plaintext.yml ([9])
+    ("logstash", "slowlog"): {
+        "script[12]": _error_level_type(["ERROR", "FATAL"]),
+        "script[9]": _error_level_type(["ERROR", "FATAL"]),
+    },
+    # module/icinga/{main,debug}/ingest/pipeline.yml (script[5]),
+    # startup (script[3]) — same warning/critical categorizer
+    ("icinga", "main"): {
+        "script": _error_level_type(["warning", "critical"])},
+    ("icinga", "debug"): {
+        "script": _error_level_type(["warning", "critical"])},
+    ("icinga", "startup"): {
+        "script": _error_level_type(["warning", "critical"])},
+    # module/nats/log/ingest/pipeline.yml (script[9], [10], [11])
+    ("nats", "log"): {
+        "script[9]": _map_values("log.level", {
+            "INF": "info", "DBG": "debug", "WRN": "warning",
+            "ERR": "error", "FTL": "fatal", "TRC": "trace"}),
+        "script[10]": _map_values("nats.log.msg.type", {
+            "MSG": "message", "PUB": "publish", "SUB": "subscribe",
+            "UNSUB": "unsubscribe", "MSG_PAYLOAD": "payload",
+            "-ERROR": "error", "PING": "ping", "PONG": "pong",
+            "OK": "acknowledge", "CONNECT": "connection",
+            "INFO": "information"}),
+        "script[11]": _map_values("network.direction", {
+            "<<-": "inbound", "->>": "outbound"}),
+    },
+    # module/osquery/result/ingest/pipeline.json (script[3])
+    ("osquery", "result"): {"script": _osquery_nest_result},
+    # module/nginx/ingress_controller/ingest/pipeline.yml ([11]..[15])
+    ("nginx", "ingress_controller"): {
+        "script[11]": _ingress_last_int(
+            _ic("upstream.response.length_list"),
+            _ic("upstream.response.length")),
+        "script[12]": _ingress_sum_time,
+        "script[13]": _ingress_last_int(
+            _ic("upstream.response.status_code_list"),
+            _ic("upstream.response.status_code")),
+        "script[14]": _ingress_upstream_addr,
+        "script[15]": _ingress_pick_source,
+    },
 }
 
 

@@ -71,7 +71,13 @@ GROK_PATTERNS: dict[str, str] = {
         r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
     ),
     # simplified v6: hex groups with at most one '::' elision
-    "IPV6": r"(?:[0-9A-Fa-f]{1,4}:){1,7}(?:[0-9A-Fa-f]{1,4})?(?:::(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})*)?)?",
+    # covers full form, interior ::, leading :: ("::1", "::"), and an
+    # optional %zone-id suffix (the upstream grok IPV6 ends `(%.+)?`;
+    # bounded here to the zone charset so captures don't overrun)
+    "IPV6": r"(?:(?:[0-9A-Fa-f]{1,4}:){1,7}(?:[0-9A-Fa-f]{1,4})?"
+            r"(?:::(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})*)?)?"
+            r"|::(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})*)?)"
+            r"(?:%[0-9A-Za-z]+)?",
     "IP": r"(?:%{IPV4}|%{IPV6})",
     "HOSTNAME": (
         r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}"
@@ -140,10 +146,17 @@ _SEP = "\x01"
 _MARK = "\x02"
 
 
-def _noncapture(rx: str) -> str:
+def _noncapture(rx: str, named=None) -> str:
     """Rewrite every bare capturing ``(`` in a regex fragment to
     ``(?:`` (escape- and character-class-aware) so library-internal and
-    user-written groups never shift the semantic group numbering."""
+    user-written groups never shift the semantic group numbering.
+
+    ``named(name) -> bool``: optional registrar for named groups
+    ``(?<n>…)`` / ``(?P<n>…)`` / ``(?'n'…)``. Joni (ES grok) captures
+    named groups as FIELDS — GrokPattern passes a registrar that
+    assigns the next semantic group number and keeps the group
+    capturing (emits a bare ``(``). Without a registrar (plain
+    fragment rewriting), named groups are demoted to non-capturing."""
     out: list[str] = []
     i, n = 0, len(rx)
     while i < n:
@@ -186,18 +199,55 @@ def _noncapture(rx: str) -> str:
                     "grok pattern definitions may not use named "
                     f"backreferences ((?P=name)): {rx!r}"
                 )
-            m = re.match(r"\(\?P?<(?![=!])[^>]*>", rx[i:])
+            m = re.match(r"\(\?P?<(?![=!])(?P<n1>[^>]*)>", rx[i:])
             if m is None:
                 # Oniguruma's alternate named-group spelling (?'name'
-                # (kafka module) — same demotion
-                m = re.match(r"\(\?'[^']*'", rx[i:])
+                # (kafka module) — same handling
+                m = re.match(r"\(\?'(?P<n2>[^']*)'", rx[i:])
             if m:
-                out.append("(?:")
+                name = m.groupdict().get("n1") or m.groupdict().get("n2")
+                if named is not None and named(name):
+                    out.append("(")
+                else:
+                    out.append("(?:")
                 i += m.end()
                 continue
+        if c == "{" and not re.match(r"\{\d+(?:,\d*)?\}", rx[i:]):
+            # joni treats a bare `{` (not opening a {m,n} quantifier)
+            # as a literal; java.util.regex throws — escape it
+            # (logstash slowlog patterns start with `{:plugin...`)
+            out.append(r"\{")
+            i += 1
+            continue
         out.append(c)
         i += 1
     return "".join(out)
+
+
+_STAR_ALT = re.compile(r"^\(([^()\[\]]*)\)([*+])$")
+
+
+def _simplify_star_alternation(rx: str) -> str:
+    """Rewrite `(.|\\n|\\t)*`-shaped definitions (the module pipelines'
+    custom GREEDYDATA/GREEDYMULTILINE) to an equivalent character
+    class. java.util.regex evaluates a starred single-char alternation
+    with one recursion frame per character — a multi-KB multiline event
+    overflows the JVM stack (observed: elasticsearch server test logs
+    killing the executor). `(?:.|\\n)*` ≡ `[\\s\\S]*` and backtracks in
+    constant stack."""
+    m = _STAR_ALT.match(rx.strip())
+    if not m:
+        return rx
+    parts = m.group(1).split("|")
+    if "." not in parts:
+        return rx
+    others = [p for p in parts if p != "."]
+    # every other branch must be whitespace-ish (an escape or literal
+    # blanks) so dot-or-class subsumption below is exact
+    if not all(re.fullmatch(r"\\[ntrf]|\s+", p) for p in others):
+        return rx
+    crosses_newline = any(p in ("\\n", "\n") for p in others)
+    return ("[\\s\\S]" if crosses_newline else ".") + m.group(2)
 
 
 @dataclass
@@ -232,27 +282,34 @@ class GrokPattern:
     def _compile(self, expr: str, depth: int) -> str:
         if depth > 20:
             raise ValueError("grok pattern recursion too deep (cycle?)")
+        def register_named(name: str) -> bool:
+            # joni captures named groups as fields (ES grok semantics)
+            self._ngroups += 1
+            self.semantics.append(_Semantic(name, self._ngroups, "string"))
+            return True
+
         out: list[str] = []
         pos = 0
         for m in _GROK_REF.finditer(expr):
-            out.append(_noncapture(expr[pos : m.start()]))
+            out.append(_noncapture(expr[pos : m.start()], register_named))
             syntax, field, dtype = m.group(1), m.group(2), m.group(3)
             if syntax not in self.defs:
                 raise KeyError(f"unknown grok pattern %{{{syntax}}}")
+            body = _simplify_star_alternation(self.defs[syntax])
             if field:
                 self._ngroups += 1
                 self.semantics.append(
                     _Semantic(field, self._ngroups, _TYPE_CAST.get(dtype or "", "string"))
                 )
                 out.append("(")
-                out.append(self._compile(self.defs[syntax], depth + 1))
+                out.append(self._compile(body, depth + 1))
                 out.append(")")
             else:
                 out.append("(?:")
-                out.append(self._compile(self.defs[syntax], depth + 1))
+                out.append(self._compile(body, depth + 1))
                 out.append(")")
             pos = m.end()
-        out.append(_noncapture(expr[pos:]))
+        out.append(_noncapture(expr[pos:], register_named))
         return "".join(out)
 
     @property
@@ -267,8 +324,14 @@ class GrokPattern:
         core = self.regex
         if anchor:
             return "(?s)^(?:" + core + ")$"
-        # leftmost-match search semantics as a whole-line rewrite
-        return "(?s)^.*?(?:" + core + ").*$"
+        # leftmost-match search semantics as a whole-string rewrite.
+        # Skip and tail use explicit [\s\S] classes instead of a global
+        # (?s): joni's search does NOT put the pattern body in DOTALL,
+        # so a `.*` inside the pattern must stop at a newline exactly
+        # like it does in ES (multiline events depend on this — e.g.
+        # the kafka module's stack-trace split). \z pins the absolute
+        # end so a trailing newline can't leak into the last capture.
+        return "^[\\s\\S]*?(?:" + core + ")[\\s\\S]*\\z"
 
     # ---------- python reference implementation (tests / oracle) ----------
 

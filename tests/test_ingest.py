@@ -110,8 +110,19 @@ def test_painless_lite_conditions(spark):
         got = [bool(r[0]) for r in df.select(
             F.coalesce(painless_condition(src, df), F.lit(False))).collect()]
         assert got == want, src
+    # Painless regex operators: =~ find-anywhere, ==~ whole-string
+    regex_cases = {
+        "ctx.m =~ /E/": [True, False],
+        "ctx.m ==~ /GET/": [True, False],
+        "ctx.m ==~ /G/": [False, False],     # full anchor: no substring
+        "ctx.m ==~ /^P0?OST$/": [False, True],
+    }
+    for src, want in regex_cases.items():
+        got = [bool(r[0]) for r in df.select(
+            F.coalesce(painless_condition(src, df), F.lit(False))).collect()]
+        assert got == want, src
     with pytest.raises(IngestCompileError):
-        painless_condition("ctx.m =~ /re/", df)  # regex op: refuse loudly
+        painless_condition("ctx.m =~ 'notaregex'", df)  # needs /literal/
 
 
 def test_module_shaped_pipeline_kv_csv_date_split(spark):
