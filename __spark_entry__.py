@@ -2014,6 +2014,143 @@ FROM g
 """
 
 
+def q_module_auditd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auditd/log module via the compiled reference pipeline
+    (filebeat/module/auditd/log/ingest/pipeline.yml) with all three
+    translated scripts: the kv-map normalizer (hex decode with the
+    needed-encoding rule, quote trim, arch remap, ?/(null) drops),
+    the record-type/syscall → ECS table (Arrow-batched lookup,
+    has_fields act selection, copy rules with digit-suffix routing),
+    and args_count. Three line shapes: SYSCALL execve (typed converts,
+    c000003e arch, (null) drops), USER_LOGIN with a sub_kv msg='...'
+    (hex acct decode, auid copy to user.id, res→outcome, addr→
+    source.ip) and SYSTEM_BOOT (scalar category/type overrides over
+    the table's lists). Oracle knows every field by construction;
+    golden parity for all 7 shipped fixtures:
+    tests/test_module_pipelines.py."""
+    from beats_spark.module_scripts import load_module_pipeline
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    epoch = (F.lit(1704067200) + eid).cast("string")
+    ms = F.lpad(F.pmod(eid, F.lit(1000)).cast("string"), 3, "0")
+    seq = (eid + 100).cast("string")
+    k = F.pmod(eid, F.lit(200)) + 1
+    ks = k.cast("string")
+    pid = (F.pmod(eid, F.lit(30000)) + 2).cast("string")
+    ppid = (F.pmod(eid, F.lit(30000)) + 1).cast("string")
+    auid2 = F.concat(F.lit("7"), F.lpad(ks, 2, "0"))
+    is_boot = F.pmod(eid, F.lit(7)) == 0
+    is_login = (F.pmod(eid, F.lit(5)) == 0) & ~is_boot
+    head = F.concat(F.lit(" msg=audit("), epoch, F.lit("."), ms,
+                    F.lit(":"), seq, F.lit("): "))
+    line = (
+        F.when(is_boot, F.concat(
+            F.lit("type=SYSTEM_BOOT"), head, F.lit("init=systemd")))
+        .when(is_login, F.concat(
+            F.lit("type=USER_LOGIN"), head,
+            F.lit("pid="), pid, F.lit(" uid=0 auid="), auid2,
+            F.lit(" ses=4 msg='op=login acct=61646D2073 "
+                  "exe=\"/usr/sbin/sshd\" hostname=? addr=198.51.100."),
+            ks, F.lit(" terminal=ssh res=failed'")))
+        .otherwise(F.concat(
+            F.lit("type=SYSCALL"), head,
+            F.lit("arch=c000003e syscall=execve success=yes exit=0 ppid="),
+            ppid, F.lit(" pid="), pid,
+            F.lit(" auid=4294967295 uid=1000 gid=1000 euid=1000 comm=\""),
+            F.concat(F.lit("proc"), ks),
+            F.lit("\" exe=\"/usr/bin/app"), ks,
+            F.lit("\" key=(null)"))))
+    df = ev.select(
+        "event_id", line.alias("message"),
+        F.lit(None).cast("string").alias("event.timezone"),
+        F.lit("2030-01-01T00:00:00.000Z").alias("@timestamp"),
+    )
+    out = load_module_pipeline("auditd", "log")(df)
+
+    def c(name):
+        return F.col(f"`{name}`")
+
+    return out.select(
+        "event_id",
+        F.date_format(c("@timestamp"),
+                      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("at"),
+        c("auditd.log.sequence").alias("seq"),
+        c("auditd.log.record_type").alias("rec_type"),
+        c("event.action").alias("action"),
+        c("event.category").alias("category"),
+        c("event.type").alias("etype"),
+        c("event.outcome").alias("outcome"),
+        c("event.kind").alias("kind"),
+        c("host.architecture").alias("arch"),
+        c("process.pid").alias("pid"),
+        c("process.ppid").alias("ppid"),
+        c("process.executable").alias("exe"),
+        c("process.name").alias("pname"),
+        c("process.exit_code").alias("exit"),
+        c("user.id").alias("uid"),
+        c("user.effective.id").alias("euid"),
+        c("user.group.id").alias("gid"),
+        c("user.audit.id").alias("audit_id"),
+        c("user.name").alias("uname"),
+        c("user.effective.name").alias("ueff_name"),
+        c("source.ip").alias("src_ip"),
+        c("user.terminal").alias("terminal"),
+    )
+
+
+_Q_MODULE_AUDITD_SQL = """
+WITH f AS (
+  SELECT event_id,
+         event_id % 7 = 0 AS is_boot,
+         event_id % 5 = 0 AND event_id % 7 <> 0 AS is_login,
+         make_timestamp((1704067200 + event_id) * 1000000
+                        + (event_id % 1000) * 1000) AS t,
+         (event_id % 200 + 1)::VARCHAR AS ks,
+         event_id % 30000 + 2 AS pid,
+         event_id % 30000 + 1 AS ppid
+  FROM events
+)
+SELECT event_id,
+       strftime(t, '%Y-%m-%dT%H:%M:%S') || '.' ||
+         lpad((event_id % 1000)::VARCHAR, 3, '0') || 'Z' AS at,
+       (event_id + 100)::BIGINT AS seq,
+       CASE WHEN is_boot THEN 'SYSTEM_BOOT'
+            WHEN is_login THEN 'USER_LOGIN'
+            ELSE 'SYSCALL' END AS rec_type,
+       CASE WHEN is_boot THEN '["booted-system"]'
+            WHEN is_login THEN '["logged-in"]'
+            ELSE '["executed"]' END AS action,
+       CASE WHEN is_boot THEN 'host'
+            WHEN is_login THEN '["authentication"]'
+            ELSE 'process' END AS category,
+       CASE WHEN is_boot THEN 'info'
+            WHEN is_login THEN '["start"]'
+            ELSE 'info' END AS etype,
+       CASE WHEN is_login THEN 'failed' END AS outcome,
+       'event' AS kind,
+       CASE WHEN NOT is_boot AND NOT is_login THEN 'x86_64' END AS arch,
+       CASE WHEN NOT is_boot THEN pid::BIGINT END AS pid,
+       CASE WHEN NOT is_boot AND NOT is_login THEN ppid::BIGINT END AS ppid,
+       CASE WHEN is_login THEN '/usr/sbin/sshd'
+            WHEN NOT is_boot THEN '/usr/bin/app' || ks END AS exe,
+       CASE WHEN NOT is_boot AND NOT is_login
+            THEN 'proc' || ks END AS pname,
+       CASE WHEN NOT is_boot AND NOT is_login THEN 0::BIGINT END AS exit,
+       CASE WHEN is_login THEN '7' || lpad(ks, 2, '0')
+            WHEN NOT is_boot THEN '1000' END AS uid,
+       CASE WHEN NOT is_boot AND NOT is_login THEN '1000' END AS euid,
+       CASE WHEN NOT is_boot AND NOT is_login THEN '1000' END AS gid,
+       CASE WHEN is_login THEN '7' || lpad(ks, 2, '0')
+            WHEN NOT is_boot THEN '4294967295' END AS audit_id,
+       CASE WHEN is_login THEN 'adm s' END AS uname,
+       CASE WHEN is_login THEN 'adm s' END AS ueff_name,
+       CASE WHEN is_login THEN '198.51.100.' || ks END AS src_ip,
+       CASE WHEN is_login THEN 'ssh' END AS terminal
+FROM f
+"""
+
+
 def q_sink_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bulk per-item triage (§2.7): status → outcome ladder
     (elasticsearch/client.go:390-420), dropped class diverted to the
@@ -2371,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "module_system_syslog": q_module_system_syslog,
         "module_system_auth": q_module_system_auth,
         "module_postgresql": q_module_postgresql,
+        "module_auditd": q_module_auditd,
     }
     q.update(corpus_queries())
     ordered = {k: q[k] for k in _DRIVER_WINDOW_PRIORITY}
@@ -2423,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
         "module_system_syslog": _Q_MODULE_SYSLOG_SQL,
         "module_system_auth": _Q_MODULE_AUTH_SQL,
         "module_postgresql": _Q_MODULE_POSTGRESQL_SQL,
+        "module_auditd": _Q_MODULE_AUDITD_SQL,
     }
     o.update(corpus_oracles())
     return o

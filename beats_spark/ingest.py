@@ -757,13 +757,20 @@ def _p_rename(df, cfg, fmsg):
                 old_dst = cand
             except Exception:
                 old_dst = F.lit(None).cast(ndt)
-    assigns = {dst: F.when(src_nn, src_col).otherwise(old_dst)}
+    # the move happens ONLY where the target is free: an occupied
+    # target throws in ES — under ignore_failure that exception is
+    # swallowed and the document keeps BOTH fields untouched
+    moved = src_nn & old_dst.isNull() if _has(df, dst) else src_nn
+    assigns = {dst: F.when(moved, src_col).otherwise(old_dst)}
     if entry is not None:
         # renaming OUT of a map column: drop the key from the map
         mcol, key = entry
-        assigns[mcol] = _drop_key(_c(mcol), key)
+        assigns[mcol] = F.when(moved, _drop_key(_c(mcol), key)) \
+            .otherwise(_c(mcol))
     else:
-        assigns[src] = F.lit(None).cast(_dtype(df, src) or T.StringType())
+        sdt = _dtype(df, src) or T.StringType()
+        assigns[src] = F.when(moved, F.lit(None).cast(sdt)) \
+            .otherwise(_c(src) if _has(df, src) else F.lit(None).cast(sdt))
     return assigns, fails, msg
 
 
@@ -1021,8 +1028,28 @@ def _p_kv(df, cfg, fmsg):
             F.transform(F.slice(rev, F.lit(1), i), lambda y: y["k"]), x["k"]
         ) == 0,
     )
-    return ({tgt: F.map_from_entries(F.reverse(dedup))},
-            fails, f"field [{fld}] not present")
+    new_map = F.map_from_entries(F.reverse(dedup))
+    if isinstance(_dtype(df, tgt), T.MapType):
+        # ES kv sets target.k fields one by one — it MERGES into an
+        # existing object (auditd runs two kv passes into auditd.log),
+        # and a key present in BOTH passes APPENDS into a list
+        # (IngestDocument.appendFieldValue): canonicalized here as the
+        # list's JSON text. Rows with a null source keep the prior map.
+        old = _c(tgt)
+
+        def join_vals(_k, v1, v2):
+            both = v1.isNotNull() & v2.isNotNull()
+            appended = F.when(
+                v1.startswith("["),
+                F.to_json(F.concat(
+                    F.from_json(v1, "array<string>"), F.array(v2)))
+            ).otherwise(F.to_json(F.array(v1, v2)))
+            return F.when(both, appended).otherwise(F.coalesce(v2, v1))
+
+        merged = F.map_zip_with(old, new_map, join_vals)
+        new_map = F.when(src.isNull(), old).otherwise(
+            F.when(old.isNull(), new_map).otherwise(merged))
+    return ({tgt: new_map}, fails, f"field [{fld}] not present")
 
 
 def _p_csv(df, cfg, fmsg):

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -347,6 +348,199 @@ def _ingress_pick_source(df: DataFrame, act: Column) -> DataFrame:
     return _guarded(df, act, {"source.address": pick})
 
 
+# ---------------------------------------------------------------------------
+# auditd/log — the three Painless scripts of the heaviest module
+# ---------------------------------------------------------------------------
+
+_AUDITD_HEX_KEYS = [
+    "exe", "cmd", "data", "path", "comm", "file", "name", "watch", "cwd",
+    "acct", "dir", "vm", "old-chardev", "new-chardev", "old-disk",
+    "new-disk", "old-fs", "new-fs", "old-net", "new-net", "device",
+    "cgroup", "apparmor", "operation", "denied_mask", "info", "profile",
+    "requested_mask", "old-rng", "new-rng", "ocomm", "grp", "new_group",
+    "invalid_context", "sw", "root_dir", "proctitle",
+]
+
+
+def _auditd_normalize(df: DataFrame, act: Column) -> DataFrame:
+    """auditd/log script[8]: walk the auditd.log kv map — drop
+    '?'/'(null)'/'' entries, hex-decode the known possibly-hex keys
+    (keeping the raw hex when the decode contains nothing that needed
+    encoding, like the reference's convertHexToString), trim one
+    layer of quotes, and map arch c000003e → x86_64. Pure JVM map
+    transforms — zero Python."""
+    if "auditd.log" not in df.columns:
+        return df
+    m = _c("auditd.log")
+
+    def norm(k: Column, v: Column) -> Column:
+        is_hex = v.rlike("^(?:[0-9A-Fa-f]{2})+$")
+        pairs = F.regexp_extract_all(v, F.lit("(..)"), 1)
+        codes = F.transform(pairs, lambda p: F.conv(p, 16, 10).cast("int"))
+        needed = F.exists(
+            codes, lambda c: (c < 33) | (c == 34) | (c == 127))
+        decoded = F.array_join(
+            F.transform(
+                codes,
+                lambda c: F.when(
+                    (c < 32) | (c == 127),
+                    F.concat(F.lit("^"), F.char(c.bitwiseXOR(F.lit(64)))))
+                .otherwise(F.char(c))), "")
+        hexed = F.when(k.isin(*_AUDITD_HEX_KEYS) & is_hex & needed,
+                       decoded).otherwise(v)
+        # trimQuotes: strip ONE leading and ONE trailing ' or "
+        t = F.regexp_replace(hexed, "^['\"]", "")
+        t = F.regexp_replace(t, "['\"]$", "")
+        return F.when((k == "arch") & (t == "c000003e"),
+                      F.lit("x86_64")).otherwise(t)
+
+    cleaned = F.map_filter(
+        m, lambda _k, v: ~v.isin("?", "(null)", ""))
+    out = F.transform_values(cleaned, norm)
+    return _guarded(df, act, {"auditd.log": out})
+
+
+def _auditd_params() -> dict:
+    from beats_spark.ingest import load_ingest_pipeline
+
+    cfg = load_ingest_pipeline(os.path.join(
+        REFERENCE_MODULE_ROOT, "auditd/log/ingest/pipeline.yml"))
+    for entry in cfg["processors"]:
+        (name, c), = entry.items()
+        if name == "script" and (c or {}).get("params", {}).get("syscalls"):
+            return c["params"]
+    raise RuntimeError("auditd ECS params table not found")
+
+
+def _auditd_copy_targets(params: dict) -> list[str]:
+    outs = set()
+    for table in (params.get("types", {}), params.get("syscalls", {})):
+        for acts in table.values():
+            for a in acts:
+                for rule in a.get("copy") or []:
+                    outs.add(rule["to"] + ".id")
+                    outs.add(rule["to"] + ".name")
+    return sorted(outs)
+
+
+def _auditd_ecs(df: DataFrame, act: Column) -> DataFrame:
+    """auditd/log script[18]: the record-type/syscall → ECS
+    categorization table. The ~300-entry lookup (first action whose
+    has_fields are present; event category/type/action lists; copy
+    rules with .id/.name suffix by digit-ness) runs as ONE
+    Arrow-batched pandas UDF over the kv map — the module_slowlog
+    precedent for table semantics a CASE-WHEN chain would bloat.
+    List-valued event fields land as JSON text (the engine's
+    canonical nested form); copy targets become real columns, so the
+    follow-up foreach-set over auditd.log.copy is intentionally left
+    unmaterialized (it no-ops via ignore_missing)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    params = _auditd_params()
+    types_t, syscalls_t = params.get("types", {}), params.get("syscalls", {})
+    targets = _auditd_copy_targets(params)
+
+    schema = T.StructType(
+        [T.StructField("ev_action", T.StringType()),
+         T.StructField("ev_category", T.StringType()),
+         T.StructField("ev_type", T.StringType())]
+        + [T.StructField(f"c{i}", T.StringType())
+           for i in range(len(targets))])
+
+    @F.pandas_udf(schema)
+    def ecs(log_map: pd.Series, flats: pd.Series) -> pd.DataFrame:
+        rows = []
+        for base0, flat0 in zip(log_map, flats):
+            base = dict(base0) if base0 is not None else {}
+            # grok-captured auditd.log.* live as flat columns — merge
+            # them so has_fields / copy-from see the whole object
+            for fk, fv in (dict(flat0) if flat0 is not None else {}).items():
+                if fv is not None:
+                    base.setdefault(fk, fv)
+            rt = base.get("record_type")
+            out = {"ev_action": None, "ev_category": None, "ev_type": None}
+            copies: dict[str, str] = {}
+            acts = types_t.get(rt) if rt is not None else None
+            if acts is None and base.get("syscall") is not None:
+                acts = syscalls_t.get(base["syscall"]) \
+                    or syscalls_t.get("*")
+            act_sel = None
+            for a in acts or []:
+                need = a.get("has_fields")
+                if not need or all(base.get(f) is not None for f in need):
+                    act_sel = a
+                    break
+            if act_sel is not None:
+                ev = act_sel.get("event") or {}
+                for k, v in ev.items():
+                    out["ev_" + k] = _json.dumps(v)
+                for rule in act_sel.get("copy") or []:
+                    value = None
+                    for src in rule["from"]:
+                        value = base.get(src)
+                        if value is not None:
+                            break
+                    if isinstance(value, str):
+                        suffix = ".id" if value.isdigit() else ".name"
+                        copies[rule["to"] + suffix] = value
+            rows.append([out["ev_action"], out["ev_category"],
+                         out["ev_type"]]
+                        + [copies.get(t) for t in targets])
+        return pd.DataFrame(
+            rows, columns=["ev_action", "ev_category", "ev_type"]
+            + [f"c{i}" for i in range(len(targets))])
+
+    if "auditd.log" not in df.columns:
+        return df
+    flat_cols = [c for c in df.columns
+                 if c.startswith("auditd.log.")
+                 and str(df.schema[c].dataType) == "StringType()"]
+    flats = F.map_from_arrays(
+        F.array(*[F.lit(c[len("auditd.log."):]) for c in flat_cols]),
+        F.array(*[_c(c) for c in flat_cols])) if flat_cols else \
+        F.lit(None).cast("map<string,string>")
+    res = ecs(_c("auditd.log"), flats)
+    tmp = "_auditd_ecs"
+    df = df.withColumn(tmp, res)
+    assigns = {}
+    for fldname, col in (("event.action", F.col(tmp)["ev_action"]),
+                         ("event.category", F.col(tmp)["ev_category"]),
+                         ("event.type", F.col(tmp)["ev_type"])):
+        old = _c(fldname) if _has(df, fldname) else F.lit(None).cast("string")
+        assigns[fldname] = F.when(
+            F.coalesce(act, F.lit(False)) & col.isNotNull(), col
+        ).otherwise(old)
+    for i, t in enumerate(targets):
+        col = F.col(tmp)[f"c{i}"]
+        old = _c(t) if _has(df, t) else F.lit(None).cast("string")
+        assigns[t] = F.when(
+            F.coalesce(act, F.lit(False)) & col.isNotNull(), col
+        ).otherwise(old)
+    return df.withColumns(assigns).drop(tmp)
+
+
+def _auditd_args_count(df: DataFrame, act: Column) -> DataFrame:
+    """auditd/log script[58]: args_count = args.length when
+    process.args is a list (post-split); non-list rows keep the argc
+    rename from the step before."""
+    from pyspark.sql import types as T
+
+    if "process.args" not in df.columns:
+        return df
+    dt = df.schema["process.args"].dataType
+    if not isinstance(dt, T.ArrayType):
+        return df
+    old = (_c("process.args_count")
+           if _has(df, "process.args_count") else F.lit(None).cast("string"))
+    n = F.size(_c("process.args"))
+    hit = F.coalesce(act, F.lit(False)) & _c("process.args").isNotNull()
+    return df.withColumn(
+        "process.args_count",
+        F.when(hit, n.cast("string")).otherwise(old))
+
+
 # (module, fileset) → {tag: handler}. Tags are the compiler's
 # `script[<chain index>]` defaults for the module's pipeline as
 # shipped; single-script pipelines use the bare 'script' fallback key.
@@ -441,6 +635,12 @@ MODULE_SCRIPT_HANDLERS: dict[tuple[str, str], dict] = {
     },
     # module/osquery/result/ingest/pipeline.json (script[3])
     ("osquery", "result"): {"script": _osquery_nest_result},
+    # module/auditd/log/ingest/pipeline.yml ([8], [18], [58])
+    ("auditd", "log"): {
+        "script[8]": _auditd_normalize,
+        "script[18]": _auditd_ecs,
+        "script[58]": _auditd_args_count,
+    },
     # module/nginx/ingress_controller/ingest/pipeline.yml ([11]..[15])
     ("nginx", "ingress_controller"): {
         "script[11]": _ingress_last_int(
