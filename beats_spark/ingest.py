@@ -1219,10 +1219,21 @@ class IngestPipeline:
         # (path+head → member suffixes) declared by dot_expander: a
         # later `rename` of that OBJECT expands into member renames
         self._dot_objects: dict[str, set] = {}
-        had_failed = _has(df, FAILED)
+        # COMPILE-TIME SHADOW: every schema question (column presence,
+        # dtypes, the _branch type probes) is answered by a FLAT empty
+        # frame that mirrors the real frame's schema. Probing the real
+        # frame re-analyzes its whole accumulated lineage — ~70
+        # processors × several probes each made plan build O(n²)
+        # (module_nginx: 9 s of pure Catalyst analysis). The shadow's
+        # plan never exceeds depth 1, so each probe is O(columns).
+        # Expressions are name-based (F.col), so anything built
+        # against the shadow applies verbatim to the real frame.
+        self._sp = df.sparkSession
+        self._sh = self._sp.createDataFrame([], df.schema)
+        had_failed = _has(self._sh, FAILED)
         if not had_failed:
-            df = df.withColumns({
-                FAILED: F.lit(False), ERRMSG: F.lit(None).cast("string")})
+            df = self._tx(df, lambda d: d.withColumns({
+                FAILED: F.lit(False), ERRMSG: F.lit(None).cast("string")}))
         # active = ~FAILED, re-resolved against the frame at every
         # processor: once a row fails unhandled, every later processor
         # skips it (ES stops executing the chain for a failed document)
@@ -1230,14 +1241,14 @@ class IngestPipeline:
         top_fail = self.cfg.get("on_failure")
         if top_fail:
             df = self._chain(df, top_fail, _c(FAILED))
-            df = df.withColumns({FAILED: F.lit(False),
-                                 ERRMSG: F.lit(None).cast("string")})
+            df = self._tx(df, lambda d: d.withColumns(
+                {FAILED: F.lit(False), ERRMSG: F.lit(None).cast("string")}))
         if had_failed:
             return df
         if not self.keep_failed:
             return df.filter(~_c(FAILED)).drop(FAILED, ERRMSG)
-        if _has(df, "error.message"):
-            dt = _dtype(df, "error.message")
+        if _has(self._sh, "error.message"):
+            dt = _dtype(self._sh, "error.message")
             cur = _c("error.message")
             err = (F.array(_c(ERRMSG)) if isinstance(dt, T.ArrayType)
                    else _c(ERRMSG).cast(dt))
@@ -1247,6 +1258,20 @@ class IngestPipeline:
             df = df.withColumn(
                 "error.message", F.when(_c(FAILED), _c(ERRMSG)))
         return df.drop(FAILED, ERRMSG)
+
+    def _tx(self, df: DataFrame, fn) -> DataFrame:
+        """Apply a schema-changing transformation to the real frame AND
+        the shadow. The shadow chain is rooted in an empty
+        LocalRelation, so its analysis stays cheap as it grows (a
+        createDataFrame-per-step re-flatten costs more in py4j round
+        trips than the deeper-but-trivial plan costs in analysis)."""
+        self._sh = fn(self._sh)
+        return fn(df)
+
+    def _resync(self, df: DataFrame) -> None:
+        """Re-derive the shadow from the real frame (after a script
+        handler's arbitrary transformations) — one real analysis."""
+        self._sh = self._sp.createDataFrame([], df.schema)
 
     # -- chain --
     def _chain(self, df: DataFrame, procs: list[dict], active: Column) -> DataFrame:
@@ -1272,8 +1297,11 @@ class IngestPipeline:
                     + str(src)
                 )
             cond = cfg.get("if")
-            act = active & painless_condition(cond, df) if cond else active
-            return handler(df, act)
+            act = active & painless_condition(cond, self._sh) \
+                if cond else active
+            df = handler(df, act)
+            self._resync(df)
+            return df
         if name == "pipeline":
             ref = pipeline_ref_name(str(cfg["name"]))
             sub = (self.pipelines or {}).get(ref)
@@ -1283,7 +1311,8 @@ class IngestPipeline:
                     f"{ref!r} — pass pipelines={{name: cfg}}"
                 )
             cond = cfg.get("if")
-            act = active & painless_condition(cond, df) if cond else active
+            act = active & painless_condition(cond, self._sh) \
+                if cond else active
             return self._chain(df, sub.get("processors") or [], act)
         if name == "dot_expander":
             # flat dotted columns ARE the expanded form here — but
@@ -1313,14 +1342,17 @@ class IngestPipeline:
             return self._geoip(df, cfg, active)
         if name == "drop":
             cond = cfg.get("if")
-            act = active & painless_condition(cond, df) if cond else active
+            act = active & painless_condition(cond, self._sh) \
+                if cond else active
+            # row-level only: the shadow's schema is unchanged
             return df.filter(~F.coalesce(act, F.lit(False)))
         if name == "fail":
             cfg = dict(cfg)
             cond = cfg.pop("if", None)
             ignore_failure = cfg.pop("ignore_failure", False)
             on_failure = cfg.pop("on_failure", None)
-            act = active & painless_condition(cond, df) if cond else active
+            act = active & painless_condition(cond, self._sh) \
+                if cond else active
             return self._apply(
                 df, {}, F.lit(True),
                 str(cfg.get("message", "Fail processor executed")),
@@ -1338,9 +1370,12 @@ class IngestPipeline:
         on_failure = cfg.pop("on_failure", None)
         cfg.pop("tag", None)
         cfg.pop("description", None)
-        act = active & painless_condition(cond, df) if cond else active
+        act = active & painless_condition(cond, self._sh) \
+            if cond else active
         fmsg = None
-        assigns, fails, msg = fn(df, cfg, fmsg)
+        # the per-processor compilers only READ schema and build
+        # name-based expressions — hand them the cheap shadow
+        assigns, fails, msg = fn(self._sh, cfg, fmsg)
         return self._apply(df, assigns, fails, msg, act,
                            ignore_failure, on_failure, idx)
 
@@ -1360,14 +1395,14 @@ class IngestPipeline:
         n = self.__dict__.get("_tmp_n", 0)
         self.__dict__["_tmp_n"] = n + 1
         tmp = f"_ingest_of_{n}"
-        df = df.withColumn(tmp, fail_now)
+        df = self._tx(df, lambda d: d.withColumn(tmp, fail_now))
         ok = act & ~_c(tmp)
         wrapped = {}
         for name, expr in assigns.items():
-            old = _c(name) if _has(df, name) else F.lit(None)
-            wrapped[name] = self._branch(df, ok, expr, old)
+            old = _c(name) if _has(self._sh, name) else F.lit(None)
+            wrapped[name] = self._branch(self._sh, ok, expr, old)
         if wrapped:
-            df = df.withColumns(wrapped)
+            df = self._tx(df, lambda d: d.withColumns(wrapped))
         if on_failure:
             df = df.withColumn(
                 ERRMSG, F.when(_c(tmp), msg_col).otherwise(_c(ERRMSG)))
@@ -1391,7 +1426,7 @@ class IngestPipeline:
                 ERRMSG: F.when(_c(tmp) & ~_c(FAILED), msg_col)
                 .otherwise(_c(ERRMSG)),
             })
-        return df.drop(tmp)
+        return self._tx(df, lambda d: d.drop(tmp))
 
     @staticmethod
     def _branch(df: DataFrame, ok: Column, expr: Column, old: Column) -> Column:
@@ -1431,9 +1466,10 @@ class IngestPipeline:
         ignore_missing = cfg.pop("ignore_missing", False)
         cfg.pop("tag", None)
         cfg.pop("description", None)
-        act = active & painless_condition(cond, df) if cond else active
+        act = active & painless_condition(cond, self._sh) \
+            if cond else active
         fld = cfg["field"]
-        src = _get(df, fld)
+        src = _get(self._sh, fld)
         src = F.lit(None).cast("string") if src is None else src.cast("string")
 
         if name == "grok":
@@ -1473,9 +1509,10 @@ class IngestPipeline:
                 # an earlier pattern skip this pattern's regex entirely
                 # (CASE WHEN branches evaluate lazily per row) — on a
                 # k-pattern grok most rows pay for ONE search, not k
-                df = df.withColumn(pname, F.when(~matched, F.split(
-                    F.regexp_replace(src, pat.anchored(False), rep),
-                    "\x01", -1)))
+                df = self._tx(df, lambda d: d.withColumn(
+                    pname, F.when(~matched, F.split(
+                        F.regexp_replace(src, pat.anchored(False), rep),
+                        "\x01", -1))))
                 parts = _c(pname)
                 # a match always rewrites to a \x02-prefixed capture join;
                 # \x01/\x02 never occur in log text, so element 1's prefix
@@ -1517,8 +1554,8 @@ class IngestPipeline:
             out_assigns = {}
             for k, v in assigns.items():
                 cur = F.when(matched, v)
-                if _has(df, k):
-                    odt = _dtype(df, k)
+                if _has(self._sh, k):
+                    odt = _dtype(self._sh, k)
                     if isinstance(odt, T.ArrayType):
                         # another branch (e.g. a split processor) holds
                         # this column as an array; a string capture
@@ -1528,7 +1565,7 @@ class IngestPipeline:
                                      F.array(v.cast(odt.elementType)))
                     try:
                         merged = F.coalesce(cur, _c(k))
-                        df.select(merged)  # analysis-only type probe
+                        self._sh.select(merged)  # analysis-only type probe
                         cur = merged
                     except Exception:
                         pass  # un-coercible type pair: overwrite wins
@@ -1536,7 +1573,7 @@ class IngestPipeline:
             assigns = out_assigns
             df = self._apply(df, assigns, fails, msg, act,
                              ignore_failure, on_failure, idx)
-            return df.drop(*grok_tmps)
+            return self._tx(df, lambda d: d.drop(*grok_tmps))
 
         # dissect
         from beats_spark.dissect import DissectPattern
@@ -1552,8 +1589,8 @@ class IngestPipeline:
         n = self.__dict__.get("_tmp_n", 0)
         self.__dict__["_tmp_n"] = n + 1
         pname = f"_ingest_dissect_{n}"
-        df = df.withColumn(
-            pname, pat.parts_column(pat.marked_column(src)))
+        df = self._tx(df, lambda d: d.withColumn(
+            pname, pat.parts_column(pat.marked_column(src))))
         parts = _c(pname)
         matched = src.isNotNull() & F.coalesce(
             F.element_at(parts, 1).startswith(pat.MARK), F.lit(False))
@@ -1571,7 +1608,7 @@ class IngestPipeline:
             df, assigns, fails,
             "Unable to find match for dissect pattern", act,
             ignore_failure, on_failure, idx)
-        return df.drop(pname)
+        return self._tx(df, lambda d: d.drop(pname))
 
     # -- foreach --
     def _foreach(self, df: DataFrame, cfg: dict, active: Column,
@@ -1582,15 +1619,17 @@ class IngestPipeline:
         on_failure = cfg.pop("on_failure", None)
         cfg.pop("tag", None)
         cfg.pop("description", None)
-        active = active & painless_condition(cond, df) if cond else active
+        active = active & painless_condition(cond, self._sh) \
+            if cond else active
         fld = cfg["field"]
         (sub_name, sub_cfg), = cfg["processor"].items()
         ignore_missing = cfg.pop("ignore_missing", False)
-        if ignore_missing and not _has(df, fld):
+        if ignore_missing and not _has(self._sh, fld):
             return df
-        fails = None if ignore_missing else _missing(df, fld)
+        fails = None if ignore_missing else _missing(self._sh, fld)
         msg = f"field [{fld}] not present"
-        src = _c(fld) if _has(df, fld) else F.lit(None).cast("array<string>")
+        src = (_c(fld) if _has(self._sh, fld)
+               else F.lit(None).cast("array<string>"))
         elem_fns = {"lowercase": F.lower, "uppercase": F.upper, "trim": F.trim}
         if sub_name in elem_fns and sub_cfg.get("field") == "_ingest._value":
             fn = elem_fns[sub_name]
@@ -1606,7 +1645,7 @@ class IngestPipeline:
                 and sub_cfg.get("value") == "{{_ingest._value}}"):
             # append each element to another array field == array concat
             tgt = sub_cfg["field"]
-            base = (_c(tgt) if _has(df, tgt)
+            base = (_c(tgt) if _has(self._sh, tgt)
                     else F.lit(None)).cast("array<string>")
             out = F.concat(F.coalesce(base, F.array().cast("array<string>")),
                            F.coalesce(src.cast("array<string>"),
@@ -1629,17 +1668,20 @@ class IngestPipeline:
             return df
         fld = cfg["field"]
         tgt = cfg.get("target_field", "geoip")
-        src = (_c(fld) if _has(df, fld) else F.lit(None)).cast("string")
+        src = (_c(fld) if _has(self._sh, fld)
+               else F.lit(None)).cast("string")
         geo = self.geoip_table
         renamed = geo.select(
             F.col("ip").alias("_geo_ip"),
             *[F.col(c).alias(f"{tgt}.{c}") for c in geo.columns if c != "ip"],
         )
-        joined = df.withColumn("_geo_key", F.when(
-            F.coalesce(active, F.lit(False)), src)).join(
-            F.broadcast(renamed), F.col("_geo_key") == F.col("_geo_ip"), "left"
-        ).drop("_geo_key", "_geo_ip")
-        return joined
+        def tx(d):
+            return d.withColumn("_geo_key", F.when(
+                F.coalesce(active, F.lit(False)), src)).join(
+                F.broadcast(renamed),
+                F.col("_geo_key") == F.col("_geo_ip"), "left"
+            ).drop("_geo_key", "_geo_ip")
+        return self._tx(df, tx)
 
 
 def compile_ingest_pipeline(

@@ -95,6 +95,18 @@ AUDITED = {
     # same no-cartesian/no-BatchEval bar
     "netflow_v9_parse": dict(),
     "ipfix_parse": dict(),
+    # compiled reference module pipelines: pure projection chains —
+    # no Exchange, no joins, no BatchEvalPython. module_slowlog and
+    # module_auditd each carry exactly ONE Arrow-batched node (the
+    # documented JS-number-parity / ECS-table kernels).
+    "module_tidb": dict(),
+    "module_slowlog": dict(),
+    "module_nginx": dict(),
+    "module_system_syslog": dict(),
+    "module_system_auth": dict(),
+    "module_postgresql": dict(),
+    "module_auditd": dict(),
+    "decode_cef": dict(),
     # temperature mixing joins a ONE-ROW global aggregate back via
     # crossJoin(broadcast(...)) — Spark plans a scalar-dim
     # BroadcastNestedLoopJoin, which is linear (n × 1), not quadratic;
